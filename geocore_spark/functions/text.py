@@ -1,0 +1,143 @@
+"""Web-payload extraction + text-analysis kernels.
+
+Plays the role of the reference's feature-extraction preamble
+(/root/reference/data_pipeline.py:40-45): raw payload -> typed columns. Per
+BASELINE.json input_hint the extractor must be deterministic with
+byte-identical output per url — so the algorithm here is FROZEN (pure
+``re`` on decoded UTF-8; no html-lib dependency whose version could drift)
+and covered by golden-digest tests.
+
+Hot-path split:
+- geo-coordinate extraction (``geo.position`` meta tag) is a **pure Column
+  regexp** — JVM-side, codegen'd, no Python involved;
+- full html->text strip runs as an Arrow-batched pandas UDF (string work on
+  bytes is genuinely outside Catalyst's vocabulary);
+- language-ID / quality / token stats are pure Column expressions.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TAG_RE = re.compile(rb"<head\b.*?</head>|<[^>]*>", re.DOTALL)
+_WS_RE = re.compile(rb"[ \t\r\f\v]+")
+
+_GEO_META = r'<meta name="geo\.position" content="(-?\d+\.\d+);(-?\d+\.\d+)"/>'
+_TITLE = r"<title>(.*?)</title>"
+
+
+# -- geotag extraction: stays JVM-side ---------------------------------------
+
+
+def geo_lat(html_str: Column) -> Column:
+    """Latitude from the geo.position meta tag (Column regexp; '' -> null)."""
+    v = F.regexp_extract(html_str, _GEO_META, 1)
+    return F.when(v != "", v.cast("double"))
+
+
+def geo_lon(html_str: Column) -> Column:
+    v = F.regexp_extract(html_str, _GEO_META, 2)
+    return F.when(v != "", v.cast("double"))
+
+
+def title_of(html_str: Column) -> Column:
+    return F.regexp_extract(html_str, _TITLE, 1)
+
+
+# -- frozen html->text extractor (Arrow batch) -------------------------------
+
+
+def extract_text_bytes(html: bytes) -> str:
+    """FROZEN algorithm: drop <head>, strip tags, collapse spaces per line,
+    join non-empty lines with newline. Operates on raw bytes then decodes
+    UTF-8 — byte-identical per input forever.
+    """
+    body = _TAG_RE.sub(b"\n", html)
+    body = _WS_RE.sub(b" ", body)
+    lines = [ln.strip() for ln in body.split(b"\n")]
+    return b"\n".join([ln for ln in lines if ln]).decode("utf-8", errors="replace")
+
+
+def extract_text_with_title(html: bytes) -> str:
+    """Engine's golden extraction: '<title>\\n<body text>'. Matches the
+    generator's ``text`` column byte-for-byte (the input_hint invariant)."""
+    m = re.search(_TITLE.encode(), html, re.DOTALL)
+    title = m.group(1).decode("utf-8", errors="replace") if m else ""
+    body = extract_text_bytes(html)
+    return f"{title}\n{body}" if title else body
+
+
+def extract_text_udf():
+    @F.pandas_udf("string")
+    def _extract(html: pd.Series) -> pd.Series:
+        return html.map(extract_text_with_title)
+
+    return _extract
+
+
+# -- text analysis: pure Column expressions ----------------------------------
+
+STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; SQL twin: len(regexp_split_to_array(...))."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are stopwords (lowercased)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    return stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    stripped = F.length(F.regexp_replace(text, r"[^\p{P}]", ""))
+    return stripped.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: length band + low punctuation
+    + healthy stopword ratio. Deterministic arithmetic; SQL-twinned in the
+    oracle queries."""
+    ln = F.length(text).cast("double")
+    len_score = F.least(ln / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    return F.round((len_score + stop_score) / 2.0, 6)
+
+
+def lang_guess(text: Column) -> Column:
+    """Tiny deterministic language-ID heuristic: stopword-list voting over
+    en/de/fr function words. Not a real model — the point is the *operator
+    shape* (per-row classification entirely in Column space)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+
+    def hits(words: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda w: w.isin(words)))
+
+    en = hits(["the", "and", "of", "is", "to"])
+    de = hits(["der", "die", "und", "ist", "das"])
+    fr = hits(["le", "la", "et", "est", "les"])
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+
+
+def fingerprint64(text: Column) -> Column:
+    """Deterministic 64-bit document fingerprint: xxhash64 of the
+    whitespace-normalized lowercased text (rolling-hash role; JVM-side)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(norm)

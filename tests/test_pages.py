@@ -1,0 +1,96 @@
+"""Pages generator determinism + byte-identical extraction invariant."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from geocore_spark.functions import text as tx
+from geocore_spark.sources import pages as pg
+
+
+def test_pages_deterministic(spark):
+    a = pg.pages(spark, 200).orderBy("url").collect()
+    b = pg.pages(spark, 200).orderBy("url").collect()
+    assert a == b
+    assert len(a) == 200
+
+
+def test_geotag_extraction_matches_truth(spark):
+    df = pg.pages(spark, 500)
+    bad = (
+        df.withColumn("h", F.decode("html", "UTF-8"))
+        .withColumn("lat", tx.geo_lat(F.col("h")))
+        .withColumn("lon", tx.geo_lon(F.col("h")))
+        .filter(
+            (F.abs(F.col("lat") - F.col("lat_true")) > 1e-5)
+            | (F.abs(F.col("lon") - F.col("lon_true")) > 1e-5)
+            | F.col("lat").isNull()
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_extracted_text_byte_identical(spark):
+    """input_hint invariant: extract(html) == stored golden text, per url."""
+    rows = pg.pages(spark, 300).select("url", "html", "text").collect()
+    for r in rows:
+        got = tx.extract_text_with_title(bytes(r["html"]))
+        assert got == r["text"], r["url"]
+
+
+def test_extract_udf_matches_local(spark):
+    df = pg.pages(spark, 100)
+    out = df.select(
+        "text", tx.extract_text_udf()(F.col("html")).alias("extracted")
+    ).collect()
+    for r in out:
+        assert r["extracted"] == r["text"]
+
+
+def test_extraction_digest_golden(spark):
+    """Digest over first 50 pages' extracted text — freezes the algorithm."""
+    rows = (
+        pg.pages(spark, 50)
+        .orderBy("url")
+        .select("text")
+        .collect()
+    )
+    digest = hashlib.sha256("\x00".join(r["text"] for r in rows).encode()).hexdigest()
+    # If this changes, the extractor or generator changed — both are frozen.
+    assert len(digest) == 64
+    import json
+    import pathlib
+
+    golden_path = pathlib.Path(__file__).parent / "golden" / "extraction_digest.json"
+    golden_path.parent.mkdir(exist_ok=True)
+    if golden_path.exists():
+        assert json.loads(golden_path.read_text())["sha256"] == digest
+    else:
+        golden_path.write_text(json.dumps({"sha256": digest}))
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("",), ("   ",), ("word",)], "text string"
+    )
+    rows = df.select(
+        tx.token_count(F.col("text")).alias("n"),
+        tx.stopword_ratio(F.col("text")).alias("sr"),
+    ).collect()
+    assert [r["n"] for r in rows] == [6, 0, 0, 1]
+    assert abs(rows[0]["sr"] - 3 / 6) < 1e-9
+
+
+def test_lang_guess(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick fox is one of the best",),
+            ("der hund und die katze ist das",),
+            ("le chat et la souris est les",),
+            ("xyzzy plugh",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(tx.lang_guess(F.col("text"))).collect()]
+    assert got == ["en", "de", "fr", "unknown"]
