@@ -1,38 +1,875 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the geocore_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator names (SURVEY.md §2) to Spark plans built from
+:mod:`geocore_spark` operators; ``oracle_sql()`` holds their ANSI-SQL twins
+for the DuckDB oracle. Twins share exact arithmetic (see
+geocore_spark/oracle.py) and every computed column is aliased identically
+on both sides. Float aggregates use decimal accumulation or rounding so
+parallel-sum ordering can't drift the hash.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geocore_spark import oracle as orc
+from geocore_spark.functions import text as tx
+from geocore_spark.functions import tiling as tl
+from geocore_spark.functions.geodesy import haversine_km, haversine_sql
+from geocore_spark.operators import (
+    assembly,
+    dedup,
+    knn,
+    similarity,
+    skew,
+    spatial_join,
+    temporal,
+    zonal,
+)
+from geocore_spark.sources import polygons as pgn
+from geocore_spark.sources import raster as rst
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _supplier_points(spark, sf_dir):
+    return _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        orc.derived_lat(F.col("s_suppkey")).alias("lat"),
+        orc.derived_lon(F.col("s_suppkey")).alias("lon"),
+    )
+
+
+_SUPPLIER_POINTS_SQL = (
+    "(SELECT s_suppkey AS id, "
+    f"{orc.derived_lat_sql('s_suppkey')} AS lat, "
+    f"{orc.derived_lon_sql('s_suppkey')} AS lon FROM supplier)"
+)
+
+
+def _event_points(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        orc.derived_lat(F.col("event_id")).alias("lat"),
+        orc.derived_lon(F.col("event_id")).alias("lon"),
+    )
+
+
+_EVENT_POINTS_SQL = (
+    "(SELECT event_id AS id, user_id, event_type, value, "
+    f"{orc.derived_lat_sql('event_id')} AS lat, "
+    f"{orc.derived_lon_sql('event_id')} AS lon FROM events)"
+)
+
+
+# ===========================================================================
+# Relational core (SURVEY §2.2, §2.4-2.7)
+# ===========================================================================
+
+
+def q_pricing_summary(spark, sf_dir):
+    """A1/A3/P6 + decimal-exact sums (TPC-H Q1 shape on lineitem)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,2)")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(20,2)")
+                    * (F.lit(1).cast("decimal(20,2)") - F.col("l_discount").cast("decimal(20,2)"))
+                )
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))
+            * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_nway_left_join(spark, sf_dir):
+    """J1: anchored N-way LEFT JOIN (orders <- customer <- nation <- region)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "left")
+        .select("o_orderkey", "c_name", "n_name", "r_name")
+    )
+
+
+_SQL_NWAY = """
+SELECT o_orderkey, c_name, n_name, r_name
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """W1: row_number dedup — top order per customer by totalprice."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+_SQL_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
+def q_label_dedup(spark, sf_dir):
+    """U1+W1: union label sources, max-weight wins (merge_labels port)."""
+    o = _t(spark, sf_dir, "orders")
+    s1 = o.select(
+        F.concat_ws(":", F.lit(13), F.col("o_custkey"), F.lit(0)).alias("cell"),
+        F.lit(1).alias("label"),
+        F.round(F.col("o_totalprice") / 1000.0, 6).alias("weight"),
+        F.lit("KNOWN").alias("type"),
+    )
+    s2 = o.select(
+        F.concat_ws(":", F.lit(13), F.col("o_custkey"), F.lit(0)).alias("cell"),
+        F.lit(0).alias("label"),
+        F.round(F.col("o_totalprice") / 900.0, 6).alias("weight"),
+        F.lit("INFERRED").alias("type"),
+    )
+    return assembly.merge_labels([s1, s2])
+
+
+_SQL_LABEL_DEDUP = """
+WITH unioned AS (
+  SELECT concat(13, ':', o_custkey, ':', 0) AS cell, CAST(1 AS INT) AS label,
+         round(o_totalprice / 1000.0, 6) AS weight, 'KNOWN' AS type FROM orders
+  UNION ALL
+  SELECT concat(13, ':', o_custkey, ':', 0) AS cell, CAST(0 AS INT) AS label,
+         round(o_totalprice / 900.0, 6) AS weight, 'INFERRED' AS type FROM orders
+)
+SELECT cell, label, weight, type
+FROM (SELECT *, row_number() OVER (PARTITION BY cell
+                                   ORDER BY weight DESC, label DESC, type ASC) AS rn
+      FROM unioned)
+WHERE rn = 1
+"""
+
+
+def q_decile_stats(spark, sf_dir):
+    """W4+A8+W5: ntile deciles over o_totalprice, per-decile aggregates +
+    cumulative sums (metrics.py:39-91 shape)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    deciled = o.withColumn("decile", F.ntile(10).over(w))
+    per = deciled.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)")).cast("double").alias("sum_price"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "n",
+        "sum_price",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.round(F.sum("sum_price").over(wc), 2).alias("cum_price"),
+    )
+
+
+_SQL_DECILES = """
+WITH deciled AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS decile,
+         o_totalprice
+  FROM orders),
+per AS (
+  SELECT decile, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+  FROM deciled GROUP BY decile)
+SELECT decile, n, sum_price,
+       CAST(SUM(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+       round(SUM(sum_price) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING), 2) AS cum_price
+FROM per
+"""
+
+
+def q_percent_rank(spark, sf_dir):
+    """W2: percentile over customer balances."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", F.round(F.percent_rank().over(w), 6).alias("pct_rank")
+    )
+
+
+_SQL_PERCENT_RANK = """
+SELECT c_custkey,
+       round(percent_rank() OVER (ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS pct_rank
+FROM customer
+"""
+
+
+def q_union_distinct(spark, sf_dir):
+    """U2: union two derived sets + distinct."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return a.unionByName(b).distinct()
+
+
+_SQL_UNION_DISTINCT = """
+SELECT DISTINCT o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+"""
+
+
+def q_left_anti(spark, sf_dir):
+    """J8: customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_SQL_LEFT_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_semi_flag(spark, sf_dir):
+    """J2: null-conditional membership flag (iff(x is not null, 1, 0))."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return assembly.flag_test_cells(
+        c.select(F.col("c_custkey").alias("cell")), o.select(F.col("o_custkey").alias("cell"))
+    ).select(F.col("cell").alias("c_custkey"), "is_test")
+
+
+_SQL_SEMI_FLAG = """
+SELECT c_custkey,
+       CASE WHEN o.k IS NOT NULL THEN 1 ELSE 0 END AS is_test
+FROM customer
+LEFT JOIN (SELECT DISTINCT o_custkey AS k FROM orders) o ON c_custkey = o.k
+"""
+
+
+def q_time_window_agg(spark, sf_dir):
+    """A5: per-user 1-hour tumbling max-min of value (change_in_speed)."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.windowed_range_agg(ev, "user_id", "ts", "value")
+
+
+_SQL_TIME_WINDOW = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       round(MAX(value) - MIN(value), 6) AS change,
+       COUNT(*) AS n_obs
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def q_hour_bucket_join(spark, sf_dir):
+    """J6: floor-hour equi-join of events to their hourly aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    agg = temporal.windowed_range_agg(ev, "user_id", "ts", "value")
+    return temporal.hour_bucket_join(ev, agg, "user_id", "ts").select(
+        "event_id", "user_id", "change", "n_obs"
+    )
+
+
+_SQL_HOUR_BUCKET_JOIN = """
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         round(MAX(value) - MIN(value), 6) AS change, COUNT(*) AS n_obs
+  FROM events GROUP BY user_id, date_trunc('hour', ts))
+SELECT event_id, e.user_id AS user_id, change, n_obs
+FROM events e LEFT JOIN agg ON e.user_id = agg.user_id AND date_trunc('hour', e.ts) = agg.h
+"""
+
+
+def q_uniqueness_guard(spark, sf_dir):
+    """A1/A2: the BadTable invariant as a query (count vs count distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("o_orderkey")).alias("n_distinct"),
+        (F.count("*") == F.count_distinct(F.col("o_orderkey"))).alias("is_unique"),
+    )
+
+
+_SQL_UNIQUENESS = """
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_distinct,
+       COUNT(*) = COUNT(DISTINCT o_orderkey) AS is_unique
+FROM orders
+"""
+
+
+def q_conditional_mask(spark, sf_dir):
+    """P7/J3: null-mask a column where a joined flag row exists."""
+    o = _t(spark, sf_dir, "orders")
+    bad = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    return (
+        o.join(F.broadcast(bad.withColumn("__b", F.lit(1))), "o_custkey", "left")
+        .select(
+            "o_orderkey",
+            F.when(F.col("__b").isNotNull(), None)
+            .otherwise(F.col("o_totalprice"))
+            .alias("masked_price"),
+        )
+    )
+
+
+_SQL_CONDITIONAL_MASK = """
+SELECT o_orderkey,
+       CASE WHEN b.k IS NOT NULL THEN NULL ELSE o_totalprice END AS masked_price
+FROM orders
+LEFT JOIN (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE o_orderpriority = '1-URGENT') b ON o_custkey = b.k
+"""
+
+
+def q_group_transform(spark, sf_dir):
+    """A6: broadcast-back group mean (transform('mean') analogue)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("user_mean"),
+        F.round(F.col("value") - F.avg("value").over(w), 6).alias("delta"),
+    )
+
+
+_SQL_GROUP_TRANSFORM = """
+SELECT event_id,
+       round(AVG(value) OVER (PARTITION BY user_id), 6) AS user_mean,
+       round(value - AVG(value) OVER (PARTITION BY user_id), 6) AS delta
+FROM events
+"""
+
+
+def q_mean_impute(spark, sf_dir):
+    """A9: mean imputation — mask error-event values, impute global mean."""
+    ev = _t(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", None).otherwise(F.col("value")).alias("v"),
+    )
+    mean = masked.agg(F.round(F.avg("v"), 6).alias("m"))
+    return masked.crossJoin(F.broadcast(mean)).select(
+        "event_id", F.round(F.coalesce(F.col("v"), F.col("m")), 6).alias("value_imputed")
+    )
+
+
+_SQL_MEAN_IMPUTE = """
+WITH masked AS (
+  SELECT event_id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM events),
+m AS (SELECT round(AVG(v), 6) AS m FROM masked)
+SELECT event_id, round(coalesce(v, m.m), 6) AS value_imputed FROM masked, m
+"""
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew machinery: two-phase salted agg == plain groupBy (north rule)."""
+    ev = _t(spark, sf_dir, "events")
+    return skew.salted_agg(
+        ev,
+        "event_type",
+        {
+            "n": ("value", "count"),
+            "sum_value": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        n_salts=16,
+        salt_source="event_id",
+    ).select(
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+_SQL_SALTED_AGG = """
+SELECT event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+# ===========================================================================
+# Geospatial suite (SURVEY §2.3, §2.4, §2.6 W7)
+# ===========================================================================
+
+
+def q_tile_encode(spark, sf_dir):
+    """G1: cell encode at res 13 + parent at res 9 (pure Column arithmetic)."""
+    pts = _event_points(spark, sf_dir)
+    cell = tl.latlng_to_cell(F.col("lat"), F.col("lon"), 13)
+    return pts.select(
+        "id", cell.alias("cell"), tl.cell_to_parent(cell, 9).alias("parent_cell")
+    )
+
+
+_SQL_TILE_ENCODE = f"""
+SELECT id, {orc.cell_sql('lat', 'lon', 13)} AS cell,
+       {orc.cell_sql('lat', 'lon', 9)} AS parent_cell
+FROM {_EVENT_POINTS_SQL} p
+"""
+
+
+def q_cell_rollup(spark, sf_dir):
+    """G1+A3: per-parent-cell point counts (hypertable rollup shape)."""
+    pts = _event_points(spark, sf_dir)
+    return (
+        pts.withColumn("cell", tl.latlng_to_cell(F.col("lat"), F.col("lon"), 13))
+        .withColumn("parent", tl.cell_to_parent(F.col("cell"), 7))
+        .groupBy("parent")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+_SQL_CELL_ROLLUP = f"""
+SELECT {orc.cell_sql('lat', 'lon', 7)} AS parent, COUNT(*) AS n_points
+FROM {_EVENT_POINTS_SQL} p GROUP BY 1
+"""
+
+
+def q_cell_centroid(spark, sf_dir):
+    """G2: cell -> centroid, plus haversine point-to-centroid distance."""
+    pts = _event_points(spark, sf_dir)
+    cell = tl.latlng_to_cell(F.col("lat"), F.col("lon"), 13)
+    c = tl.cell_to_latlng(cell)
+    return pts.select(
+        "id",
+        F.round(c["lat"], 9).alias("centroid_lat"),
+        F.round(c["lon"], 9).alias("centroid_lon"),
+        F.round(
+            haversine_km(F.col("lat"), F.col("lon"), c["lat"], c["lon"]), 6
+        ).alias("dist_to_centroid_km"),
+    )
+
+
+_SQL_CELL_CENTROID = f"""
+SELECT id,
+       round({orc.centroid_lat_sql('lat', 13)}, 9) AS centroid_lat,
+       round({orc.centroid_lon_sql('lon', 13)}, 9) AS centroid_lon,
+       round({haversine_sql('lat', 'lon', orc.centroid_lat_sql('lat', 13), orc.centroid_lon_sql('lon', 13))}, 6)
+         AS dist_to_centroid_km
+FROM {_EVENT_POINTS_SQL} p
+"""
+
+
+def q_pip_rect_join(spark, sf_dir):
+    """G9/J5: point-in-rectangle broadcast join (SQL-exact PIP path)."""
+    pts = _event_points(spark, sf_dir)
+    rects = pgn.rect_layer(spark, 16)
+    return spatial_join.pip_rect_join(pts, rects).select(
+        "id", "rect_id", "attr"
+    )
+
+
+_SQL_PIP_RECT = f"""
+SELECT id, rect_id, CAST(attr AS DOUBLE) AS attr
+FROM {_EVENT_POINTS_SQL} p
+JOIN {pgn.rect_layer_sql(16)} r
+  ON p.lat >= r.lat_min AND p.lat < r.lat_max
+ AND p.lon >= r.lon_min AND p.lon < r.lon_max
+"""
+
+
+def q_distance_join(spark, sf_dir):
+    """G7/J4: all supplier-point pairs within 500 km (k-ring + refine)."""
+    pts = _supplier_points(spark, sf_dir)
+    out = spatial_join.distance_join(pts, pts, 500.0)
+    return out.filter(F.col("id") < F.col("id_r")).select(
+        "id",
+        F.col("id_r").alias("id_b"),
+        F.round(
+            haversine_km(F.col("lat"), F.col("lon"), F.col("lat_r"), F.col("lon_r")), 6
+        ).alias("dist_km"),
+    )
+
+
+_SQL_DISTANCE_JOIN = f"""
+SELECT a.id AS id, b.id AS id_b,
+       round({haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 6) AS dist_km
+FROM {_SUPPLIER_POINTS_SQL} a JOIN {_SUPPLIER_POINTS_SQL} b ON a.id < b.id
+WHERE {haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= 500.0
+"""
+
+
+def q_knn(spark, sf_dir):
+    """W7: exact k=5 nearest neighbors per supplier point."""
+    pts = _supplier_points(spark, sf_dir)
+    out = knn.knn_join_simple(pts, pts, k=5, res=2, k_ring=4)
+    return out.select("id", "neighbor_id", F.round("dist_km", 6).alias("dist_km"), "rank")
+
+
+_SQL_KNN = f"""
+WITH pts AS (SELECT * FROM {_SUPPLIER_POINTS_SQL} s),
+pairs AS (
+  SELECT a.id AS id, b.id AS neighbor_id,
+         {haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} AS d
+  FROM pts a JOIN pts b ON a.id <> b.id)
+SELECT id, neighbor_id, round(d, 6) AS dist_km, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d ASC, neighbor_id ASC) AS rank
+      FROM pairs)
+WHERE rank <= 5
+"""
+
+
+def q_buffer_exclusion(spark, sf_dir):
+    """G8: supplier points farther than 1000 km from every held-out point."""
+    pts = _supplier_points(spark, sf_dir)
+    held = pts.filter(F.col("id") % 10 == 0)
+    return spatial_join.buffer_anti_join(pts, held, 1000.0).select("id")
+
+
+_SQL_BUFFER_EXCL = f"""
+WITH pts AS (SELECT * FROM {_SUPPLIER_POINTS_SQL} s),
+held AS (SELECT * FROM pts WHERE id % 10 = 0)
+SELECT p.id AS id FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM held h
+  WHERE {haversine_sql('p.lat', 'p.lon', 'h.lat', 'h.lon')} <= 1000.0)
+"""
+
+
+def q_zonal_stats(spark, sf_dir):
+    """G10: raster sample at event points + per-cell zonal statistics."""
+    pts = _event_points(spark, sf_dir)
+    sampled = pts.withColumn("value", rst.sample_expr(F.col("lat"), F.col("lon")))
+    return zonal.zonal_stats(sampled, res=5)
+
+
+_SQL_ZONAL = f"""
+SELECT {orc.cell_sql('lat', 'lon', 5)} AS cell, COUNT(*) AS n,
+       round(AVG(v), 6) AS avg_value, round(MIN(v), 6) AS min_value,
+       round(MAX(v), 6) AS max_value
+FROM (SELECT lat, lon, {rst.sample_sql('lat', 'lon')} AS v
+      FROM {_EVENT_POINTS_SQL} p)
+GROUP BY 1
+"""
+
+
+def q_spatial_assembly(spark, sf_dir):
+    """Flagship spine: points -> cells -> zonal feature -> test flag ->
+    label merge -> train/test masks (build.py end-to-end analogue)."""
+    pts = _event_points(spark, sf_dir)
+    cells = (
+        pts.withColumn("cell", tl.latlng_to_cell(F.col("lat"), F.col("lon"), 13))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.sum(F.col("value").cast("decimal(20,2)")).cast("double"), 2).alias("sum_value"),
+        )
+    )
+    feature = cells.withColumn(
+        "f_raster",
+        F.round(
+            rst.sample_expr(
+                tl.cell_to_latlng(F.col("cell"))["lat"],
+                tl.cell_to_latlng(F.col("cell"))["lon"],
+            ),
+            8,
+        ),
+    )
+    test_cells = _supplier_points(spark, sf_dir).select(
+        tl.latlng_to_cell(F.col("lat"), F.col("lon"), 13).alias("cell")
+    )
+    return assembly.flag_test_cells(feature, test_cells).select(
+        "cell", "n_points", "sum_value", "f_raster", "is_test"
+    )
+
+
+_SQL_SPATIAL_ASSEMBLY = f"""
+WITH cells AS (
+  SELECT {orc.cell_sql('lat', 'lon', 13)} AS cell, COUNT(*) AS n_points,
+         round(CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_value,
+         round({rst.sample_sql(orc.centroid_lat_sql('MIN(lat)', 13), orc.centroid_lon_sql('MIN(lon)', 13))}, 8) AS f_raster
+  FROM {_EVENT_POINTS_SQL} p GROUP BY 1),
+test_cells AS (
+  SELECT DISTINCT {orc.cell_sql('lat', 'lon', 13)} AS cell FROM {_SUPPLIER_POINTS_SQL} s)
+SELECT c.cell AS cell, n_points, sum_value, f_raster,
+       CASE WHEN t.cell IS NOT NULL THEN 1 ELSE 0 END AS is_test
+FROM cells c LEFT JOIN test_cells t ON c.cell = t.cell
+"""
+
+
+# ===========================================================================
+# Training-data pipeline suite (dedup / similarity / text analysis)
+# ===========================================================================
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup over documents + synthetic duplicates (keeper = min id)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    both = d.unionByName(dup)
+    kept = dedup.exact_dedup(both)
+    return kept.select("doc_id")
+
+
+_SQL_EXACT_DEDUP = f"""
+WITH corpus2x AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY {orc.norm_text_sql('text')}
+                                    ORDER BY doc_id ASC) AS rn
+  FROM corpus2x)
+WHERE rn = 1
+"""
+
+
+def q_dup_groups(spark, sf_dir):
+    """Duplicate-group stats (group_size, keeper) over the doubled corpus."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    both = d.unionByName(dup)
+    return (
+        dedup.duplicate_groups_exact(both)
+        .select("group_size", "keeper_id")
+    )
+
+
+_SQL_DUP_GROUPS = f"""
+WITH corpus2x AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+SELECT COUNT(*) AS group_size, MIN(doc_id) AS keeper_id
+FROM corpus2x GROUP BY {orc.norm_text_sql('text')}
+HAVING COUNT(*) > 1
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Text analysis: token count + stopword ratio + quality per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.round(tx.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+    )
+
+
+_SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST({orc.token_count_sql('text')} AS BIGINT) AS n_tokens,
+       round({orc.stopword_ratio_sql('text', tx.STOPWORDS)}, 6) AS stop_ratio
+FROM documents
+"""
+
+
+def q_lang_distribution(spark, sf_dir):
+    """A3/A7: corpus language histogram."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )
+
+
+_SQL_LANG_DIST = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of normalized text (hex, both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.md5(orc.NORM_TEXT_SPARK(F.col("text"))).alias("fingerprint")
+    )
+
+
+_SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, md5({orc.norm_text_sql('text')}) AS fingerprint FROM documents
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    """ANN baseline: exact cosine top-3 for the first 20 vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.brute_force_topk(queries, emb, k=3)
+
+
+_SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+           AS cos_sim
+  FROM q, c WHERE q.vec_id <> c.vec_id)
+SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs)
+WHERE rank <= 3
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup pairs over a doubled corpus slice."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.lower(F.trim("text")).alias("text"))
+    )
+    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    both = d.unionByName(dup)
+    pairs = dedup.ngram_jaccard_pairs(both, n=3, threshold=0.8)
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
+_SQL_NGRAM_JACCARD = """
+WITH corpus2x AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lower(trim(text)) AS t
+  FROM documents WHERE doc_id < 100),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_split_to_array(t, '\\s+')) < 3
+              THEN [array_to_string(regexp_split_to_array(t, '\\s+'), ' ')]
+              ELSE [array_to_string(regexp_split_to_array(t, '\\s+')[i:i+2], ' ')
+                    for i in range(1, len(regexp_split_to_array(t, '\\s+')) - 1)]
+         END AS g,
+         CAST(floor(log2(greatest(len(t), 1) + 1) * 2) AS BIGINT) AS band
+  FROM corpus2x),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) END AS j
+  FROM grams a JOIN grams b ON a.band = b.band AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE round(j, 6) >= 0.8
+"""
+
+
+# ===========================================================================
+# Contract
+# ===========================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: the spatial-assembly spine end-to-end."""
+    return q_spatial_assembly(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "nway_left_join": q_nway_left_join,
+        "topk_per_group": q_topk_per_group,
+        "label_dedup": q_label_dedup,
+        "decile_stats": q_decile_stats,
+        "percent_rank": q_percent_rank,
+        "union_distinct": q_union_distinct,
+        "left_anti": q_left_anti,
+        "semi_flag": q_semi_flag,
+        "time_window_agg": q_time_window_agg,
+        "hour_bucket_join": q_hour_bucket_join,
+        "uniqueness_guard": q_uniqueness_guard,
+        "conditional_mask": q_conditional_mask,
+        "group_transform": q_group_transform,
+        "mean_impute": q_mean_impute,
+        "salted_agg": q_salted_agg,
+        "tile_encode": q_tile_encode,
+        "cell_rollup": q_cell_rollup,
+        "cell_centroid": q_cell_centroid,
+        "pip_rect_join": q_pip_rect_join,
+        "distance_join": q_distance_join,
+        "knn": q_knn,
+        "buffer_exclusion": q_buffer_exclusion,
+        "zonal_stats": q_zonal_stats,
+        "spatial_assembly": q_spatial_assembly,
+        "exact_dedup": q_exact_dedup,
+        "dup_groups": q_dup_groups,
+        "token_stats": q_token_stats,
+        "lang_distribution": q_lang_distribution,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        "ngram_jaccard": q_ngram_jaccard,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": _SQL_PRICING,
+        "nway_left_join": _SQL_NWAY,
+        "topk_per_group": _SQL_TOPK,
+        "label_dedup": _SQL_LABEL_DEDUP,
+        "decile_stats": _SQL_DECILES,
+        "percent_rank": _SQL_PERCENT_RANK,
+        "union_distinct": _SQL_UNION_DISTINCT,
+        "left_anti": _SQL_LEFT_ANTI,
+        "semi_flag": _SQL_SEMI_FLAG,
+        "time_window_agg": _SQL_TIME_WINDOW,
+        "hour_bucket_join": _SQL_HOUR_BUCKET_JOIN,
+        "uniqueness_guard": _SQL_UNIQUENESS,
+        "conditional_mask": _SQL_CONDITIONAL_MASK,
+        "group_transform": _SQL_GROUP_TRANSFORM,
+        "mean_impute": _SQL_MEAN_IMPUTE,
+        "salted_agg": _SQL_SALTED_AGG,
+        "tile_encode": _SQL_TILE_ENCODE,
+        "cell_rollup": _SQL_CELL_ROLLUP,
+        "cell_centroid": _SQL_CELL_CENTROID,
+        "pip_rect_join": _SQL_PIP_RECT,
+        "distance_join": _SQL_DISTANCE_JOIN,
+        "knn": _SQL_KNN,
+        "buffer_exclusion": _SQL_BUFFER_EXCL,
+        "zonal_stats": _SQL_ZONAL,
+        "spatial_assembly": _SQL_SPATIAL_ASSEMBLY,
+        "exact_dedup": _SQL_EXACT_DEDUP,
+        "dup_groups": _SQL_DUP_GROUPS,
+        "token_stats": _SQL_TOKEN_STATS,
+        "lang_distribution": _SQL_LANG_DIST,
+        "doc_fingerprint": _SQL_DOC_FINGERPRINT,
+        "embedding_topk": _SQL_EMBEDDING_TOPK,
+        "ngram_jaccard": _SQL_NGRAM_JACCARD,
+    }

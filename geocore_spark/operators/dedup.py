@@ -1,0 +1,210 @@
+"""Deduplication operators for web-scale corpora.
+
+Beyond the reference's cell-level dedup (W1 max-weight row_number,
+/root/reference/modeling/datasets/build.py:263-283 — reproduced in
+assembly.merge_labels), a training-data pipeline needs document-level
+dedup. Five standard strategies, all shuffle-bounded:
+
+- exact: hash-groupBy on a normalized fingerprint (one shuffle);
+- minhash_lsh: shingle -> MinHash signature -> banded LSH buckets ->
+  in-bucket verify (shuffle on band keys; candidate pairs only);
+- simhash: 64-bit fingerprints, near-dup = small Hamming distance within
+  LSH-style bit-block buckets;
+- ngram_jaccard: exact pairwise Jaccard within blocking buckets;
+- embedding cosine near-dup lives in operators/similarity.py.
+
+Canonical-keeper rule everywhere: the lowest id in a duplicate group
+survives — deterministic, order-insensitive (matches the SQL oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geocore_spark.functions import hashing as hsh
+from geocore_spark.functions import text as tx
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct normalized text (lowest id wins).
+
+    One shuffle on the 64-bit fingerprint; the window never sees more rows
+    per key than the duplicate-group size.
+    """
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", tx.fingerprint64(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def duplicate_groups_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(fingerprint, group_size, keeper_id) for groups with >1 member."""
+    return (
+        df.withColumn("fp", tx.fingerprint64(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.count("*").alias("group_size"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified by
+    signature-estimated Jaccard >= threshold.
+
+    rows_per_band = n_perm // bands; two docs collide if any band of their
+    signatures matches exactly. Shuffle key = (band_idx, band_hash) — at
+    100 TB the band space is huge, so buckets stay small; a per-bucket
+    self-join never leaves the bucket.
+    """
+    rows_per_band = n_perm // bands
+    sig = df.select(
+        F.col(id_col), hsh.minhash_udf(n_perm, shingle_k)(F.col(text_col)).alias("sig")
+    )
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(n_perm))
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .drop("sig_a", "sig_b")
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_k: int = 4,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: Hamming(a, b) <= max_hamming.
+
+    Blocking: split the 64-bit fingerprint into ``n_blocks`` 16-bit blocks;
+    by pigeonhole any pair within Hamming distance n_blocks-1 shares at
+    least one exact block -> equi-join per block, verify with bit_count
+    (pure Column). One shuffle per block key, candidates only.
+    """
+    sh = df.select(F.col(id_col), hsh.simhash_udf(shingle_k)(F.col(text_col)).alias("sh"))
+    block_bits = 64 // n_blocks
+    blocked = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned(F.col("sh"), b * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sh", F.col("bk.blk").alias("blk"), F.col("bk.bval").alias("bval"))
+    l, r = blocked.alias("l"), blocked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hsh.hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs >= threshold within blocking groups.
+
+    Without a blocking column the self-join is quadratic — callers at scale
+    must block (e.g. by length band or LSH bucket); ``block_col=None``
+    defaults to a length-band block: |len_a - len_b| small enough is
+    implied by same-band membership.
+    """
+    g = df.select(
+        F.col(id_col),
+        hsh.ngram_array(F.col(text_col), n).alias("grams"),
+        (F.floor(F.log2(F.greatest(F.length(text_col), F.lit(1)) + 1) * 2)).alias(
+            "__band"
+        )
+        if block_col is None
+        else F.col(block_col).alias("__band"),
+    )
+    l, r = g.alias("l"), g.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(hsh.jaccard(F.col("l.grams"), F.col("r.grams")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline operator set (no reference equivalent — GeoCore's
+nearest-neighbor work is geographic, block.py:102-119; these are its
+embedding-space analogues):
+
+- brute_force_topk: exact cosine top-k, the correctness baseline. Dot
+  products are pure Column expressions (zip_with + aggregate — JVM-side,
+  no Python); the corpus side is broadcast.
+- lsh_topk: random-hyperplane LSH (Charikar) bucketing for the scale
+  path — candidates only from matching buckets, then exact re-rank.
+- near_dup_cosine: embedding near-duplicate pairs (cosine >= threshold).
+
+All ordered-sum formulations match the DuckDB oracle bit-for-bit (same
+IEEE double fold order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Ordered-fold dot product of two array columns as double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query over a broadcast corpus.
+
+    Physical shape: BroadcastNestedLoopJoin + codegen'd dot product +
+    per-query window top-k. Right for corpus sizes up to ~1M x small dims;
+    beyond that use :func:`lsh_topk` (bucketed) — same output contract.
+    """
+    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(corpus_id).alias("nid"), F.col(vec_col).alias("nv"))
+    pairs = q.crossJoin(F.broadcast(c)).filter(F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid",
+        "nid",
+        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(query_id), F.col("nid").alias("neighbor_id"), "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def signature_udf(dim: int, n_planes: int = 16, seed: int = 11):
+    """Random-hyperplane signature (int bucket id) as an Arrow kernel."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        proj = m @ planes.T  # (n, n_planes)
+        bits = (proj > 0).astype(np.uint64)
+        weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))[None, :]
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    return _sig
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: union of ``n_tables`` hyperplane-LSH
+    bucket joins, exact re-rank of candidates. Recall grows with tables;
+    shuffle is bounded by bucket-collision pairs, never |Q| x |C|."""
+    cands = None
+    for t in range(n_tables):
+        sig = signature_udf(dim, n_planes, seed=11 + t)
+        q = queries.select(
+            F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"), sig(F.col(vec_col)).alias("b")
+        )
+        c = corpus.select(
+            F.col(corpus_id).alias("nid"), F.col(vec_col).alias("nv"), sig(F.col(vec_col)).alias("b")
+        )
+        j = q.join(c, "b").filter(F.col("qid") != F.col("nid")).drop("b")
+        cands = j if cands is None else cands.unionByName(j)
+    scored = (
+        cands.dropDuplicates(["qid", "nid"])
+        .select("qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(query_id), F.col("nid").alias("neighbor_id"), "cos_sim", "rank")
+    )
+
+
+def near_dup_cosine(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold) via LSH blocks."""
+    cands = None
+    for t in range(n_tables):
+        sig = signature_udf(dim, n_planes, seed=101 + t)
+        s = df.select(F.col(id_col), F.col(vec_col).alias("v"), sig(F.col(vec_col)).alias("b"))
+        l, r = s.alias("l"), s.alias("r")
+        j = l.join(
+            r,
+            (F.col("l.b") == F.col("r.b")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        cands = j if cands is None else cands.unionByName(j)
+    return (
+        cands.dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,224 @@
+"""Spatial joins: point-in-polygon, distance theta-join, buffer anti-join.
+
+The reference expresses every spatial association either as an equi-join on
+the H3 cell string (G9 — /root/reference/modeling/datasets/build.py:95-109)
+or as an un-keyed cross-join filtered by ST_DWITHIN (J4 —
+build.py:170-176, the "bad_train" buffer). The second form is a full
+cartesian product at scale; this module replaces it with the cell-bucketed
+plan (cover cells -> equi-join -> exact refine) that stays shuffle-bounded:
+
+  candidate generation:  O(points + layer_cover_cells)  [equi-join shuffle]
+  refine:                O(candidate pairs)             [codegen'd filter]
+
+At 100 TB the equi-join on cell ids is an AQE-planned shuffle join whose
+key cardinality (#cells) is controllable via resolution; nothing ever
+materializes |points| x |polygons|.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geocore_spark.functions import tiling as tl
+from geocore_spark.functions.geodesy import haversine_km
+from geocore_spark.geometry import pip as pip_mod
+from geocore_spark.geometry import wkb as wkb_mod
+
+
+# ---------------------------------------------------------------------------
+# Point-in-rectangle join (broadcast; exact, SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def pip_rect_join(
+    points: DataFrame,
+    rects: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to axis-aligned rectangles they fall inside.
+
+    Rectangle layers are small dims -> broadcast nested-loop with a
+    codegen'd range predicate; Catalyst turns this into
+    BroadcastNestedLoopJoin with no shuffle of the big side at all.
+    """
+    cond = (
+        (points[lat] >= rects["lat_min"])
+        & (points[lat] < rects["lat_max"])
+        & (points[lon] >= rects["lon_min"])
+        & (points[lon] < rects["lon_max"])
+    )
+    return points.join(F.broadcast(rects), cond, how)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon join (cell cover + exact WKB refine)
+# ---------------------------------------------------------------------------
+
+
+def polygon_cover_cells(polygons_pdf: pd.DataFrame, res: int = tl.DEFAULT_RES) -> pd.DataFrame:
+    """Driver-side cover table: (cell, polygon_id, full_flag).
+
+    For each polygon: bbox cells at ``res``; a cell whose 4 corners are all
+    inside is marked ``full`` (no refine needed — the reference's
+    polygon_to_cells role, G9); boundary cells need the exact test.
+    Polygon layers are small (SURVEY §2.1 S2: 85 KB coastline), so this is
+    cheap driver work; the result is broadcast.
+    """
+    out_cell, out_pid, out_full = [], [], []
+    for _, row in polygons_pdf.iterrows():
+        wkb = bytes(row["wkb"])
+        lon0, lat0, lon1, lat1 = wkb_mod.polygon_bbox(wkb)
+        cells = tl.bbox_to_cells(lat0, lat1, lon0, lon1, res)
+        if not cells:
+            continue
+        parts = np.array([c.split(":") for c in cells], dtype=np.int64)
+        ix, iy = parts[:, 1], parts[:, 2]
+        e = tl.edge_deg(res)
+        cx = -180.0 + ix * e
+        cy = -90.0 + iy * e
+        # A cell is "full" only when all 4 corners are inside AND the
+        # geometry is a single hole-free ring (a hole could pierce the
+        # interior without touching a corner).
+        gtype, polys = wkb_mod.decode(wkb)
+        simple = gtype == "Polygon" and len(polys) == 1 and len(polys[0]) == 1
+        all_in = np.full(len(cells), simple)
+        for dx in (0.0, 1.0):
+            for dy in (0.0, 1.0):
+                all_in &= pip_mod.points_in_wkb(cx + dx * e, cy + dy * e, wkb)
+        # Keep every bbox cell: corner tests cannot prove non-intersection
+        # (a polygon vertex may sit inside a cell with all corners outside);
+        # the exact per-point refine drops the false positives cheaply.
+        out_cell.extend(cells)
+        out_pid.extend([row["polygon_id"]] * len(cells))
+        out_full.extend(bool(b) for b in all_in)
+    return pd.DataFrame(
+        {"cell": out_cell, "polygon_id": out_pid, "full": out_full}
+    )
+
+
+def pip_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = tl.DEFAULT_RES,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Exact point-in-polygon join via cell-cover + vectorized refine.
+
+    Plan: points gain a cell id (pure Column arithmetic) -> equi-join with
+    the broadcast cover table -> rows in ``full`` cells pass immediately;
+    boundary-cell rows run the ray-cast refine inside an Arrow-batched
+    pandas UDF against the (broadcast) WKB blobs. Replaces the reference's
+    implicit cartesian ST_DWITHIN pattern (build.py:170-176) and its
+    row-at-a-time shapely apply (data_pipeline.py:45).
+    """
+    spark = points.sparkSession
+    poly_pdf = polygons.select("polygon_id", "wkb").toPandas()
+    cover = polygon_cover_cells(poly_pdf, res)
+    cover_df = F.broadcast(
+        spark.createDataFrame(cover, "cell string, polygon_id long, full boolean")
+    )
+    wkb_by_id = {int(r["polygon_id"]): bytes(r["wkb"]) for _, r in poly_pdf.iterrows()}
+    bc = spark.sparkContext.broadcast(wkb_by_id)
+
+    pts = points.withColumn(
+        "__cell", cell_col and F.col(cell_col) or tl.latlng_to_cell(F.col(lat), F.col(lon), res)
+    )
+    cand = pts.join(cover_df, pts["__cell"] == cover_df["cell"], "inner").drop("cell")
+
+    @F.pandas_udf("boolean")
+    def _refine(lat_s: pd.Series, lon_s: pd.Series, pid_s: pd.Series) -> pd.Series:
+        lats = lat_s.to_numpy(float)
+        lons = lon_s.to_numpy(float)
+        pids = pid_s.to_numpy(np.int64)
+        out = np.zeros(len(lats), dtype=bool)
+        table = bc.value
+        for pid in np.unique(pids):
+            m = pids == pid
+            out[m] = pip_mod.points_in_wkb(lons[m], lats[m], table[int(pid)])
+        return pd.Series(out)
+
+    refined = cand.filter(
+        F.col("full") | _refine(F.col(lat), F.col(lon), F.col("polygon_id"))
+    )
+    return refined.drop("__cell", "full").join(
+        F.broadcast(polygons.drop("wkb")), "polygon_id", "left"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distance theta-join + buffer anti-join (k-ring cover + haversine refine)
+# ---------------------------------------------------------------------------
+
+
+def _with_cell(df: DataFrame, lat: str, lon: str, res: int, name: str) -> DataFrame:
+    return df.withColumn(name, tl.latlng_to_cell(F.col(lat), F.col(lon), res))
+
+
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    distance_km: float,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int | None = None,
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """All (left, right) pairs within ``distance_km`` great-circle km.
+
+    The reference's J4 (LEFT JOIN ... WHERE ST_DWITHIN with *no ON clause*,
+    build.py:170-176) done scalably: right rows explode to their k-ring
+    cover (ring count sized by :func:`tl.rings_for_km`), equi-join on the
+    cell id, exact haversine refine. Columns from ``right`` come back
+    suffixed ``_r``.
+
+    Resolution choice is a density/ring-count tradeoff: default picks the
+    coarsest res whose cell edge >= distance (ring k<=2), keeping the
+    cover expansion factor <= 9.
+    """
+    if res is None:
+        res = tl.DEFAULT_RES
+        while res > 3 and tl.rings_for_km(distance_km, res, max_abs_lat) > 2:
+            res -= 1
+    k = tl.rings_for_km(distance_km, res, max_abs_lat)
+    lcell = _with_cell(left, lat, lon, res, "__lcell")
+    rcell = right.select(
+        *[F.col(c).alias(f"{c}_r") for c in right.columns],
+    ).withColumn(
+        "__rcover",
+        F.explode(
+            tl.grid_disk(tl.latlng_to_cell(F.col(f"{lat}_r"), F.col(f"{lon}_r"), res), k)
+        ),
+    )
+    joined = lcell.join(rcell, lcell["__lcell"] == rcell["__rcover"], "inner")
+    return joined.filter(
+        haversine_km(F.col(lat), F.col(lon), F.col(f"{lat}_r"), F.col(f"{lon}_r"))
+        <= F.lit(distance_km)
+    ).drop("__lcell", "__rcover")
+
+
+def buffer_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    distance_km: float,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int | None = None,
+) -> DataFrame:
+    """Rows of ``left`` farther than ``distance_km`` from EVERY right row.
+
+    The spatial train/test separation (G8/J3): the reference marks train
+    cells near test cells via the cross-join ST_DWITHIN then null-masks
+    (build.py:165-177,201); here it is a left-anti join against the
+    distance-join candidates — same semantics, no cartesian.
+    """
+    near = distance_join(left, right, distance_km, lat, lon, res).select(
+        *[F.col(c) for c in left.columns]
+    ).dropDuplicates(left.columns)
+    return left.join(near, on=left.columns, how="left_anti")

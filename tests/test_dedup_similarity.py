@@ -1,0 +1,105 @@
+"""Dedup + similarity operators on the driver's documents/embeddings tables."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geocore_spark.functions import hashing as hsh
+from geocore_spark.operators import dedup, similarity
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different text about spark engines"),
+        (4, "THE QUICK  BROWN fox jumps over the lazy dog"),  # dup after norm
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    out = dedup.exact_dedup(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 3]
+
+
+def test_duplicate_groups(spark):
+    g = dedup.duplicate_groups_exact(_docs(spark)).collect()
+    assert len(g) == 1
+    assert g[0]["group_size"] == 3 and g[0]["keeper_id"] == 0
+
+
+def test_minhash_estimates_jaccard():
+    a = "the quick brown fox jumps over the lazy dog and runs away fast"
+    b = "the quick brown fox jumps over the lazy cat and runs away fast"
+    sa = set(hsh.shingle_ids(a).tolist())
+    sb = set(hsh.shingle_ids(b).tolist())
+    true_j = len(sa & sb) / len(sa | sb)
+    siga = hsh.minhash_signature(a, 64)
+    sigb = hsh.minhash_signature(b, 64)
+    est = (siga == sigb).mean()
+    assert abs(est - true_j) < 0.2
+    assert (hsh.minhash_signature(a, 64) == siga).all()  # deterministic
+
+
+def test_minhash_lsh_pairs_finds_dups(spark):
+    pairs = dedup.minhash_lsh_pairs(_docs(spark), threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dups always collide
+    assert (0, 4) in got
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_near_dups(spark):
+    out = dedup.simhash_near_dups(_docs(spark), max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got[(0, 1)] == 0
+    assert got[(0, 4)] == 0  # normalization makes them identical
+    assert (0, 3) not in got
+
+
+def test_ngram_jaccard_pairs(spark):
+    out = dedup.ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(0, 1)] == 1.0
+    assert 0.4 <= got[(0, 2)] < 1.0
+
+
+def test_hamming_column(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
+    assert df.select(hsh.hamming64(F.col("a"), F.col("b")).alias("h")).first()["h"] == 2
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(queries, emb, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"]))
+    pdf = emb.toPandas().sort_values("vec_id")
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(M, axis=1)
+    sims = (M @ M.T) / np.outer(norms, norms)
+    for qi in range(5):
+        s = np.round(sims[qi], 6)
+        s[qi] = -np.inf
+        order = np.lexsort((ids, -s))[:5]
+        want = [int(ids[j]) for j in order]
+        have = [nid for _, nid in sorted(got[int(ids[qi])])]
+        assert have == want, qi
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    approx = similarity.lsh_topk(queries, emb, dim=64, k=5, n_planes=4, n_tables=8)
+    e = {(r["vec_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["vec_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # fixture embeddings are near-random (top-5 cosine ~0.23-0.48), so even
+    # 4-plane x 8-table LSH collision prob is ~0.6; chance recall is 1%.
+    assert recall >= 0.4, recall

@@ -1,0 +1,203 @@
+"""Spatial operators vs brute-force ground truth on synthetic points."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geocore_spark.functions.geodesy import EARTH_RADIUS_KM
+from geocore_spark.geometry import pip as pip_mod
+from geocore_spark.geometry import wkb as wkb_mod
+from geocore_spark.operators import assembly, knn, skew, spatial_join, zonal
+from geocore_spark.sources import polygons as pgn
+from geocore_spark.sources import raster as rst
+
+
+def _points_df(spark, n=400, seed=5, lat_range=(-55, 55)):
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(*lat_range, n)
+    lon = rng.uniform(-170, 170, n)
+    return (
+        spark.createDataFrame(
+            [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lat, lon))],
+            "id long, lat double, lon double",
+        ),
+        lat,
+        lon,
+    )
+
+
+def _haversine_np(lat1, lon1, lat2, lon2):
+    p = np.radians
+    dlat = p(lat2 - lat1) / 2
+    dlon = p(lon2 - lon1) / 2
+    a = np.sin(dlat) ** 2 + np.cos(p(lat1)) * np.cos(p(lat2)) * np.sin(dlon) ** 2
+    return 2 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
+
+
+def test_pip_rect_join_matches_brute_force(spark):
+    pts, lat, lon = _points_df(spark, 500)
+    rects = pgn.rect_layer(spark, 16)
+    got = (
+        spatial_join.pip_rect_join(pts, rects)
+        .select("id", "rect_id")
+        .collect()
+    )
+    got_set = {(r["id"], r["rect_id"]) for r in got}
+    want = set()
+    for rr in rects.collect():
+        m = (
+            (lat >= rr["lat_min"])
+            & (lat < rr["lat_max"])
+            & (lon >= rr["lon_min"])
+            & (lon < rr["lon_max"])
+        )
+        want |= {(int(i), rr["rect_id"]) for i in np.nonzero(m)[0]}
+    assert got_set == want
+    assert len(want) > 0  # fixture must exercise hits
+
+
+def test_pip_polygon_join_matches_numpy(spark):
+    pts, lat, lon = _points_df(spark, 500, seed=6)
+    polys = pgn.polygon_layer(spark, 24)
+    got = {
+        (r["id"], r["polygon_id"])
+        for r in spatial_join.pip_polygon_join(pts, polys).select("id", "polygon_id").collect()
+    }
+    want = set()
+    for pr in polys.select("polygon_id", "wkb").collect():
+        inside = pip_mod.points_in_wkb(lon, lat, bytes(pr["wkb"]))
+        want |= {(int(i), pr["polygon_id"]) for i in np.nonzero(inside)[0]}
+    assert got == want
+    assert len(want) > 0
+
+
+def test_pip_polygon_join_carries_attrs(spark):
+    pts, _, _ = _points_df(spark, 200, seed=6)
+    polys = pgn.polygon_layer(spark, 24)
+    out = spatial_join.pip_polygon_join(pts, polys)
+    assert {"layer", "attr"} <= set(out.columns)
+    assert "wkb" not in out.columns
+
+
+def test_distance_join_matches_brute_force(spark):
+    pts, lat, lon = _points_df(spark, 200, seed=7)
+    other, lat2, lon2 = _points_df(spark, 150, seed=8)
+    dist_km = 200.0
+    got = {
+        (r["id"], r["id_r"])
+        for r in spatial_join.distance_join(pts, other, dist_km).select("id", "id_r").collect()
+    }
+    dm = _haversine_np(lat[:, None], lon[:, None], lat2[None, :], lon2[None, :])
+    want = {(int(i), int(j)) for i, j in zip(*np.nonzero(dm <= dist_km))}
+    assert got == want
+    assert len(want) > 0
+
+
+def test_buffer_anti_join_complement(spark):
+    pts, lat, lon = _points_df(spark, 200, seed=9)
+    other, lat2, lon2 = _points_df(spark, 50, seed=10)
+    dist_km = 300.0
+    far = spatial_join.buffer_anti_join(pts, other, dist_km)
+    got = {r["id"] for r in far.select("id").collect()}
+    dm = _haversine_np(lat[:, None], lon[:, None], lat2[None, :], lon2[None, :])
+    want = {int(i) for i in range(len(lat)) if (dm[i] > dist_km).all()}
+    assert got == want
+
+
+def test_knn_simple_matches_brute_force(spark):
+    pts, lat, lon = _points_df(spark, 120, seed=11, lat_range=(30, 50))
+    # restrict to a band so a modest ring covers k=5 neighbors
+    got = {}
+    out = knn.knn_join_simple(pts, pts, k=5, res=4, k_ring=3).collect()
+    for r in out:
+        got.setdefault(r["id"], []).append((r["rank"], r["neighbor_id"]))
+    dm = _haversine_np(lat[:, None], lon[:, None], lat[None, :], lon[None, :])
+    np.fill_diagonal(dm, np.inf)
+    ok = 0
+    for i in range(len(lat)):
+        order = np.lexsort((np.arange(len(lat)), dm[i]))[:5]
+        want = [int(j) for j in order]
+        have = [nid for _, nid in sorted(got.get(i, []))]
+        if have == want:
+            ok += 1
+    # ring coverage at res4/k_ring3 is ~15 deg; all neighbors in-band
+    assert ok == len(lat), f"only {ok}/{len(lat)} exact"
+
+
+def test_knn_full_exactness_with_expansion(spark):
+    pts, lat, lon = _points_df(spark, 80, seed=12, lat_range=(30, 50))
+    out = knn.knn_join(pts, pts, k=3, res=6, k_ring=1).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["id"], []).append((r["rank"], r["neighbor_id"]))
+    dm = _haversine_np(lat[:, None], lon[:, None], lat[None, :], lon[None, :])
+    np.fill_diagonal(dm, np.inf)
+    for i in range(len(lat)):
+        order = np.lexsort((np.arange(len(lat)), dm[i]))[:3]
+        assert [nid for _, nid in sorted(got[i])] == [int(j) for j in order], i
+
+
+def test_zonal_sampling_closed_form(spark):
+    pts, lat, lon = _points_df(spark, 300, seed=13)
+    sampled = zonal.sample_points_join(pts, rst.raster_table(spark))
+    rows = sampled.select("id", "value").collect()
+    row_idx = np.floor((lat - rst.LAT0) / rst.DLAT).astype(int)
+    col_idx = np.floor((lon - rst.LON0) / rst.DLON).astype(int)
+    want = np.round(np.sin(row_idx / 7.0) * np.cos(col_idx / 11.0) + row_idx * 1e-4, 8)
+    for r in rows:
+        assert abs(r["value"] - want[r["id"]]) < 1e-9
+
+
+def test_zonal_stats_groups(spark):
+    pts, _, _ = _points_df(spark, 300, seed=13)
+    sampled = zonal.sample_points_join(pts, rst.raster_table(spark))
+    stats = zonal.zonal_stats(sampled, res=5)
+    row = stats.agg(F.sum("n").alias("total")).first()
+    assert row["total"] == 300
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    pts, _, _ = _points_df(spark, 1000, seed=14)
+    df = pts.withColumn("cell", (F.col("id") % 7).cast("string")).withColumn(
+        "v", F.col("lat") * 2
+    )
+    plain = {
+        r["cell"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("cell")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["cell"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in skew.salted_agg(
+            df,
+            "cell",
+            {"n": ("v", "count"), "s": ("v", "sum"), "mn": ("v", "min"), "mx": ("v", "max")},
+            n_salts=8,
+            salt_source="id",
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == salted[k][0]
+        assert abs(plain[k][1] - salted[k][1]) < 1e-9
+        assert plain[k][2:] == salted[k][2:]
+
+
+def test_mega_cell_split_reparent_roundtrip(spark):
+    from geocore_spark.functions import tiling as tl
+
+    pts, _, _ = _points_df(spark, 500, seed=15)
+    df = pts.withColumn("cell", tl.latlng_to_cell(F.col("lat"), F.col("lon"), tl.DEFAULT_RES))
+    mega = skew.find_mega_cells(df, threshold=0)  # every cell is "mega"
+    split = skew.split_mega_cells(df, mega)
+    back = split.withColumn("cell2", skew.reparent(split, "work_cell"))
+    assert back.filter(F.col("cell2") != F.col("cell")).count() == 0
+    # and the split actually went finer
+    finer = split.filter(F.col("work_cell") != F.col("cell")).count()
+    assert finer == 500

@@ -1,0 +1,117 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each ``queries()[name]`` on Spark at sf0.01 and the matching
+``oracle_sql()[name]`` in DuckDB over the same parquet tables, then
+compares row count, column names, and an order-insensitive multiset of
+row values (floats exact-first, tolerance-second so drift is visible).
+
+Usage: python tools/verify_local.py [name ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from geocore_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_value(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _sort_key(row):
+    return tuple((v is None, type(v).__name__, str(v)) for v in row)
+
+
+def _rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        (tuple(_norm_value(r[i]) for i in order) for r in rows), key=_sort_key
+    ), [colnames[i] for i in order]
+
+
+def _approx_equal(a, b, tol=1e-6):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def compare(name, spark, con) -> tuple[bool, str]:
+    t0 = time.time()
+    sdf = entrymod.queries()[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    t1 = time.time()
+    ores = con.sql(entrymod.oracle_sql()[name])
+    orows = [tuple(r) for r in ores.fetchall()]
+    ocols = [d[0] for d in ores.description]
+    t2 = time.time()
+    timing = f"spark={t1 - t0:.1f}s duck={t2 - t1:.1f}s"
+    if sorted(scols) != sorted(ocols):
+        return False, f"SCHEMA spark={sorted(scols)} oracle={sorted(ocols)}"
+    if len(srows) != len(orows):
+        return False, f"ROWCOUNT spark={len(srows)} oracle={len(orows)} [{timing}]"
+    sms, _ = _rows_to_multiset(srows, scols)
+    oms, _ = _rows_to_multiset(orows, ocols)
+    if sms == oms:
+        return True, f"OK exact {len(srows)} rows [{timing}]"
+    # tolerance pass
+    mismatches = 0
+    first = None
+    for a, b in zip(sms, oms):
+        if not all(_approx_equal(x, y) for x, y in zip(a, b)):
+            mismatches += 1
+            if first is None:
+                first = (a, b)
+    if mismatches == 0:
+        return True, f"OK approx (float drift, {len(srows)} rows) [{timing}]"
+    return False, f"VALUES {mismatches}/{len(srows)} differ; first: {first}"
+
+
+def main():
+    names = sys.argv[1:] or list(entrymod.queries())
+    spark = get_spark("verify-local", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    failed = []
+    for name in names:
+        try:
+            ok, msg = compare(name, spark, con)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"ERROR {type(e).__name__}: {str(e)[:400]}"
+        status = "PASS" if ok else "FAIL"
+        print(f"[{status}] {name}: {msg}", flush=True)
+        if not ok:
+            failed.append(name)
+    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if failed:
+        print("failed:", " ".join(failed))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
