@@ -1,0 +1,153 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "pages_per_sec": ...,
+   "parallelism": N}
+
+The flagship throughput number (``pages_per_sec``) is the geotag ->
+tile -> aggregate pipeline over a synthetic pages table sized ~20x the
+sf's lineitem rows — the BASELINE.json metric shape. Run
+``tools/scaling_bench.py`` for the N-vs-4N parallelism evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from geocore_spark.functions import text as tx
+from geocore_spark.functions import tiling as tl
+from geocore_spark.operators import dedup, knn, spatial_join, zonal
+from geocore_spark.session import get_spark
+from geocore_spark.sources import pages as pg
+from geocore_spark.sources import polygons as pgn
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sink(df):
+    """Force full materialization without driver collect."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def b_tile_pipeline(spark, sf_dir, n_pages):
+    """Flagship: pages -> geotag extract (JVM regexp) -> cell + parent ->
+    per-cell counts. Pure Column pipeline, zero Python in the hot path."""
+    df = pg.pages(spark, n_pages)
+    tagged = (
+        df.withColumn("hs", F.decode("html", "UTF-8"))
+        .withColumn("lat", tx.geo_lat(F.col("hs")))
+        .withColumn("lon", tx.geo_lon(F.col("hs")))
+        .withColumn("cell", tl.latlng_to_cell(F.col("lat"), F.col("lon"), 13))
+    )
+    _sink(
+        tagged.groupBy("cell").agg(
+            F.count("*").alias("n"), F.avg("lat").alias("mlat")
+        )
+    )
+
+
+def b_pip_polygon(spark, sf_dir, n_pages):
+    pts = em._event_points(spark, sf_dir)
+    polys = pgn.polygon_layer(spark, 24)
+    _sink(spatial_join.pip_polygon_join(pts, polys))
+
+
+def b_distance_knn(spark, sf_dir, n_pages):
+    pts = em._supplier_points(spark, sf_dir)
+    _sink(knn.knn_join_simple(pts, pts, k=10, res=2, k_ring=4))
+
+
+def b_zonal(spark, sf_dir, n_pages):
+    from geocore_spark.sources import raster as rst
+
+    pts = em._event_points(spark, sf_dir)
+    sampled = pts.withColumn("value", rst.sample_expr(F.col("lat"), F.col("lon")))
+    _sink(zonal.zonal_stats(sampled, res=7))
+
+
+def b_spatial_assembly(spark, sf_dir, n_pages):
+    _sink(em.q_spatial_assembly(spark, sf_dir))
+
+
+def b_window_join(spark, sf_dir, n_pages):
+    _sink(em.q_hour_bucket_join(spark, sf_dir))
+
+
+def b_pricing(spark, sf_dir, n_pages):
+    _sink(em.q_pricing_summary(spark, sf_dir))
+
+
+def b_dedup_minhash(spark, sf_dir, n_pages):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    _sink(dedup.minhash_lsh_pairs(d.unionByName(dup), threshold=0.5))
+
+
+def b_embedding_topk(spark, sf_dir, n_pages):
+    _sink(em.q_embedding_topk(spark, sf_dir))
+
+
+BENCHES = {
+    "tile_pipeline": b_tile_pipeline,
+    "pip_polygon": b_pip_polygon,
+    "knn": b_distance_knn,
+    "zonal": b_zonal,
+    "spatial_assembly": b_spatial_assembly,
+    "window_join": b_window_join,
+    "pricing": b_pricing,
+    "dedup_minhash": b_dedup_minhash,
+    "embedding_topk": b_embedding_topk,
+}
+
+
+def main():
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.0
+    n_pages = max(int(sf_num * 20_000_000), 100_000)
+    spark = get_spark("geocore-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    # warm the JVM/codegen paths so per-query times measure the plan
+    spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count().collect()
+
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
+    times: dict[str, float] = {}
+    for name, fn in BENCHES.items():
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.time()
+            fn(spark, SF_DIR, n_pages)
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
+    total = round(sum(times.values()), 3)
+    pages_per_sec = round(n_pages / times["tile_pipeline"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join+tiling total wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_num,
+                "n_pages": n_pages,
+                "pages_per_sec": pages_per_sec,
+                "parallelism": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Multimodal columns: binary payloads + typed metadata (image/audio/video).
+
+Training-data pipelines carry media as opaque ``binary`` columns next to
+typed metadata, exactly like the pages table carries ``html: binary``.
+The Spark-side plumbing here is real and tested — schemas, Arrow batch
+shapes, partition-size control — while the actual codec calls are behind
+:func:`_decode_image_stub` etc., since no media libraries exist in this
+container. A deployment swaps the stub body for PIL/ffmpeg calls; nothing
+else changes (the mapInPandas contract is identical).
+
+Deterministic-fake mode lets tests exercise the full path: the "decoded"
+image is a seeded-by-content numpy array, so feature extraction and
+resizing produce stable, assertable outputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, width int, height int, channels int, format string"
+)
+FEATURE_SCHEMA = "doc_id long, mean_luma double, edge_density double, phash long"
+
+
+def _decode_image_stub(payload: bytes, fake: bool) -> np.ndarray:
+    """Decode an encoded image to HxWxC uint8.
+
+    Real deployments replace this body with ``PIL.Image.open``/libvips.
+    ``fake=True`` derives a deterministic 32x32x3 array from the payload
+    bytes so the downstream plumbing is fully testable here.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codec not available in this environment; pass fake=True "
+            "or deploy with PIL/libvips"
+        )
+    h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
+    rng = np.random.default_rng(int(h.sum()) + len(payload))
+    return rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+
+def image_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", fake: bool = True
+) -> DataFrame:
+    """binary payload -> (mean luma, edge density, perceptual hash).
+
+    mapInPandas over Arrow batches: each batch decodes its images into one
+    numpy block, computes features vectorized, emits a compact frame. At
+    scale, partition sizing matters more than the codec — cap input split
+    bytes so one task's batch of decoded frames fits executor memory
+    (e.g. 32 MB splits for ~4 MB JPEGs decoding 50x larger).
+    """
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            lumas = np.empty(len(pdf))
+            edges = np.empty(len(pdf))
+            phashes = np.empty(len(pdf), dtype=np.int64)
+            for i, payload in enumerate(pdf[payload_col]):
+                img = _decode_image_stub(bytes(payload), fake)
+                luma = (
+                    0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+                )
+                lumas[i] = float(luma.mean())
+                gx = np.abs(np.diff(luma, axis=1)).mean()
+                gy = np.abs(np.diff(luma, axis=0)).mean()
+                edges[i] = float(gx + gy)
+                small = luma[::4, ::4]  # 8x8 average-hash
+                bits = (small > small.mean()).ravel()[:64]
+                phashes[i] = int(
+                    np.packbits(bits).view(">u8")[0].astype(np.int64)
+                    if len(bits) == 64
+                    else 0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "mean_luma": np.round(lumas, 6),
+                    "edge_density": np.round(edges, 6),
+                    "phash": phashes,
+                }
+            )
+
+    return df.mapInPandas(_feat, FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 10,
+    fake: bool = True,
+) -> DataFrame:
+    """Video -> sampled frames as (doc_id, frame_idx, frame binary).
+
+    The fake path treats the payload as a concatenation of 1 KB "frames";
+    real deployments swap in an ffmpeg demuxer. Output explodes rows, so
+    repartition by a hash of the id downstream if frame counts are skewed.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_frame = [], [], []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col])
+                if not fake:
+                    raise NotImplementedError("video demuxer not available; use fake=True")
+                n_frames = max(len(payload) // 1024, 1)
+                for fi in range(0, n_frames, every_n):
+                    out_id.append(row[id_col])
+                    out_idx.append(fi)
+                    out_frame.append(payload[fi * 1024 : (fi + 1) * 1024])
+            yield pd.DataFrame(
+                {"doc_id": out_id, "frame_idx": out_idx, "frame": out_frame}
+            )
+
+    return df.mapInPandas(_frames, "doc_id long, frame_idx int, frame binary")
+
+
+def synth_media(df: DataFrame, id_col: str = "doc_id", size: int = 4096) -> DataFrame:
+    """Deterministic binary payload per id (test fixture for the stubs):
+    repeated md5 bytes of the id — pure Column ops, no Python."""
+    seed = F.md5(F.col(id_col).cast("string"))
+    repeated = F.repeat(seed, size // 32 + 1)
+    return df.withColumn(
+        "payload", F.to_binary(F.substring(repeated, 1, size // 4), F.lit("hex"))
+    )

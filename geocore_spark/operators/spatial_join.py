@@ -60,25 +60,39 @@ def pip_rect_join(
 # ---------------------------------------------------------------------------
 
 
-def polygon_cover_cells(polygons_pdf: pd.DataFrame, res: int = tl.DEFAULT_RES) -> pd.DataFrame:
-    """Driver-side cover table: (cell, polygon_id, full_flag).
+def polygon_cover_cells(
+    polygons_pdf: pd.DataFrame,
+    res: int = tl.DEFAULT_RES,
+    max_cover_cells: int = 2048,
+) -> pd.DataFrame:
+    """Driver-side cover table: (cell, polygon_id, full_flag, res).
 
-    For each polygon: bbox cells at ``res``; a cell whose 4 corners are all
-    inside is marked ``full`` (no refine needed — the reference's
-    polygon_to_cells role, G9); boundary cells need the exact test.
-    Polygon layers are small (SURVEY §2.1 S2: 85 KB coastline), so this is
-    cheap driver work; the result is broadcast.
+    For each polygon: bbox cells at an adaptively chosen resolution — the
+    finest res (<= ``res``) whose bbox cover stays under
+    ``max_cover_cells`` — so a 5-degree fault polygon covers at a coarse
+    res (small broadcast table) while a sub-cell lease polygon covers at
+    ``res``. A cell whose 4 corners are all inside is ``full`` (no refine
+    needed — the reference's polygon_to_cells role, G9); boundary cells
+    need the exact test. Polygon layers are small (SURVEY §2.1 S2: 85 KB
+    coastline), so this is cheap driver work; the result is broadcast.
     """
-    out_cell, out_pid, out_full = [], [], []
+    out_cell, out_pid, out_full, out_res = [], [], [], []
     for _, row in polygons_pdf.iterrows():
         wkb = bytes(row["wkb"])
         lon0, lat0, lon1, lat1 = wkb_mod.polygon_bbox(wkb)
-        cells = tl.bbox_to_cells(lat0, lat1, lon0, lon1, res)
+        r = res
+        while r > 0:
+            e = tl.edge_deg(r)
+            n_est = (int((lat1 - lat0) / e) + 2) * (int((lon1 - lon0) / e) + 2)
+            if n_est <= max_cover_cells:
+                break
+            r -= 1
+        cells = tl.bbox_to_cells(lat0, lat1, lon0, lon1, r)
         if not cells:
             continue
         parts = np.array([c.split(":") for c in cells], dtype=np.int64)
         ix, iy = parts[:, 1], parts[:, 2]
-        e = tl.edge_deg(res)
+        e = tl.edge_deg(r)
         cx = -180.0 + ix * e
         cy = -90.0 + iy * e
         # A cell is "full" only when all 4 corners are inside AND the
@@ -96,8 +110,9 @@ def polygon_cover_cells(polygons_pdf: pd.DataFrame, res: int = tl.DEFAULT_RES) -
         out_cell.extend(cells)
         out_pid.extend([row["polygon_id"]] * len(cells))
         out_full.extend(bool(b) for b in all_in)
+        out_res.extend([r] * len(cells))
     return pd.DataFrame(
-        {"cell": out_cell, "polygon_id": out_pid, "full": out_full}
+        {"cell": out_cell, "polygon_id": out_pid, "full": out_full, "res": out_res}
     )
 
 
@@ -107,7 +122,6 @@ def pip_polygon_join(
     lat: str = "lat",
     lon: str = "lon",
     res: int = tl.DEFAULT_RES,
-    cell_col: str | None = None,
 ) -> DataFrame:
     """Exact point-in-polygon join via cell-cover + vectorized refine.
 
@@ -121,16 +135,8 @@ def pip_polygon_join(
     spark = points.sparkSession
     poly_pdf = polygons.select("polygon_id", "wkb").toPandas()
     cover = polygon_cover_cells(poly_pdf, res)
-    cover_df = F.broadcast(
-        spark.createDataFrame(cover, "cell string, polygon_id long, full boolean")
-    )
     wkb_by_id = {int(r["polygon_id"]): bytes(r["wkb"]) for _, r in poly_pdf.iterrows()}
     bc = spark.sparkContext.broadcast(wkb_by_id)
-
-    pts = points.withColumn(
-        "__cell", cell_col and F.col(cell_col) or tl.latlng_to_cell(F.col(lat), F.col(lon), res)
-    )
-    cand = pts.join(cover_df, pts["__cell"] == cover_df["cell"], "inner").drop("cell")
 
     @F.pandas_udf("boolean")
     def _refine(lat_s: pd.Series, lon_s: pd.Series, pid_s: pd.Series) -> pd.Series:
@@ -144,12 +150,35 @@ def pip_polygon_join(
             out[m] = pip_mod.points_in_wkb(lons[m], lats[m], table[int(pid)])
         return pd.Series(out)
 
-    refined = cand.filter(
-        F.col("full") | _refine(F.col(lat), F.col(lon), F.col("polygon_id"))
-    )
-    return refined.drop("__cell", "full").join(
-        F.broadcast(polygons.drop("wkb")), "polygon_id", "left"
-    )
+    # One equi-join per distinct cover resolution (typically 2-3): points
+    # encode at that res with pure arithmetic, the broadcast cover subset
+    # joins on the cell. Full-interior cells skip the exact refine; only
+    # boundary-cell candidates pay the Arrow round trip.
+    results = []
+    for r in sorted(cover["res"].unique()):
+        sub = cover[cover["res"] == r]
+        cover_df = F.broadcast(
+            spark.createDataFrame(
+                sub[["cell", "polygon_id", "full"]],
+                "cell string, polygon_id long, full boolean",
+            )
+        )
+        pts = points.withColumn(
+            "__cell", tl.latlng_to_cell(F.col(lat), F.col(lon), int(r))
+        )
+        cand = pts.join(cover_df, pts["__cell"] == cover_df["cell"], "inner").drop(
+            cover_df["cell"]
+        )
+        hits = cand.filter("full").unionByName(
+            cand.filter(~F.col("full")).filter(
+                _refine(F.col(lat), F.col(lon), F.col("polygon_id"))
+            )
+        )
+        results.append(hits.drop("__cell", "full"))
+    out = results[0]
+    for r_df in results[1:]:
+        out = out.unionByName(r_df)
+    return out.join(F.broadcast(polygons.drop("wkb")), "polygon_id", "left")
 
 
 # ---------------------------------------------------------------------------

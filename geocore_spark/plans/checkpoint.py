@@ -1,0 +1,81 @@
+"""Stage checkpoints + resume over parquet stage directories.
+
+The reference materializes every layer as a warehouse table (CTAS,
+/root/reference/modeling/datasets/base.py:74-76) and caches fetched
+datasets as parquet for iteration (/root/reference/modeling/actions/
+train.py:144-180). The engine's equivalent unit of resumability is the
+*stage snapshot*: each pipeline stage writes its output to
+``<root>/<stage>/`` as parquet and commits an entry (rows, schema,
+timestamp) to ``<root>/_manifest.json``; a relaunch skips every committed
+stage and reads its snapshot instead (SURVEY.md §7 stage 10).
+
+On a cluster with an Iceberg catalog the same class maps to
+``writeTo(...).createOrReplace()`` + snapshot ids; the manifest is the
+sandbox stand-in (the Iceberg runtime jar is not available here). Commit
+protocol: parquet write is atomic-by-directory (_SUCCESS marker), and the
+manifest is written after the data — a crash between the two re-runs the
+stage, never reads a partial one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StageCheckpoint:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "_manifest.json")
+
+    def _manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"stages": {}}
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path)
+
+    def is_done(self, stage: str) -> bool:
+        m = self._manifest()["stages"].get(stage)
+        if not m:
+            return False
+        return os.path.exists(os.path.join(self.root, stage, "_SUCCESS"))
+
+    def run(self, stage: str, build: Callable[[], DataFrame]) -> DataFrame:
+        """Return the stage output, building + snapshotting only if not
+        already committed. Completed stages resume from their snapshot."""
+        path = os.path.join(self.root, stage)
+        if self.is_done(stage):
+            return self.spark.read.parquet(path)
+        df = build()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        rows = out.count()
+        manifest = self._manifest()
+        manifest["stages"][stage] = {
+            "rows": rows,
+            "schema": out.schema.simpleString(),
+            "committed_at": time.time(),
+            "path": path,
+        }
+        self._commit(manifest)
+        return out
+
+    def invalidate(self, stage: str) -> None:
+        manifest = self._manifest()
+        manifest["stages"].pop(stage, None)
+        self._commit(manifest)
+
+    def stages(self) -> dict:
+        return self._manifest()["stages"]

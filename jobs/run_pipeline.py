@@ -1,0 +1,144 @@
+"""End-to-end GeoCore-style pipeline as a spark-submit job.
+
+Deployment shape per the north rule:
+
+    zip -r engine.zip geocore_spark
+    spark-submit --py-files engine.zip jobs/run_pipeline.py \
+        --pages 2000000 --checkpoint-root /tmp/geocore_ckpt [--resume]
+
+Stages (each one a checkpointed snapshot; a relaunch with --resume skips
+committed stages — SURVEY.md §7 stage 10):
+
+  1. ingest    : synthesize/load the pages table
+  2. geotag    : extract coordinates (JVM regexp) + html->text (Arrow UDF)
+  3. tile      : geocell res-13 string + S2 level-12 long ids
+  4. pip       : point-in-polygon join against the fault/lease layer
+  5. features  : per-cell assembly (counts, zonal raster sample, test flag)
+
+Every stage logs per-partition row counts through the lineage tracker and
+appends to <checkpoint-root>/metrics.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from geocore_spark.functions import s2, text as tx, tiling as tl
+from geocore_spark.operators import assembly, spatial_join, zonal
+from geocore_spark.plans.checkpoint import StageCheckpoint
+from geocore_spark.plans.lineage import LineageLog, observed
+from geocore_spark.session import get_spark
+from geocore_spark.sources import pages as pg
+from geocore_spark.sources import polygons as pgn
+from geocore_spark.sources import raster as rst
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=1_000_000)
+    ap.add_argument("--checkpoint-root", default="/tmp/geocore_ckpt")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--res", type=int, default=tl.DEFAULT_RES)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("geocore-pipeline")
+    cp = StageCheckpoint(spark, args.checkpoint_root)
+    if not args.resume:
+        for stage in list(cp.stages()):
+            cp.invalidate(stage)
+    log = LineageLog()
+    t_start = time.time()
+
+    def staged(name, build):
+        t0 = time.time()
+        was_done = cp.is_done(name)
+        df = cp.run(name, build)
+        rows = cp.stages()[name]["rows"]
+        log.record(
+            name,
+            rows=rows,
+            seconds=round(time.time() - t0, 2),
+            resumed=was_done,
+        )
+        print(f"[stage {name}] rows={rows} resumed={was_done}", flush=True)
+        return df
+
+    pages = staged("ingest", lambda: pg.pages(spark, args.pages))
+
+    def build_geotag():
+        df, _ = observed(pages, "geotag_in")
+        hs = F.decode("html", "UTF-8")
+        return df.select(
+            "url",
+            "warc_ts",
+            "lang",
+            tx.extract_text_udf()(F.col("html")).alias("text"),
+            tx.geo_lat(hs).alias("lat"),
+            tx.geo_lon(hs).alias("lon"),
+        ).filter(F.col("lat").isNotNull())
+
+    geotagged = staged("geotag", build_geotag)
+
+    def build_tile():
+        return geotagged.select(
+            "url",
+            "warc_ts",
+            "lat",
+            "lon",
+            tl.latlng_to_cell(F.col("lat"), F.col("lon"), args.res).alias("cell"),
+            s2.s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("s2_cell"),
+        )
+
+    tiled = staged("tile", build_tile)
+
+    def build_pip():
+        polys = pgn.polygon_layer(spark, 24)
+        return spatial_join.pip_polygon_join(tiled, polys, res=args.res).select(
+            "url", "cell", "s2_cell", "polygon_id", "layer", "attr"
+        )
+
+    pip = staged("pip", build_pip)
+
+    def build_features():
+        cells = tiled.groupBy("cell").agg(F.count("*").alias("n_pages"))
+        assembly.assert_unique_index(cells, "cell", "page_cells")
+        sampled = zonal.cell_centroid_samples(cells).withColumnRenamed(
+            "value", "f_raster"
+        )
+        hits = pip.groupBy("cell").agg(
+            F.count("*").alias("n_poly_hits"),
+            F.count_distinct("polygon_id").alias("n_polygons"),
+        )
+        return assembly.join_features([sampled, hits], check=False).na.fill(
+            {"n_poly_hits": 0, "n_polygons": 0}
+        )
+
+    features = staged("features", build_features)
+
+    log.record("total", seconds=round(time.time() - t_start, 2))
+    metrics_path = os.path.join(args.checkpoint_root, "metrics.json")
+    with open(metrics_path, "w") as f:
+        f.write(log.to_json())
+    print(
+        json.dumps(
+            {
+                "feature_cells": features.count(),
+                "pip_hits": pip.count(),
+                "metrics": metrics_path,
+                "seconds": round(time.time() - t_start, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
