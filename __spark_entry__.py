@@ -791,6 +791,170 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE round(j, 6) >= 0.8
 """
 
 
+def q_distance_to_line(spark, sf_dir):
+    """G6: distance-to-nearest-geometry (the distance-to-coastline op)."""
+    from geocore_spark.operators import nearest
+
+    pts = _event_points(spark, sf_dir).select("id", "lat", "lon")
+    return nearest.distance_to_layer(pts, [nearest.coastline_wkb()]).select(
+        "id", "dist_deg"
+    )
+
+
+def _sql_distance_to_line():
+    from geocore_spark.operators import nearest
+
+    d = nearest.point_segment_dist_sql("p.lon", "p.lat")
+    return f"""
+SELECT p.id AS id,
+       round((SELECT MIN({d}) FROM {nearest.coastline_segments_sql()} s), 9) AS dist_deg
+FROM (SELECT id, lat, lon FROM {_EVENT_POINTS_SQL} e) p
+"""
+
+
+def q_sort_limit(spark, sf_dir):
+    """W3/W6: global sort + top-k limit."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+_SQL_SORT_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+"""
+
+
+def q_date_ops(spark, sf_dir):
+    """P11/F1/F2: casts, date floor, formatting."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour_str"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.col("value").cast("int").alias("value_int"),
+    )
+
+
+_SQL_DATE_OPS = """
+SELECT event_id, date_trunc('hour', ts) AS hour_ts,
+       strftime(ts, '%Y-%m-%d %H') AS hour_str,
+       CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+       CAST(trunc(value) AS INT) AS value_int
+FROM events
+"""
+
+
+def q_lang_guess(spark, sf_dir):
+    """Language-ID heuristic entirely in Column space."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+_SQL_LANG_GUESS = """
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> x IN ('the','and','of','is','to'))) AS en,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> x IN ('der','die','und','ist','das'))) AS de,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> x IN ('le','la','et','est','les'))) AS fr
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+            WHEN de >= fr AND de > 0 THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'unknown' END AS lang_guess
+FROM c
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality-scoring heuristic (length band + stopword health)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+
+
+_SQL_QUALITY = f"""
+SELECT doc_id,
+       round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+              + least({orc.stopword_ratio_sql('text', tx.STOPWORDS)} * 4.0, 1.0)) / 2.0, 6)
+         AS quality
+FROM documents
+"""
+
+
+# --- rows-only queries (no ANSI-SQL twin; driver records weaker check) ----
+
+
+def q_s2_encode(spark, sf_dir):
+    """S2 level-12 cell ids via the vectorized Arrow kernel (not
+    SQL-expressible — covered by pytest invariants instead)."""
+    from geocore_spark.functions import s2
+
+    pts = _event_points(spark, sf_dir)
+    return pts.select(
+        "id",
+        s2.s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("s2_cell"),
+        s2.s2_level_udf()(
+            s2.s2_cell_udf(12)(F.col("lat"), F.col("lon"))
+        ).alias("s2_level"),
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs over a doubled corpus."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return dedup.minhash_lsh_pairs(d.unionByName(dup), threshold=0.9).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3) over a doubled corpus."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return dedup.simhash_near_dups(d.unionByName(dup), max_hamming=3)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate nearest neighbors via hyperplane LSH (scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.lsh_topk(q, emb, dim=64, k=3, n_planes=4, n_tables=8)
+
+
+def q_page_extraction(spark, sf_dir):
+    """Byte-identity invariant as a query: synthesize pages, re-extract,
+    count mismatches (must be 0) — the input_hint per-row contract."""
+    from geocore_spark.sources import pages as pg
+
+    df = pg.pages(spark, 2000)
+    return df.select(
+        F.count("*").alias("n_pages"),
+        F.sum(
+            F.when(
+                tx.extract_text_udf()(F.col("html")) != F.col("text"), 1
+            ).otherwise(0)
+        ).alias("n_mismatched"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic binary payloads -> image features."""
+    from geocore_spark.operators import multimodal as mm
+
+    base = _t(spark, sf_dir, "documents").select("doc_id")
+    return mm.image_features(mm.synth_media(base))
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -835,6 +999,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
         "ngram_jaccard": q_ngram_jaccard,
+        "distance_to_line": q_distance_to_line,
+        "sort_limit": q_sort_limit,
+        "date_ops": q_date_ops,
+        "lang_guess": q_lang_guess,
+        "quality_score": q_quality_score,
+        "s2_encode": q_s2_encode,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh": q_ann_lsh,
+        "page_extraction": q_page_extraction,
+        "media_features": q_media_features,
     }
 
 
@@ -872,4 +1047,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "distance_to_line": _sql_distance_to_line(),
+        "sort_limit": _SQL_SORT_LIMIT,
+        "date_ops": _SQL_DATE_OPS,
+        "lang_guess": _SQL_LANG_GUESS,
+        "quality_score": _SQL_QUALITY,
+        # s2_encode, minhash_lsh, simhash_pairs, ann_lsh, page_extraction,
+        # media_features: intentionally no SQL twin (Arrow-kernel ops the
+        # oracle cannot express); driver records rows-only checks.
     }
