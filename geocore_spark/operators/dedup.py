@@ -70,10 +70,15 @@ def minhash_lsh_pairs(
     100 TB the band space is huge, so buckets stay small; a per-bucket
     self-join never leaves the bucket.
     """
+    from geocore_spark.operators import ensure_parallelism
+
     rows_per_band = n_perm // bands
+    df = ensure_parallelism(df)
+    # persist: the banded self-join reads signatures from both sides —
+    # without it the MinHash kernel (the expensive stage) runs twice.
     sig = df.select(
         F.col(id_col), hsh.minhash_udf(n_perm, shingle_k)(F.col(text_col)).alias("sig")
-    )
+    ).persist()
     banded = sig.select(
         id_col,
         "sig",
@@ -133,7 +138,11 @@ def simhash_near_dups(
     least one exact block -> equi-join per block, verify with bit_count
     (pure Column). One shuffle per block key, candidates only.
     """
-    sh = df.select(F.col(id_col), hsh.simhash_udf(shingle_k)(F.col(text_col)).alias("sh"))
+    from geocore_spark.operators import ensure_parallelism
+
+    sh = ensure_parallelism(df).select(
+        F.col(id_col), hsh.simhash_udf(shingle_k)(F.col(text_col)).alias("sh")
+    ).persist()  # self-join below would otherwise run the kernel twice
     block_bits = 64 // n_blocks
     blocked = sh.select(
         id_col,
