@@ -890,7 +890,124 @@ FROM documents
 """
 
 
+def q_block_folds(spark, sf_dir):
+    """BlockCV: parent-cell blocks + deterministic spatial fold striping
+    (block.py analogue; D1 + fold protocol)."""
+    from geocore_spark.operators import blockcv
+
+    pts = _event_points(spark, sf_dir)
+    blocked = blockcv.with_blocks(pts, block_res=7)
+    return blocked.select(
+        "id",
+        "block",
+        blockcv.fold_parity_expr(F.col("block"), 5).alias("fold"),
+    )
+
+
+def _sql_block_folds():
+    from geocore_spark.operators import blockcv
+
+    block = orc.cell_sql("lat", "lon", 7)
+    return f"""
+SELECT id, {block} AS block, {blockcv.fold_parity_sql(block, 5)} AS fold
+FROM {_EVENT_POINTS_SQL} p
+"""
+
+
+def q_block_summaries(spark, sf_dir):
+    """BlockCV per-block centroid + size (A6/A7, block.py:58-66)."""
+    from geocore_spark.operators import blockcv
+
+    pts = _event_points(spark, sf_dir)
+    return blockcv.block_summaries(blockcv.with_blocks(pts, block_res=6))
+
+
+_SQL_BLOCK_SUMMARIES = f"""
+SELECT {orc.cell_sql('lat', 'lon', 6)} AS block, COUNT(*) AS n,
+       round(AVG(lat), 6) AS centroid_lat, round(AVG(lon), 6) AS centroid_lon
+FROM {_EVENT_POINTS_SQL} p GROUP BY 1
+"""
+
+
+def q_lift_ks(spark, sf_dir):
+    """Eval metrics: decile lift + KS over a binary response
+    (metrics.py:39-91 cumulative table)."""
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        "event_id",
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("resp"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("event_id"))
+    dec = scored.withColumn("decile", F.ntile(10).over(w))
+    per = dec.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("resp").alias("n_resp")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("n_resp").alias("tr")
+    )
+    cum = per.select(
+        "decile",
+        "n",
+        "n_resp",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("n_resp").over(wc).alias("cum_resp"),
+    ).crossJoin(F.broadcast(tot))
+    return cum.select(
+        "decile",
+        "n",
+        "n_resp",
+        F.round(F.col("cum_resp") / F.col("tr"), 6).alias("cum_resp_pct"),
+        F.round(
+            (F.col("cum_n") - F.col("cum_resp")) / (F.col("tn") - F.col("tr")), 6
+        ).alias("cum_non_pct"),
+        F.round(
+            (F.col("cum_resp") / F.col("cum_n")) / (F.col("tr") / F.col("tn")), 6
+        ).alias("lift"),
+    )
+
+
+_SQL_LIFT_KS = """
+WITH scored AS (
+  SELECT event_id, value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS resp
+  FROM events),
+dec AS (
+  SELECT *, CAST(ntile(10) OVER (ORDER BY score DESC, event_id ASC) AS INT) AS decile
+  FROM scored),
+per AS (
+  SELECT decile, COUNT(*) AS n, CAST(SUM(resp) AS BIGINT) AS n_resp
+  FROM dec GROUP BY decile),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(n_resp) AS BIGINT) AS tr FROM per),
+cum AS (
+  SELECT decile, n, n_resp,
+         CAST(SUM(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         CAST(SUM(n_resp) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_resp
+  FROM per)
+SELECT decile, n, n_resp,
+       round(CAST(cum_resp AS DOUBLE) / tr, 6) AS cum_resp_pct,
+       round(CAST(cum_n - cum_resp AS DOUBLE) / (tn - tr), 6) AS cum_non_pct,
+       round((CAST(cum_resp AS DOUBLE) / cum_n) / (CAST(tr AS DOUBLE) / tn), 6) AS lift
+FROM cum, tot
+"""
+
+
 # --- rows-only queries (no ANSI-SQL twin; driver records weaker check) ----
+
+
+def q_balanced_folds(spark, sf_dir):
+    """BlockCV greedy balanced folds (driver-side D2 walk) — fold sizes."""
+    from geocore_spark.operators import blockcv
+
+    pts = _event_points(spark, sf_dir)
+    blocked = blockcv.with_blocks(pts, block_res=6)
+    assignment = blockcv.fold_balanced(blockcv.block_summaries(blocked), n_folds=5)
+    return (
+        blockcv.apply_folds(blocked, assignment)
+        .groupBy("fold")
+        .agg(F.count("*").alias("n_points"), F.count_distinct("block").alias("n_blocks"))
+    )
 
 
 def q_s2_encode(spark, sf_dir):
@@ -1010,6 +1127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "page_extraction": q_page_extraction,
         "media_features": q_media_features,
+        "block_folds": q_block_folds,
+        "block_summaries": q_block_summaries,
+        "lift_ks": q_lift_ks,
+        "balanced_folds": q_balanced_folds,
     }
 
 
@@ -1052,6 +1173,9 @@ def oracle_sql() -> dict[str, str]:
         "date_ops": _SQL_DATE_OPS,
         "lang_guess": _SQL_LANG_GUESS,
         "quality_score": _SQL_QUALITY,
+        "block_folds": _sql_block_folds(),
+        "block_summaries": _SQL_BLOCK_SUMMARIES,
+        "lift_ks": _SQL_LIFT_KS,
         # s2_encode, minhash_lsh, simhash_pairs, ann_lsh, page_extraction,
         # media_features: intentionally no SQL twin (Arrow-kernel ops the
         # oracle cannot express); driver records rows-only checks.
