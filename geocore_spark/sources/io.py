@@ -1,0 +1,99 @@
+"""Source/sink helpers: vector-layer ingest, table lifecycle (S2-S10).
+
+The reference's IO surface maps here as:
+
+- shapefile scan (gpd.read_file, /root/reference/data_pipeline.py:33) ->
+  :func:`read_vector_layer` — geopandas when importable, else WKB parquet
+  written by :func:`write_vector_layer`;
+- CTAS / temp tables (base.py:74-76, build.py:239-245) ->
+  :func:`materialize` (parquet-backed named table + catalog view) and
+  plain ``createOrReplaceTempView``;
+- catalog ops (table-exists/desc/drop, base.py:148-192) -> thin wrappers
+  over ``spark.catalog``;
+- bulk loads (write_pandas, actions/train.py:59-78; the row-VALUES insert
+  anti-pattern at data_pipeline.py:88-93) -> ``spark.createDataFrame`` +
+  parquet append, which removes the anti-pattern entirely.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+try:
+    import geopandas as _gpd
+
+    HAS_GEOPANDAS = True
+except ImportError:
+    _gpd = None
+    HAS_GEOPANDAS = False
+
+
+def read_vector_layer(spark: SparkSession, path: str) -> DataFrame:
+    """Vector layer -> (geom_id long, wkb binary, attrs...) DataFrame.
+
+    Shapefile/GeoJSON via geopandas when available; ``.parquet`` layers
+    (written by :func:`write_vector_layer`) always work. Layers are small
+    broadcast-side inputs (85 KB coastline in the reference), so the
+    driver-side read is fine.
+    """
+    if path.endswith(".parquet") or os.path.isdir(path):
+        return spark.read.parquet(path)
+    if not HAS_GEOPANDAS:
+        raise ImportError(
+            "geopandas not installed; convert the layer to WKB parquet with "
+            "write_vector_layer() on a machine that has it"
+        )
+    gdf = _gpd.read_file(path)
+    pdf = pd.DataFrame(
+        {
+            "geom_id": np.arange(len(gdf), dtype=np.int64),
+            "wkb": [g.wkb for g in gdf.geometry],
+        }
+    )
+    for col in gdf.columns:
+        if col != "geometry":
+            pdf[col] = gdf[col].to_numpy()
+    return spark.createDataFrame(pdf)
+
+
+def write_vector_layer(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def materialize(
+    df: DataFrame, name: str, root: str, mode: str = "ignore"
+) -> DataFrame:
+    """CTAS analogue: persist once under <root>/<name>, register as a view.
+
+    ``mode='ignore'`` matches CREATE TABLE IF NOT EXISTS (base.py:74-76):
+    an existing table is reused, not recomputed. On an Iceberg cluster
+    this is ``df.writeTo(name).createOrReplace()``.
+    """
+    path = os.path.join(root, name)
+    exists = os.path.exists(os.path.join(path, "_SUCCESS"))
+    if not exists or mode == "overwrite":
+        df.write.mode("overwrite").parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    out.createOrReplaceTempView(name)
+    return out
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    return spark.catalog.tableExists(name)
+
+
+def describe(df: DataFrame) -> list[tuple[str, str]]:
+    """desc-table analogue (base.py:176-192): (column, type) pairs."""
+    return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+
+def drop_table(spark: SparkSession, name: str, root: str | None = None) -> None:
+    spark.catalog.dropTempView(name)
+    if root is not None:
+        import shutil
+
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)

@@ -1,0 +1,54 @@
+"""IO helpers: vector layer roundtrip, materialize, catalog ops."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geocore_spark.functions import h3compat
+from geocore_spark.geometry import wkb as wkb_mod
+from geocore_spark.sources import io as gio
+
+
+def test_vector_layer_parquet_roundtrip(spark, tmp_path):
+    ring = np.array([[0, 0], [1, 0], [1, 1]], float)
+    df = spark.createDataFrame(
+        [(0, bytearray(wkb_mod.encode_polygon([ring])), "fault")],
+        "geom_id long, wkb binary, layer string",
+    )
+    path = str(tmp_path / "layer.parquet")
+    gio.write_vector_layer(df, path)
+    back = gio.read_vector_layer(spark, path)
+    row = back.first()
+    gtype, polys = wkb_mod.decode(bytes(row["wkb"]))
+    assert gtype == "Polygon" and row["layer"] == "fault"
+
+
+def test_read_shapefile_without_geopandas_raises(spark):
+    if gio.HAS_GEOPANDAS:
+        pytest.skip("geopandas present")
+    with pytest.raises(ImportError, match="geopandas"):
+        gio.read_vector_layer(spark, "/nonexistent/layer.shp")
+
+
+def test_materialize_is_create_if_not_exists(spark, tmp_path):
+    root = str(tmp_path)
+    df1 = spark.range(10).select(F.col("id"))
+    out1 = gio.materialize(df1, "t_mat", root)
+    assert out1.count() == 10
+    # second materialize with different data is IGNORED (IF NOT EXISTS)
+    df2 = spark.range(99).select(F.col("id"))
+    out2 = gio.materialize(df2, "t_mat", root)
+    assert out2.count() == 10
+    # view registered
+    assert spark.sql("select count(*) n from t_mat").first()["n"] == 10
+    assert gio.describe(out2) == [("id", "bigint")]
+    gio.drop_table(spark, "t_mat", root)
+    out3 = gio.materialize(df2, "t_mat", root)
+    assert out3.count() == 99
+
+
+def test_h3compat_gated():
+    if h3compat.HAS_H3:
+        pytest.skip("h3 present — gating not exercised")
+    with pytest.raises(ImportError, match="h3"):
+        h3compat.latlng_to_cell_udf(7)
