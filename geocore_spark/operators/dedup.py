@@ -202,7 +202,7 @@ def ngram_jaccard_pairs(
         )
         if block_col is None
         else F.col(block_col).alias("__band"),
-    )
+    ).persist()  # both sides of the self-join read the gram arrays
     l, r = g.alias("l"), g.alias("r")
     return (
         l.join(
