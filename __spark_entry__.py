@@ -10,7 +10,11 @@ parallel-sum ordering can't drift the hash.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -993,6 +997,59 @@ FROM cum, tot
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + cumsum)."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.sessionize(
+        ev, "user_id", "ts", gap_minutes=30.0, tiebreak_col="event_id"
+    ).select("event_id", "user_id", "session_no")
+
+
+_SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+SELECT event_id, user_id,
+       CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_no
+FROM o
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: latest signup value at-or-before each event per user
+    (union + ordered-window backfill; oracle is DuckDB's native ASOF)."""
+    ev = _t(spark, sf_dir, "events")
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    out = temporal.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        right,
+        "user_id",
+        "ts",
+        ["signup_value"],
+    )
+    return out.select("event_id", "user_id", "signup_value_asof")
+
+
+_SQL_ASOF = """
+WITH r AS (
+  SELECT user_id, ts, MAX(value) AS signup_value
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+SELECT e.event_id AS event_id, e.user_id AS user_id,
+       r.signup_value AS signup_value_asof
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
+"""
+
+
 # --- rows-only queries (no ANSI-SQL twin; driver records weaker check) ----
 
 
@@ -1130,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_folds": q_block_folds,
         "block_summaries": q_block_summaries,
         "lift_ks": q_lift_ks,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "balanced_folds": q_balanced_folds,
     }
 
@@ -1176,6 +1235,8 @@ def oracle_sql() -> dict[str, str]:
         "block_folds": _sql_block_folds(),
         "block_summaries": _SQL_BLOCK_SUMMARIES,
         "lift_ks": _SQL_LIFT_KS,
+        "sessionize": _SQL_SESSIONIZE,
+        "asof_join": _SQL_ASOF,
         # s2_encode, minhash_lsh, simhash_pairs, ann_lsh, page_extraction,
         # media_features: intentionally no SQL twin (Arrow-kernel ops the
         # oracle cannot express); driver records rows-only checks.

@@ -78,7 +78,6 @@ def knn_join(
     remaining = queries
     results = []
     ring = k_ring
-    spark = queries.sparkSession
     for _ in range(max_expansions):
         cand = knn_candidates(remaining, corpus, query_id, corpus_id, ring, res, lat, lon)
         if exclude_self:
@@ -127,7 +126,6 @@ def knn_join(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    _ = spark
     return out
 
 

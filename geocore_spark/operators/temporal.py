@@ -41,6 +41,99 @@ def windowed_range_agg(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_minutes: float = 30.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event of the same entity exceeds ``gap_minutes``.
+
+    Classic lag + cumulative-sum-of-breaks composition (no UDF, one
+    shuffle on the entity). Output adds ``session_id`` =
+    ``<entity>#<n>`` with n counting the entity's sessions from 0.
+    Pass ``tiebreak_col`` (a unique id) when timestamps can repeat, so
+    the window order — and therefore the session numbering — is total.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    gap_s = gap_minutes * 60.0
+    # NTZ timestamps can't cast straight to double; go via TIMESTAMP
+    # (session tz is pinned UTC in the session factory, so deterministic).
+    secs = F.col(ts_col).cast("timestamp").cast("double")
+    prev = F.lag(secs).over(w)
+    is_break = F.when(prev.isNull() | (secs - prev > gap_s), 1).otherwise(0)
+    return df.withColumn("__brk", is_break).withColumn(
+        "session_no",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    ).withColumn(
+        "session_id", F.concat_ws("#", F.col(entity_col), F.col("session_no"))
+    ).drop("__brk")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    right_ts_col: str | None = None,
+) -> DataFrame:
+    """As-of join: attach the latest ``right`` row with ts <= left.ts per
+    entity (the generalized form of the reference's floor-hour bucket
+    join, SURVEY §2 J6 note).
+
+    Spark has no native ASOF JOIN; this is the union + ordered-window
+    backfill composition: tag sides, union on (entity, ts), carry the
+    last-seen right values forward with ``last(ignorenulls)`` over an
+    entity-ordered window, keep left rows. One shuffle on the entity —
+    no range explosion, exact semantics (right rows at the same ts sort
+    before left rows, so ties are inclusive).
+    """
+    from pyspark.sql import Window
+
+    rts = right_ts_col or ts_col
+    lt = left.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    rt = right.select(
+        F.col(entity_col),
+        F.col(rts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        entity_col,
+        "__ts",
+        "__is_left",
+        "__lrow",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    ).filter(F.col("__is_left") == 1)
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"__r_{c}").alias(f"{c}_asof") for c in value_cols]
+    return filled.select(*out_cols)
+
+
 def hour_bucket_join(
     df: DataFrame,
     agg: DataFrame,

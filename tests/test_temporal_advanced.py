@@ -1,0 +1,68 @@
+"""Sessionization + as-of join semantics."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from geocore_spark.operators import temporal
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m)
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, 1, _ts(0)), (2, 1, _ts(10)), (3, 1, _ts(45)),  # 35-min gap -> new
+        (4, 1, _ts(50)), (5, 2, _ts(0)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        r["event_id"]: r["session_no"]
+        for r in temporal.sessionize(df, "user_id", "ts", 30.0, "event_id").collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    rows = [(1, 1, _ts(0)), (2, 1, _ts(30))]  # exactly 30 min: NOT a break
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["event_id"]: r["session_no"]
+           for r in temporal.sessionize(df, "user_id", "ts", 30.0, "event_id").collect()}
+    assert out == {1: 0, 2: 0}
+
+
+def test_asof_join_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(5)), (2, 1, _ts(15)), (3, 1, _ts(2)), (4, 2, _ts(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(10), 20.0), (2, _ts(6), 9.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r["v_asof"]
+        for r in temporal.asof_join(left, right, "user_id", "ts", ["v"]).collect()
+    }
+    assert out[1] == 10.0   # ts=5: latest right at 0
+    assert out[2] == 20.0   # ts=15: latest right at 10
+    assert out[3] == 10.0   # ts=2: right at 0
+    assert out[4] is None   # user 2: right row is AFTER the event
+
+
+def test_asof_join_inclusive_tie(spark):
+    left = spark.createDataFrame([(1, 1, _ts(10))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(1, _ts(10), 7.0)], "user_id long, ts timestamp, v double")
+    out = temporal.asof_join(left, right, "user_id", "ts", ["v"]).first()
+    assert out["v_asof"] == 7.0  # equal timestamps match (>= semantics)
+
+
+def test_asof_join_keeps_all_left_rows(spark):
+    left = spark.createDataFrame(
+        [(i, 1, _ts(i)) for i in range(20)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame([(1, _ts(5), 1.0)], "user_id long, ts timestamp, v double")
+    out = temporal.asof_join(left, right, "user_id", "ts", ["v"])
+    assert out.count() == 20
+    assert out.filter(F.col("v_asof").isNull()).count() == 5  # events 0-4
