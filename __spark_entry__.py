@@ -997,6 +997,146 @@ FROM cum, tot
 """
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact continuous percentiles per group (quantile sketch baseline)."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return ev.groupBy("event_type").agg(
+        F.transform(pct, lambda x: F.round(x, 6)).alias("quartiles")
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT event_type,
+       list_transform(quantile_cont(CAST(value AS DOUBLE), [0.25, 0.5, 0.75]),
+                      x -> round(x, 6)) AS quartiles
+FROM events GROUP BY event_type
+"""
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot: per-source language histogram as columns."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .pivot("lang", ["de", "en", "es", "fr", "zh"])
+        .count()
+    )
+
+
+_SQL_PIVOT = """
+SELECT source,
+       NULLIF(COUNT(*) FILTER (lang = 'de'), 0) AS de,
+       NULLIF(COUNT(*) FILTER (lang = 'en'), 0) AS en,
+       NULLIF(COUNT(*) FILTER (lang = 'es'), 0) AS es,
+       NULLIF(COUNT(*) FILTER (lang = 'fr'), 0) AS fr,
+       NULLIF(COUNT(*) FILTER (lang = 'zh'), 0) AS zh
+FROM documents GROUP BY source
+"""
+
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE over returnflag x linestatus with decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+_SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_intersect_except(spark, sf_dir):
+    """Set ops: INTERSECT and EXCEPT branches tagged and unioned."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return (
+        a.intersect(b).withColumn("op", F.lit("intersect"))
+        .unionByName(a.distinct().exceptAll(b.distinct()).withColumn("op", F.lit("except")))
+    )
+
+
+_SQL_INTERSECT_EXCEPT = """
+SELECT o_custkey, 'intersect' AS op FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+UNION ALL
+SELECT o_custkey, 'except' AS op FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT ALL
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000)
+"""
+
+
+def q_rolling_avg(spark, sf_dir):
+    """Rolling window: 4-row trailing mean per user (W5 family)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id", F.round(F.avg("value").over(w), 6).alias("rolling_avg")
+    )
+
+
+_SQL_ROLLING = """
+SELECT event_id,
+       round(AVG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+         AS rolling_avg
+FROM events
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped multi-join aggregate (join-reordering showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(20,2)")
+                * (F.lit(1).cast("decimal(20,2)") - F.col("l_discount").cast("decimal(20,2)"))
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_SQL_REGION_REVENUE = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))
+            * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY r_name, n_name
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user (lag + cumsum)."""
     ev = _t(spark, sf_dir, "events")
@@ -1189,6 +1329,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lift_ks": q_lift_ks,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "percentiles": q_percentiles,
+        "pivot": q_pivot,
+        "cube_agg": q_cube_agg,
+        "intersect_except": q_intersect_except,
+        "rolling_avg": q_rolling_avg,
+        "region_revenue": q_region_revenue,
         "balanced_folds": q_balanced_folds,
     }
 
@@ -1237,6 +1383,12 @@ def oracle_sql() -> dict[str, str]:
         "lift_ks": _SQL_LIFT_KS,
         "sessionize": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF,
+        "percentiles": _SQL_PERCENTILES,
+        "pivot": _SQL_PIVOT,
+        "cube_agg": _SQL_CUBE,
+        "intersect_except": _SQL_INTERSECT_EXCEPT,
+        "rolling_avg": _SQL_ROLLING,
+        "region_revenue": _SQL_REGION_REVENUE,
         # s2_encode, minhash_lsh, simhash_pairs, ann_lsh, page_extraction,
         # media_features: intentionally no SQL twin (Arrow-kernel ops the
         # oracle cannot express); driver records rows-only checks.
