@@ -1000,16 +1000,18 @@ FROM cum, tot
 def q_percentiles(spark, sf_dir):
     """Exact continuous percentiles per group (quantile sketch baseline)."""
     ev = _t(spark, sf_dir, "events")
-    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     return ev.groupBy("event_type").agg(
-        F.transform(pct, lambda x: F.round(x, 6)).alias("quartiles")
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("q2"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("q3"),
     )
 
 
 _SQL_PERCENTILES = """
 SELECT event_type,
-       list_transform(quantile_cont(CAST(value AS DOUBLE), [0.25, 0.5, 0.75]),
-                      x -> round(x, 6)) AS quartiles
+       round(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS q1,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS q2,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.75), 6) AS q3
 FROM events GROUP BY event_type
 """
 

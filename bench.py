@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 import __spark_entry__ as em
@@ -39,10 +40,25 @@ def _sink(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+PAGES_CACHE = os.environ.get("SPARK_GRAFT_PAGES_CACHE", "/tmp/geocore_bench_pages")
+
+
+def _pages_parquet(spark, n_pages: int) -> str:
+    """Materialize the synthetic pages table once; benches then measure
+    the realistic path (columnar read -> extract -> tile), matching
+    BENCH/BASELINE.md's flagship definition."""
+    path = f"{PAGES_CACHE}_{n_pages}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pg.pages(spark, n_pages, partitions=128).drop(
+            "lat_true", "lon_true"
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
 def b_tile_pipeline(spark, sf_dir, n_pages):
-    """Flagship: pages -> geotag extract (JVM regexp) -> cell + parent ->
-    per-cell counts. Pure Column pipeline, zero Python in the hot path."""
-    df = pg.pages(spark, n_pages)
+    """Flagship: read pages parquet -> geotag extract (JVM regexp) ->
+    tile -> per-cell counts. Pure Column pipeline, zero Python."""
+    df = spark.read.parquet(_pages_parquet(spark, n_pages))
     tagged = (
         df.withColumn("hs", F.decode("html", "UTF-8"))
         .withColumn("lat", tx.geo_lat(F.col("hs")))
@@ -118,8 +134,18 @@ def main():
         sf_num = 0.0
     n_pages = max(int(sf_num * 20_000_000), 100_000)
     spark = get_spark("geocore-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
-    # warm the JVM/codegen paths so per-query times measure the plan
+    # warm the JVM/codegen paths AND the Arrow python-worker pool so
+    # per-query times measure the plan, not process spin-up
     spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count().collect()
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 10_000, 1, CPUS).select(_warm(F.col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    _pages_parquet(spark, n_pages)  # materialize outside the timed region
 
     repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
     times: dict[str, float] = {}
