@@ -1139,6 +1139,20 @@ GROUP BY r_name, n_name
 """
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Subword-style token counting (alpha runs / digits / punct marks)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+_SQL_BPE_TOKENS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user (lag + cumsum)."""
     ev = _t(spark, sf_dir, "events")
@@ -1263,6 +1277,31 @@ def q_page_extraction(spark, sf_dir):
     )
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Full dedup resolution: LSH pairs -> connected components ->
+    per-cluster keeper ids (iterative label propagation; not
+    SQL-expressible in one query)."""
+    from geocore_spark.operators import components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    both = d.unionByName(dup)
+    pairs = dedup.minhash_lsh_pairs(both, threshold=0.9)
+    out = components.dedup_clusters(both, pairs)
+    return out.groupBy("keeper_id").agg(F.count("*").alias("cluster_size"))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (SIGMOD'03) per document — count + min."""
+    d = _t(spark, sf_dir, "documents")
+    fp = tx.winnow_udf()(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(fp).alias("n_fingerprints"),
+        F.array_min(fp).alias("min_fingerprint"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: synthetic binary payloads -> image features."""
     from geocore_spark.operators import multimodal as mm
@@ -1326,6 +1365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "page_extraction": q_page_extraction,
         "media_features": q_media_features,
+        "dup_clusters": q_dup_clusters,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "bpe_tokens": q_bpe_tokens,
         "block_folds": q_block_folds,
         "block_summaries": q_block_summaries,
         "lift_ks": q_lift_ks,
@@ -1385,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "lift_ks": _SQL_LIFT_KS,
         "sessionize": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF,
+        "bpe_tokens": _SQL_BPE_TOKENS,
         "percentiles": _SQL_PERCENTILES,
         "pivot": _SQL_PIVOT,
         "cube_agg": _SQL_CUBE,

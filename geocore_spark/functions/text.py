@@ -136,6 +136,56 @@ def lang_guess(text: Column) -> Column:
     )
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Subword-style token count: alpha runs, single digits, single
+    punctuation marks (the GPT-2-ish pre-tokenizer shape, simplified to a
+    pattern with identical semantics in Java regex and RE2 so the oracle
+    can replay it). Pure Column expr via regexp_count."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    min k-gram hash per sliding window of ``window`` hashes; robust
+    position-independent signature used for plagiarism/near-dup detection.
+    numpy kernel for the Arrow UDF below."""
+    import numpy as np
+
+    from geocore_spark.functions import hashing as hsh
+
+    norm = " ".join(text.lower().split())
+    if len(norm) < k:
+        norm = norm.ljust(k, "\x00")
+    data = np.frombuffer(norm.encode("utf-8", "replace"), dtype=np.uint8).astype(np.uint64)
+    mod = np.uint64((1 << 61) - 1)
+    base = np.uint64(257)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[k - 1] = np.uint64(1)
+    for i in range(k - 2, -1, -1):
+        powers[i] = (powers[i + 1] * base) % mod
+    n = len(data) - k + 1
+    idx = np.arange(n)[:, None] + np.arange(k)[None, :]
+    h = (data[idx] * powers[None, :] % mod).sum(axis=1) % mod
+    _ = hsh
+    if n <= window:
+        return sorted({int(h.min())})
+    w = np.lib.stride_tricks.sliding_window_view(h, window)
+    return sorted({int(v) for v in w.min(axis=1)})
+
+
+def winnow_udf(k: int = 8, window: int = 4):
+    import pandas as pd
+
+    @F.pandas_udf("array<long>")
+    def _win(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: winnow_fingerprints(t or "", k, window))
+
+    return _win
+
+
 def fingerprint64(text: Column) -> Column:
     """Deterministic 64-bit document fingerprint: xxhash64 of the
     whitespace-normalized lowercased text (rolling-hash role; JVM-side)."""
