@@ -63,12 +63,12 @@ def sessionize(
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(entity_col).orderBy(*order)
-    gap_s = gap_minutes * 60.0
-    # NTZ timestamps can't cast straight to double; go via TIMESTAMP
-    # (session tz is pinned UTC in the session factory, so deterministic).
-    secs = F.col(ts_col).cast("timestamp").cast("double")
-    prev = F.lag(secs).over(w)
-    is_break = F.when(prev.isNull() | (secs - prev > gap_s), 1).otherwise(0)
+    # interval arithmetic, not epoch seconds: timestamp differences are
+    # timezone-free, so the result is identical under any session tz
+    # (epoch casts of NTZ would shift with the caller's session timezone)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = F.expr(f"INTERVAL {int(gap_minutes * 60)} SECONDS")
+    is_break = F.when(prev.isNull() | (F.col(ts_col) - prev > gap), 1).otherwise(0)
     return df.withColumn("__brk", is_break).withColumn(
         "session_no",
         F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
