@@ -443,6 +443,37 @@ FROM events GROUP BY event_type
 # ===========================================================================
 
 
+def q_skew_split_agg(spark, sf_dir):
+    """Adaptive mega-cell splitting end-to-end: split hot cells to finer
+    children, aggregate on the work key, re-parent, re-aggregate — must
+    equal the naive per-cell aggregate exactly (the re-parenting
+    correctness proof; oracle is the naive plan in SQL)."""
+    pts = _event_points(spark, sf_dir).withColumn(
+        "cell", tl.latlng_to_cell(F.col("lat"), F.col("lon"), tl.DEFAULT_RES)
+    )
+    mega = skew.find_mega_cells(pts, threshold=1)  # any cell with >1 row splits
+    split = skew.split_mega_cells(pts, mega)
+    partial = split.groupBy("work_cell").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(20,2)")).alias("s"),
+    )
+    return (
+        partial.withColumn("cell", skew.reparent(partial, "work_cell"))
+        .groupBy("cell")
+        .agg(
+            F.sum("n").alias("n_points"),
+            F.round(F.sum("s").cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+_SQL_SKEW_SPLIT = f"""
+SELECT {orc.cell_sql('lat', 'lon', 13)} AS cell, COUNT(*) AS n_points,
+       round(CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_value
+FROM {_EVENT_POINTS_SQL} p GROUP BY 1
+"""
+
+
 def q_tile_encode(spark, sf_dir):
     """G1: cell encode at res 13 + parent at res 9 (pure Column arithmetic)."""
     pts = _event_points(spark, sf_dir)
@@ -1338,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_transform": q_group_transform,
         "mean_impute": q_mean_impute,
         "salted_agg": q_salted_agg,
+        "skew_split_agg": q_skew_split_agg,
         "tile_encode": q_tile_encode,
         "cell_rollup": q_cell_rollup,
         "cell_centroid": q_cell_centroid,
@@ -1401,6 +1433,7 @@ def oracle_sql() -> dict[str, str]:
         "group_transform": _SQL_GROUP_TRANSFORM,
         "mean_impute": _SQL_MEAN_IMPUTE,
         "salted_agg": _SQL_SALTED_AGG,
+        "skew_split_agg": _SQL_SKEW_SPLIT,
         "tile_encode": _SQL_TILE_ENCODE,
         "cell_rollup": _SQL_CELL_ROLLUP,
         "cell_centroid": _SQL_CELL_CENTROID,
