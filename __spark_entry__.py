@@ -1292,6 +1292,13 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(q, emb, dim=64, k=3, n_planes=4, n_tables=8)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: k-means inverted lists, n_probe nearest lists."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_topk(q, emb, k=3, n_lists=16, n_probe=4)
+
+
 def q_page_extraction(spark, sf_dir):
     """Byte-identity invariant as a query: synthesize pages, re-extract,
     count mismatches (must be 0) — the input_hint per-row contract."""
@@ -1395,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "page_extraction": q_page_extraction,
         "media_features": q_media_features,
         "dup_clusters": q_dup_clusters,

@@ -103,3 +103,27 @@ def test_lsh_topk_recall(spark, sf_dir):
     # fixture embeddings are near-random (top-5 cosine ~0.23-0.48), so even
     # 4-plane x 8-table LSH collision prob is ~0.6; chance recall is 1%.
     assert recall >= 0.4, recall
+
+
+def test_ivf_topk_recall_improves_with_probes(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(queries, emb, k=5).collect()
+    }
+    r_lo = similarity.ivf_topk(queries, emb, k=5, n_lists=8, n_probe=2)
+    r_hi = similarity.ivf_topk(queries, emb, k=5, n_lists=8, n_probe=8)
+    lo = {(r["vec_id"], r["neighbor_id"]) for r in r_lo.collect()}
+    hi = {(r["vec_id"], r["neighbor_id"]) for r in r_hi.collect()}
+    # n_probe == n_lists degenerates to exact brute force
+    assert hi == exact
+    assert len(lo & exact) / len(exact) >= 0.4
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, similarity.ivf_topk(queries, emb, k=3).collect()))
+    b = sorted(map(tuple, similarity.ivf_topk(queries, emb, k=3).collect()))
+    assert a == b
