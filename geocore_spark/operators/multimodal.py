@@ -91,6 +91,47 @@ def image_features(
     return df.mapInPandas(_feat, FEATURE_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    size: tuple[int, int] = (16, 16),
+    fake: bool = True,
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode as raw RGB bytes.
+
+    Output: (doc_id, width, height, channels, pixels binary). The resize
+    itself is pure numpy striding (real for any decoded array); only the
+    codec boundary is stubbed. Raw-RGB output keeps downstream feature
+    UDFs codec-free.
+    """
+    h_out, w_out = size
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for _, row in pdf.iterrows():
+                img = _decode_image_stub(bytes(row[payload_col]), fake)
+                ys = (np.arange(h_out) * img.shape[0] // h_out).astype(int)
+                xs = (np.arange(w_out) * img.shape[1] // w_out).astype(int)
+                small = img[np.ix_(ys, xs)]
+                ids.append(row[id_col])
+                blobs.append(small.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": w_out,
+                    "height": h_out,
+                    "channels": 3,
+                    "pixels": blobs,
+                }
+            )
+
+    return df.mapInPandas(
+        _resize, "doc_id long, width int, height int, channels int, pixels binary"
+    )
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "payload",

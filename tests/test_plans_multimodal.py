@@ -77,3 +77,13 @@ def test_image_stub_raises_without_fake():
 
     with pytest.raises(NotImplementedError):
         mm._decode_image_stub(b"xx", fake=False)
+
+
+def test_resize_images_shapes(spark):
+    base = spark.range(6).select(F.col("id").alias("doc_id"))
+    media = mm.synth_media(base)
+    out = mm.resize_images(media, size=(8, 8)).collect()
+    assert len(out) == 6
+    for r in out:
+        assert (r["width"], r["height"], r["channels"]) == (8, 8, 3)
+        assert len(bytes(r["pixels"])) == 8 * 8 * 3
