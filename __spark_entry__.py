@@ -1170,6 +1170,56 @@ GROUP BY r_name, n_name
 """
 
 
+def q_corpus_curation(spark, sf_dir):
+    """Capstone curation pass: doubled corpus -> exact-dedup keepers ->
+    quality floor -> language filter -> per-source yield stats. The
+    composition a 100 TB training-data pipeline runs end-to-end."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    dup = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source"
+    )
+    both = d.unionByName(dup)
+    kept = dedup.exact_dedup(both)
+    curated = kept.filter(
+        (tx.quality_score(F.col("text")) >= 0.5) & (tx.lang_guess(F.col("text")) == "en")
+    )
+    return curated.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(tx.token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+
+_SQL_CURATION = f"""
+WITH corpus2x AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source FROM documents),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY {orc.norm_text_sql('text')}
+                                 ORDER BY doc_id ASC) AS rn
+    FROM corpus2x) WHERE rn = 1),
+curated AS (
+  SELECT * FROM kept
+  WHERE round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+               + least({orc.stopword_ratio_sql('text', tx.STOPWORDS)} * 4.0, 1.0)) / 2.0, 6)
+          >= 0.5
+    AND (SELECT CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+                     WHEN de >= fr AND de > 0 THEN 'de'
+                     WHEN fr > 0 THEN 'fr' ELSE 'unknown' END
+         FROM (SELECT
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x IN ('the','and','of','is','to'))) AS en,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x IN ('der','die','und','ist','das'))) AS de,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x IN ('le','la','et','est','les'))) AS fr)) = 'en')
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM({orc.token_count_sql('text')}) AS BIGINT) AS total_tokens
+FROM curated GROUP BY source
+"""
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Subword-style token counting (alpha runs / digits / punct marks)."""
     d = _t(spark, sf_dir, "documents")
@@ -1408,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_tokens": q_bpe_tokens,
+        "corpus_curation": q_corpus_curation,
         "block_folds": q_block_folds,
         "block_summaries": q_block_summaries,
         "lift_ks": q_lift_ks,
@@ -1469,6 +1520,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF,
         "bpe_tokens": _SQL_BPE_TOKENS,
+        "corpus_curation": _SQL_CURATION,
         "percentiles": _SQL_PERCENTILES,
         "pivot": _SQL_PIVOT,
         "cube_agg": _SQL_CUBE,

@@ -38,7 +38,6 @@ from geocore_spark.plans.lineage import LineageLog, observed
 from geocore_spark.session import get_spark
 from geocore_spark.sources import pages as pg
 from geocore_spark.sources import polygons as pgn
-from geocore_spark.sources import raster as rst
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -1,8 +1,6 @@
 """Connected components vs a driver-side union-find reference."""
 
 import numpy as np
-from pyspark.sql import functions as F
-
 from geocore_spark.operators import components
 
 

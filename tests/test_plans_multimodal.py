@@ -2,7 +2,6 @@
 
 import os
 
-import numpy as np
 from pyspark.sql import functions as F
 
 from geocore_spark.operators import multimodal as mm

@@ -1,13 +1,11 @@
 """Spatial operators vs brute-force ground truth on synthetic points."""
 
 import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 from geocore_spark.functions.geodesy import EARTH_RADIUS_KM
 from geocore_spark.geometry import pip as pip_mod
-from geocore_spark.geometry import wkb as wkb_mod
-from geocore_spark.operators import assembly, knn, skew, spatial_join, zonal
+from geocore_spark.operators import knn, skew, spatial_join, zonal
 from geocore_spark.sources import polygons as pgn
 from geocore_spark.sources import raster as rst
 

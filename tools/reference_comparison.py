@@ -24,8 +24,6 @@ import pandas as pd
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from pyspark.sql import functions as F
-
 from geocore_spark.functions.geodesy import EARTH_RADIUS_KM
 from geocore_spark.operators import knn as knn_mod
 from geocore_spark.operators import nearest, temporal
