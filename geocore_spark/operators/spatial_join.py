@@ -60,6 +60,44 @@ def pip_rect_join(
 # ---------------------------------------------------------------------------
 
 
+def _segments_cross_cells(
+    ring: np.ndarray, cx: np.ndarray, cy: np.ndarray, e: float, skip: np.ndarray
+) -> np.ndarray:
+    """Liang-Barsky clip: which cells [cx, cx+e) x [cy, cy+e) does any ring
+    segment pass through? Vectorized over cells, loop over segments (ring
+    vertex counts are small). ``skip`` marks cells already kept."""
+    out = np.zeros(len(cx), dtype=bool)
+    todo = ~skip
+    if not todo.any():
+        return out
+    x0s, y0s = ring[:-1, 0], ring[:-1, 1]
+    x1s, y1s = ring[1:, 0], ring[1:, 1]
+    cxt, cyt = cx[todo], cy[todo]
+    hit = np.zeros(len(cxt), dtype=bool)
+    for x0, y0, x1, y1 in zip(x0s, y0s, x1s, y1s):
+        dx, dy = x1 - x0, y1 - y0
+        t0 = np.zeros(len(cxt))
+        t1 = np.ones(len(cxt))
+        ok = np.ones(len(cxt), dtype=bool)
+        for p, q_lo, q_hi in (
+            (dx, cxt - x0, cxt + e - x0),
+            (dy, cyt - y0, cyt + e - y0),
+        ):
+            if p == 0:
+                ok &= (q_lo <= 0) & (q_hi >= 0)
+            else:
+                ta, tb = q_lo / p, q_hi / p
+                lo = np.minimum(ta, tb)
+                hi = np.maximum(ta, tb)
+                t0 = np.maximum(t0, lo)
+                t1 = np.minimum(t1, hi)
+        hit |= ok & (t0 <= t1)
+        if hit.all():
+            break
+    out[todo] = hit
+    return out
+
+
 def polygon_cover_cells(
     polygons_pdf: pd.DataFrame,
     res: int = tl.DEFAULT_RES,
@@ -101,16 +139,30 @@ def polygon_cover_cells(
         gtype, polys = wkb_mod.decode(wkb)
         simple = gtype == "Polygon" and len(polys) == 1 and len(polys[0]) == 1
         all_in = np.full(len(cells), simple)
+        any_corner = np.zeros(len(cells), dtype=bool)
         for dx in (0.0, 1.0):
             for dy in (0.0, 1.0):
-                all_in &= pip_mod.points_in_wkb(cx + dx * e, cy + dy * e, wkb)
-        # Keep every bbox cell: corner tests cannot prove non-intersection
-        # (a polygon vertex may sit inside a cell with all corners outside);
-        # the exact per-point refine drops the false positives cheaply.
-        out_cell.extend(cells)
-        out_pid.extend([row["polygon_id"]] * len(cells))
-        out_full.extend(bool(b) for b in all_in)
-        out_res.extend([r] * len(cells))
+                inside = pip_mod.points_in_wkb(cx + dx * e, cy + dy * e, wkb)
+                all_in &= inside
+                any_corner |= inside
+        # Exact intersection pruning: a cell intersects the polygon iff
+        # (a) a cell corner is inside, (b) a polygon vertex is inside the
+        # cell, or (c) a polygon edge crosses the cell rectangle. Cells
+        # failing all three are provably disjoint and never enter the
+        # candidate join (bbox covers of rotated polygons are mostly such
+        # corners — this cuts executor-side refine work, not correctness).
+        keep = any_corner.copy()
+        for rings in polys:
+            for ring in rings:
+                vx, vy = ring[:-1, 0], ring[:-1, 1]
+                in_cell_x = (vx[None, :] >= cx[:, None]) & (vx[None, :] < (cx + e)[:, None])
+                in_cell_y = (vy[None, :] >= cy[:, None]) & (vy[None, :] < (cy + e)[:, None])
+                keep |= (in_cell_x & in_cell_y).any(axis=1)
+                keep |= _segments_cross_cells(ring, cx, cy, e, skip=keep)
+        out_cell.extend(np.asarray(cells, dtype=object)[keep])
+        out_pid.extend([row["polygon_id"]] * int(keep.sum()))
+        out_full.extend(bool(b) for b in all_in[keep])
+        out_res.extend([r] * int(keep.sum()))
     return pd.DataFrame(
         {"cell": out_cell, "polygon_id": out_pid, "full": out_full, "res": out_res}
     )

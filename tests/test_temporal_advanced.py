@@ -66,3 +66,39 @@ def test_asof_join_keeps_all_left_rows(spark):
     out = temporal.asof_join(left, right, "user_id", "ts", ["v"])
     assert out.count() == 20
     assert out.filter(F.col("v_asof").isNull()).count() == 5  # events 0-4
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(400, dtype=np.int64),
+            "user_id": rng.integers(0, 8, 400),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 86400, 400), unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 8, 60),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 86400, 60), unit="s"),
+            "v": np.round(rng.uniform(0, 100, 60), 3),
+        }
+    ).drop_duplicates(["user_id", "ts"])
+    want_df = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+    )
+    want = {int(r.event_id): (None if pd.isna(r.v) else float(r.v)) for r in want_df.itertuples()}
+    out = temporal.asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right), "user_id", "ts", ["v"]
+    )
+    got = {r["event_id"]: r["v_asof"] for r in out.collect()}
+    assert got == want
