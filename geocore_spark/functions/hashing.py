@@ -71,13 +71,180 @@ _PERMS: dict[int, tuple[np.ndarray, np.ndarray]] = {
 }
 
 
+def _normalize_encode_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Normalize + utf-8-encode a batch of docs into one concatenated byte
+    buffer. Returns (bytes as uint64 array, per-doc byte lengths).
+
+    Per-doc work is C-level string ops only (lower/split/join/encode);
+    everything numeric downstream is one vectorized pass over the batch.
+    Normalization is byte-identical to ``shingle_ids``.
+    """
+    bufs = []
+    for t in texts:
+        norm = " ".join((t or "").lower().split())
+        if len(norm) < k:
+            norm = norm.ljust(k, "\x00")
+        e = norm.encode("utf-8", "replace")
+        if len(e) < k:
+            e += b"\x00" * (k - len(e))
+        bufs.append(e)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+    return data, lens
+
+
+_M61 = np.uint64(_MERSENNE)
+_S61 = np.uint64(61)
+
+
+def _mod61_inplace(x: np.ndarray, hi: np.ndarray, cmp: np.ndarray) -> np.ndarray:
+    """x %= 2^61-1, exactly, allocation-free (hi/cmp are workspaces).
+
+    Shift-and-fold: x = q*2^61 + r ≡ q + r (mod M) since 2^61 ≡ 1; one
+    conditional subtract suffices because q + r < 2M for any uint64 x.
+    Equals ``x % _MERSENNE`` for every uint64 input, including values that
+    wrapped mod 2^64 upstream — so batch hashes match the per-doc kernel.
+    """
+    np.right_shift(x, _S61, out=hi)
+    np.bitwise_and(x, _M61, out=x)
+    np.add(x, hi, out=x)
+    np.greater_equal(x, _M61, out=cmp)
+    np.subtract(x, _M61, out=x, where=cmp)
+    return x
+
+
+def _batch_shingles(
+    data: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All k-shingle rolling hashes for a concatenated doc buffer.
+
+    Returns (shingle hashes compacted doc-by-doc, per-doc segment start
+    offsets into that array, doc index per shingle). Arithmetic is
+    term-by-term identical to ``shingle_ids`` (same uint64 wraparound, same
+    per-term + final modulus), so hash values match the per-doc kernel
+    exactly. All hot loops are in-place on preallocated workspaces — numpy
+    temp allocation (fresh zeroed pages) costs more than the arithmetic at
+    this size.
+    """
+    mod = _M61
+    base = np.uint64(257)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[k - 1] = np.uint64(1)
+    for i in range(k - 2, -1, -1):
+        powers[i] = (powers[i + 1] * base) % mod
+    n_total = len(data) - k + 1
+    h = np.zeros(n_total, dtype=np.uint64)
+    tmp = np.empty(n_total, dtype=np.uint64)
+    hi = np.empty(n_total, dtype=np.uint64)
+    cmp = np.empty(n_total, dtype=bool)
+    for j in range(k):
+        np.multiply(data[j : j + n_total], powers[j], out=tmp)
+        _mod61_inplace(tmp, hi, cmp)
+        np.add(h, tmp, out=h)  # k terms < 2^61 each: no wrap for k <= 7
+    _mod61_inplace(h, hi, cmp)
+    # windows crossing a doc boundary are invalid: k-1 per boundary
+    ends = np.cumsum(lens)
+    valid = np.ones(n_total, dtype=bool)
+    for j in range(1, k):
+        bad = ends[:-1] - j
+        valid[bad[bad < n_total]] = False
+    shingles = h[valid]
+    win_per_doc = lens - k + 1  # >= 1 for every doc (padding guarantees)
+    seg = np.concatenate(([0], np.cumsum(win_per_doc)))[:-1]
+    doc_of_win = np.repeat(np.arange(len(lens)), win_per_doc)
+    return shingles, seg, doc_of_win
+
+
+def _dedup_per_doc(
+    shingles: np.ndarray, doc_of_win: np.ndarray, ndocs: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distinct (doc, shingle) pairs, doc-major sorted.
+
+    Returns (shingle values, per-doc counts >= 1, per-doc segment starts).
+    """
+    order = np.lexsort((shingles, doc_of_win))
+    s_sorted = shingles[order]
+    d_sorted = doc_of_win[order]
+    keep = np.ones(len(s_sorted), dtype=bool)
+    keep[1:] = (s_sorted[1:] != s_sorted[:-1]) | (d_sorted[1:] != d_sorted[:-1])
+    s_u = s_sorted[keep]
+    counts = np.bincount(d_sorted[keep], minlength=ndocs)
+    seg = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    return s_u, counts, seg
+
+
+def minhash_batch(texts, n_perm: int = _N_PERM_DEFAULT, k: int = 5) -> np.ndarray:
+    """Batched MinHash: (n_docs, n_perm) int64 signatures, value-identical
+    to ``minhash_signature`` per doc.
+
+    The expensive part (one multiply-add-mod per shingle per permutation)
+    runs only over GLOBALLY distinct shingle ids in the batch — web corpora
+    (and near-dup corpora especially) share most shingles across docs, so
+    this is typically 5-50x less arithmetic than per-doc evaluation. Per-doc
+    mins are then a gather + segmented min. Duplicate shingles can't change
+    a min, so dedup preserves exact signature values.
+    """
+    if n_perm not in _PERMS:
+        _PERMS[n_perm] = _perm_params(n_perm)
+    a, b = _PERMS[n_perm]
+    a = a.astype(np.uint64)
+    b = b.astype(np.uint64)
+    ndocs = len(texts)
+    if ndocs == 0:
+        return np.empty((0, n_perm), dtype=np.int64)
+    data, lens = _normalize_encode_batch(texts, k)
+    shingles, seg, _ = _batch_shingles(data, lens, k)
+    # permute only globally-distinct shingles; duplicates can't change a
+    # min. pd.factorize is hash-based O(n) — ~25x cheaper than np.unique's
+    # sort at this size, and min doesn't care that uniq is unsorted.
+    inv, uniq = pd.factorize(shingles)
+    uniq = np.ascontiguousarray(uniq, dtype=np.uint64)
+    out = np.empty((ndocs, n_perm), dtype=np.uint64)
+    nw = len(inv)
+    g = np.empty(nw, dtype=np.uint64)
+    hi = np.empty(len(uniq), dtype=np.uint64)
+    cmp = np.empty(len(uniq), dtype=bool)
+    vals = np.empty(len(uniq), dtype=np.uint64)
+    for i in range(n_perm):
+        np.multiply(uniq, a[i], out=vals)
+        np.add(vals, b[i], out=vals)
+        _mod61_inplace(vals, hi, cmp)
+        np.take(vals, inv, out=g)
+        out[:, i] = np.minimum.reduceat(g, seg)
+    return out.astype(np.int64)
+
+
+def simhash_batch(texts, k: int = 4) -> np.ndarray:
+    """Batched SimHash: (n_docs,) int64 fingerprints, value-identical to
+    ``simhash64`` per doc (per-doc shingle dedup preserved — SimHash votes
+    count each distinct shingle once)."""
+    ndocs = len(texts)
+    if ndocs == 0:
+        return np.empty(0, dtype=np.int64)
+    data, lens = _normalize_encode_batch(texts, k)
+    shingles, _, doc_of_win = _batch_shingles(data, lens, k)
+    s_u, counts, seg = _dedup_per_doc(shingles, doc_of_win, ndocs)
+    z = s_u + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    out = np.zeros(ndocs, dtype=np.uint64)
+    for i in range(64):
+        bits = (z >> np.uint64(i)) & np.uint64(1)
+        ones = np.add.reduceat(bits, seg).astype(np.int64)
+        votes = 2 * ones - counts
+        out |= (votes > 0).astype(np.uint64) << np.uint64(i)
+    return out.astype(np.int64)
+
+
 def minhash_udf(n_perm: int = _N_PERM_DEFAULT, k: int = 5):
     if n_perm not in _PERMS:
         _PERMS[n_perm] = _perm_params(n_perm)
 
     @F.pandas_udf("array<long>")
     def _mh(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: minhash_signature(t or "", n_perm, k).tolist())
+        sigs = minhash_batch(text.tolist(), n_perm, k)
+        return pd.Series(list(sigs), index=text.index)
 
     return _mh
 
@@ -106,7 +273,7 @@ def simhash64(text: str, k: int = 4) -> int:
 def simhash_udf(k: int = 4):
     @F.pandas_udf("long")
     def _sh(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: simhash64(t or "", k))
+        return pd.Series(simhash_batch(text.tolist(), k), index=text.index)
 
     return _sh
 

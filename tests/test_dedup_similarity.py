@@ -43,6 +43,29 @@ def test_minhash_estimates_jaccard():
     assert (hsh.minhash_signature(a, 64) == siga).all()  # deterministic
 
 
+def test_batch_kernels_match_per_doc_reference():
+    """minhash_batch/simhash_batch (the UDF fast path) must be value-
+    identical to the per-doc reference kernels on edge cases + unicode."""
+    corpus = [
+        "",
+        "a",
+        "ab",
+        "    ",
+        "\t\n",
+        "x" * 3,
+        "the quick brown fox jumps over the lazy dog",
+        "THE QUICK  BROWN fox jumps over the lazy dog",
+        "Ünïcode 日本語 mixed œ text",
+        "word " * 500,
+        "many distinct tokens " + " ".join(str(i) for i in range(300)),
+    ]
+    mb = hsh.minhash_batch(corpus, 64, 5)
+    sb = hsh.simhash_batch(corpus, 4)
+    for j, t in enumerate(corpus):
+        assert np.array_equal(mb[j], hsh.minhash_signature(t, 64, 5)), j
+        assert sb[j] == hsh.simhash64(t, 4), j
+
+
 def test_minhash_lsh_pairs_finds_dups(spark):
     pairs = dedup.minhash_lsh_pairs(_docs(spark), threshold=0.5)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
