@@ -96,7 +96,19 @@ def minhash_lsh_pairs(
     ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    # Estimate jaccard INLINE in the join projection and drop the 64-long
+    # signature arrays before anything shuffles: a pair colliding in b
+    # bands appears b times, so dedup must shuffle all collision rows —
+    # carrying (id, id, double) instead of two signatures shrinks that
+    # shuffle ~40x. Threshold-filtering before the dedup shuffle cuts the
+    # row count too (est is a pure function of the pair, so filter and
+    # dedup commute).
+    est = F.aggregate(
+        F.zip_with(F.col("l.sig"), F.col("r.sig"), lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(n_perm))
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -106,20 +118,10 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
+            F.round(est, 6).alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("double") / F.lit(float(n_perm))
-    return (
-        pairs.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
-        .drop("sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
