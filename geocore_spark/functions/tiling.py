@@ -166,20 +166,26 @@ def grid_disk(cell: Column, k: int) -> Column:
     ncol = F.pow(F.lit(2.0), (r + F.lit(1)).cast("double")).cast("long")
     nrow = F.pow(F.lit(2.0), r.cast("double")).cast("long")
     rng = F.sequence(F.lit(-k), F.lit(k))
-    return F.filter(
-        F.flatten(
-            F.transform(
-                rng,
-                lambda dx: F.transform(
+    # array_distinct: at coarse res the longitude wrap can alias two dx
+    # offsets to one column (2k+1 > ncol) — without dedup a consumer that
+    # explodes the disk would double-count pairs (e.g. the same neighbor
+    # twice in a kNN top-k).
+    return F.array_distinct(
+        F.filter(
+            F.flatten(
+                F.transform(
                     rng,
-                    lambda dy: F.when(
-                        (iy + dy >= 0) & (iy + dy < nrow),
-                        F.concat_ws(":", r, F.pmod(ix + dx, ncol), iy + dy),
+                    lambda dx: F.transform(
+                        rng,
+                        lambda dy: F.when(
+                            (iy + dy >= 0) & (iy + dy < nrow),
+                            F.concat_ws(":", r, F.pmod(ix + dx, ncol), iy + dy),
+                        ),
                     ),
-                ),
-            )
-        ),
-        lambda c: c.isNotNull(),
+                )
+            ),
+            lambda c: c.isNotNull(),
+        )
     )
 
 

@@ -96,3 +96,15 @@ def test_resolution_extraction(spark):
         tl.cell_resolution(tl.latlng_to_cell(F.col("lat"), F.col("lon"), 9)).alias("r")
     ).first()
     assert row["r"] == 9
+
+
+def test_grid_disk_distinct_when_ring_wraps_whole_globe(spark):
+    """At coarse res the lon wrap can alias two dx offsets to one column
+    (2k+1 > ncol); the disk must still contain each cell once — duplicate
+    cover cells would double-count join pairs (e.g. kNN top-k slots)."""
+    df = spark.createDataFrame([(10.0, 20.0)], "lat double, lon double")
+    cell = tl.latlng_to_cell(F.col("lat"), F.col("lon"), 2)  # ncol=8 < 2*4+1
+    row = df.select(tl.grid_disk(cell, 4).alias("d")).first()
+    assert len(row["d"]) == len(set(row["d"]))
+    ixs = {int(c.split(":")[1]) for c in row["d"]}
+    assert ixs == set(range(8))  # full wrap covers every column exactly once
