@@ -147,7 +147,10 @@ def main():
     ).mode("overwrite").save()
     _pages_parquet(spark, n_pages)  # materialize outside the timed region
 
-    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
+    # best-of-3: this sandbox VM shows intermittent multi-second host
+    # stalls (same plan: 1.0-8.6 s across back-to-back runs); two repeats
+    # are not enough to dodge a spike.
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "3"))
     times: dict[str, float] = {}
     for name, fn in BENCHES.items():
         best = float("inf")
