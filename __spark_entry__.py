@@ -571,6 +571,44 @@ WHERE {haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= 500.0
 """
 
 
+def q_dwithin_rewrite(spark, sf_dir):
+    """Optimizer rule (SURVEY §4): a user-written cartesian
+    ``crossJoin + haversine <= km`` plan, automatically rewritten into the
+    k-ring cell-cover equi-join by plans/rewrite.rewrite_dwithin. The
+    oracle runs the NAIVE form — proving the rewrite preserves semantics.
+    """
+    from geocore_spark.plans.rewrite import rewrite_dwithin
+
+    pts = _supplier_points(spark, sf_dir)
+    a = pts.select(F.col("id").alias("id"), "lat", "lon")
+    b = pts.select(
+        F.col("id").alias("id_b"), F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b")
+    )
+    naive = a.crossJoin(b).filter(
+        (haversine_km(F.col("lat"), F.col("lon"), F.col("lat_b"), F.col("lon_b"))
+         <= F.lit(400.0))
+        & (F.col("id") < F.col("id_b"))
+    )
+    out = rewrite_dwithin(naive)
+    assert out is not naive, "rewrite_dwithin failed to match the dwithin plan"
+    return out.select(
+        "id",
+        "id_b",
+        F.round(
+            haversine_km(F.col("lat"), F.col("lon"), F.col("lat_b"), F.col("lon_b")), 6
+        ).alias("dist_km"),
+    )
+
+
+_SQL_DWITHIN_REWRITE = f"""
+SELECT a.id AS id, b.id AS id_b,
+       round({haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 6) AS dist_km
+FROM {_SUPPLIER_POINTS_SQL} a CROSS JOIN {_SUPPLIER_POINTS_SQL} b
+WHERE {haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= 400.0
+  AND a.id < b.id
+"""
+
+
 def q_knn(spark, sf_dir):
     """W7: exact k=5 nearest neighbors per supplier point."""
     pts = _supplier_points(spark, sf_dir)
@@ -1432,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_centroid": q_cell_centroid,
         "pip_rect_join": q_pip_rect_join,
         "distance_join": q_distance_join,
+        "dwithin_rewrite": q_dwithin_rewrite,
         "knn": q_knn,
         "buffer_exclusion": q_buffer_exclusion,
         "zonal_stats": q_zonal_stats,
@@ -1498,6 +1537,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_centroid": _SQL_CELL_CENTROID,
         "pip_rect_join": _SQL_PIP_RECT,
         "distance_join": _SQL_DISTANCE_JOIN,
+        "dwithin_rewrite": _SQL_DWITHIN_REWRITE,
         "knn": _SQL_KNN,
         "buffer_exclusion": _SQL_BUFFER_EXCL,
         "zonal_stats": _SQL_ZONAL,
