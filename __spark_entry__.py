@@ -609,6 +609,59 @@ WHERE {haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= 400.0
 """
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier politeness scheduler (streaming/frontier.py) in its
+    batch form: per-host fetch times >= 5 s apart, priority-ordered. The
+    running-max chain linearizes to a window expression — the SQL oracle.
+    """
+    from geocore_spark.streaming import frontier
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    disc = ev.select(
+        F.format_string("h%d.com", F.col("user_id") % 50).alias("host"),
+        F.format_string(
+            "https://h%d.com/p/%d", F.col("user_id") % 50, F.col("event_id")
+        ).alias("url"),
+        F.col("value").alias("priority"),
+        F.col("ts").alias("discovered_ts"),
+    )
+    out = frontier.crawl_frontier(disc, delay_seconds=5.0)
+    return out.select(
+        "host",
+        "url",
+        F.round("priority", 6).alias("priority"),
+        "discovered_ts",
+        "scheduled_ts",
+    )
+
+
+_SQL_CRAWL_FRONTIER = """
+WITH disc AS (
+  SELECT 'h' || CAST(user_id % 50 AS VARCHAR) || '.com' AS host,
+         'https://h' || CAST(user_id % 50 AS VARCHAR) || '.com/p/'
+           || CAST(event_id AS VARCHAR) AS url,
+         value AS priority, ts AS discovered_ts
+  FROM events
+), o AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER
+              (PARTITION BY host ORDER BY priority DESC, url ASC) - 1
+              AS BIGINT) AS i,
+         epoch_us(discovered_ts) AS d_us
+  FROM disc
+), r AS (
+  SELECT *,
+         MAX(d_us - i * 5000000) OVER
+           (PARTITION BY host ORDER BY priority DESC, url ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM o
+)
+SELECT host, url, round(priority, 6) AS priority, discovered_ts,
+       make_timestamp(i * 5000000 + run) AS scheduled_ts
+FROM r
+"""
+
+
 def q_knn(spark, sf_dir):
     """W7: exact k=5 nearest neighbors per supplier point."""
     pts = _supplier_points(spark, sf_dir)
@@ -1471,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect_join": q_pip_rect_join,
         "distance_join": q_distance_join,
         "dwithin_rewrite": q_dwithin_rewrite,
+        "crawl_frontier": q_crawl_frontier,
         "knn": q_knn,
         "buffer_exclusion": q_buffer_exclusion,
         "zonal_stats": q_zonal_stats,
@@ -1538,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_rect_join": _SQL_PIP_RECT,
         "distance_join": _SQL_DISTANCE_JOIN,
         "dwithin_rewrite": _SQL_DWITHIN_REWRITE,
+        "crawl_frontier": _SQL_CRAWL_FRONTIER,
         "knn": _SQL_KNN,
         "buffer_exclusion": _SQL_BUFFER_EXCL,
         "zonal_stats": _SQL_ZONAL,

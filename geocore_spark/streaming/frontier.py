@@ -1,0 +1,119 @@
+"""Crawl-frontier scheduling: per-host politeness via custom state.
+
+A crawl pipeline's frontier assigns each discovered URL a fetch time such
+that requests to one host stay at least ``delay`` apart (politeness),
+while hosts proceed independently. That is a per-key running maximum —
+state that must outlive a micro-batch, so it is an
+``applyInPandasWithState`` operator (same pattern as
+streaming/stateful.py's url dedup; no reference equivalent — the
+reference is batch-only, SURVEY §2.10).
+
+State per host: the next allowed fetch timestamp (one int64 — epoch
+microseconds). Batch work is vectorized numpy (sort + cumulative
+offsets); no per-row Python beyond pandas column ops.
+
+Semantics (deterministic given the batch contents):
+- within a batch, a host's URLs are ordered by (priority DESC, url ASC);
+- ``scheduled_ts = max(state.next_allowed, discovered_ts) + i*delay``
+  walking that order, where the max is re-evaluated per URL (a URL
+  discovered later than the backlog end starts a fresh politeness chain);
+- state advances to last scheduled + delay.
+
+The host key shards state evenly at scale; hot hosts are bounded by one
+int per host, not by URL count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = (
+    "host string, url string, priority double, "
+    "discovered_ts timestamp, scheduled_ts timestamp"
+)
+STATE_SCHEMA = "next_allowed long"
+
+_US = 1_000_000
+
+
+def _schedule_batch(
+    pdf: pd.DataFrame, next_allowed_us: int, delay_us: int
+) -> tuple[pd.DataFrame, int]:
+    """Assign scheduled_ts for one host's batch; returns (rows, new state)."""
+    pdf = pdf.sort_values(
+        ["priority", "url"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    # normalize to int64 microseconds whatever resolution pandas hands us
+    disc_us = (
+        pd.to_datetime(pdf["discovered_ts"])
+        .astype("datetime64[us]")
+        .astype("int64")
+        .to_numpy()
+    )
+    # The chain s_i = max(s_{i-1}+delay, d_i) linearizes: with
+    # e_j = d_j - j*delay,  s_i = i*delay + max(next0, max_{j<=i} e_j)
+    # — a running max, fully vectorized (no per-row Python).
+    n = len(pdf)
+    steps = delay_us * np.arange(n, dtype=np.int64)
+    run = np.maximum.accumulate(disc_us - steps)
+    run = np.maximum(run, next_allowed_us)
+    sched = steps + run
+    out = pdf.copy()
+    out["scheduled_ts"] = pd.to_datetime(sched, unit="us")
+    return out, int(sched[-1] + delay_us)
+
+
+def _frontier_fn(delay_us: int):
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        nxt = state.get[0] if state.exists else 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out, nxt = _schedule_batch(pdf, nxt, delay_us)
+            yield out[["host", "url", "priority", "discovered_ts", "scheduled_ts"]]
+        state.update((nxt,))
+
+    return fn
+
+
+def host_of(url):
+    """Host component of a URL — pure Column expr."""
+    return F.regexp_extract(url, r"^[a-z]+://([^/]+)/", 1)
+
+
+def crawl_frontier(
+    discovered: DataFrame,
+    delay_seconds: float = 5.0,
+    host_col: str = "host",
+) -> DataFrame:
+    """Politeness-scheduled fetch plan for a stream of discovered URLs.
+
+    ``discovered`` needs columns (host, url, priority, discovered_ts);
+    derive host with :func:`host_of` if absent. Works on a streaming
+    DataFrame (state persists across micro-batches and restarts via the
+    checkpoint) — and on a batch DataFrame via ``applyInPandas`` with the
+    same kernel (zero state carried in, for oracle-style checks).
+    """
+    delay_us = int(delay_seconds * _US)
+    if discovered.isStreaming:
+        return discovered.groupBy(host_col).applyInPandasWithState(
+            _frontier_fn(delay_us),
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out, _ = _schedule_batch(pdf, 0, delay_us)
+        return out[["host", "url", "priority", "discovered_ts", "scheduled_ts"]]
+
+    return discovered.groupBy(host_col).applyInPandas(batch_fn, schema=OUT_SCHEMA)

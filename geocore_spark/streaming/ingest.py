@@ -64,3 +64,33 @@ def windowed_cell_counts(
             "n_pages",
         )
     )
+
+
+def session_cell_rollup(
+    tiled: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "cell",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Per-key session windows (events < ``gap`` apart merge) — crawl
+    burst detection per cell/host.
+
+    Uses Spark's native ``session_window`` — the state-store-backed
+    merging-window operator — so the same expression runs batch AND
+    streaming; a closed session emits once the watermark passes its end.
+    The batch form is the oracle: an availableNow drain must equal it
+    (pinned in tests; the batch twin of temporal.sessionize's
+    gaps-and-islands form).
+    """
+    return (
+        tiled.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), key)
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            key,
+            "n_pages",
+        )
+    )
