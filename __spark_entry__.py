@@ -1489,6 +1489,72 @@ def q_media_features(spark, sf_dir):
     return mm.image_features(mm.synth_media(base))
 
 
+_MAGIC_PREFIXES = [
+    "FFD8FF00",  # jpeg
+    "89504E47",  # png
+    "47494638",  # gif
+    "524946460000000057454250",  # RIFF....WEBP
+    "524946460000000057415645",  # RIFF....WAVE
+    "49443300",  # ID3 (mp3)
+    "FFFB0000",  # mp3 frame sync
+    "0000002066747970",  # ....ftyp (mp4)
+    "00",  # unknown
+]
+
+
+def q_media_format(spark, sf_dir):
+    """Multimodal metadata pass: REAL binary payloads (hex -> binary) with
+    per-id magic prefixes, sniffed JVM-side by multimodal.sniff_format —
+    no codec, no UDF. Oracle replicates the CASE over the same hex."""
+    from geocore_spark.operators import multimodal as mm
+
+    base = _t(spark, sf_dir, "documents").select("doc_id")
+    prefix = F.element_at(
+        F.array(*[F.lit(p) for p in _MAGIC_PREFIXES]),
+        ((F.col("doc_id") % 9) + 1).cast("int"),
+    )
+    payload = F.to_binary(
+        F.concat(prefix, F.md5(F.col("doc_id").cast("string"))), F.lit("hex")
+    )
+    return base.select(
+        "doc_id", mm.sniff_format(payload).alias("format")
+    )
+
+
+_SQL_MEDIA_FORMAT = f"""
+WITH hexed AS (
+  SELECT doc_id,
+         upper(substr(
+           CASE doc_id % 9
+             {' '.join(f"WHEN {i} THEN '{p}'" for i, p in enumerate(_MAGIC_PREFIXES))}
+           END || md5(CAST(doc_id AS VARCHAR)), 1, 24)) AS hx
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN hx LIKE 'FFD8FF%' THEN 'jpeg'
+         WHEN hx LIKE '89504E47%' THEN 'png'
+         WHEN hx LIKE '47494638%' THEN 'gif'
+         WHEN hx LIKE '52494646%' AND substr(hx, 17, 8) = '57454250' THEN 'webp'
+         WHEN hx LIKE '52494646%' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+         WHEN hx LIKE '494433%' OR hx LIKE 'FFFB%' THEN 'mp3'
+         WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+         ELSE 'unknown'
+       END AS format
+FROM hexed
+"""
+
+
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio path: stub decode (content-seeded PCM) -> one
+    vectorized DSP pass (rms/zcr/spectral centroid). Rows-only check —
+    the kernel is pinned by pytest determinism tests."""
+    from geocore_spark.operators import multimodal as mm
+
+    base = _t(spark, sf_dir, "documents").select("doc_id")
+    return mm.audio_features(mm.synth_media(base))
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -1548,6 +1614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "page_extraction": q_page_extraction,
         "media_features": q_media_features,
+        "media_format": q_media_format,
+        "audio_features": q_audio_features,
         "dup_clusters": q_dup_clusters,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_tokens": q_bpe_tokens,
@@ -1593,6 +1661,7 @@ def oracle_sql() -> dict[str, str]:
         "distance_join": _SQL_DISTANCE_JOIN,
         "dwithin_rewrite": _SQL_DWITHIN_REWRITE,
         "crawl_frontier": _SQL_CRAWL_FRONTIER,
+        "media_format": _SQL_MEDIA_FORMAT,
         "knn": _SQL_KNN,
         "buffer_exclusion": _SQL_BUFFER_EXCL,
         "zonal_stats": _SQL_ZONAL,

@@ -165,6 +165,109 @@ def frame_sample(
     return df.mapInPandas(_frames, "doc_id long, frame_idx int, frame binary")
 
 
+def sniff_format(payload) -> F.Column:
+    """Container format from magic bytes — pure Column expr (no codec, no
+    UDF, real logic): jpeg/png/gif/webp/wav/mp3/mp4/unknown.
+
+    Works on binary columns JVM-side via hex prefixes; at scale this is a
+    metadata pass that never decodes a payload.
+    """
+    hx = F.hex(F.substring(payload, 1, 12))
+    return (
+        F.when(hx.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(hx.startswith("89504E47"), F.lit("png"))
+        .when(hx.startswith("47494638"), F.lit("gif"))
+        .when(
+            hx.startswith("52494646") & (F.substring(hx, 17, 8) == "57454250"),
+            F.lit("webp"),  # RIFF....WEBP
+        )
+        .when(
+            hx.startswith("52494646") & (F.substring(hx, 17, 8) == "57415645"),
+            F.lit("wav"),  # RIFF....WAVE
+        )
+        .when(hx.startswith("494433") | hx.startswith("FFFB"), F.lit("mp3"))
+        .when(F.substring(hx, 9, 8) == "66747970", F.lit("mp4"))  # ....ftyp
+        .otherwise(F.lit("unknown"))
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, duration_s double, rms double, "
+    "zero_cross_rate double, spectral_centroid double"
+)
+
+
+def _decode_audio_stub(payload: bytes, fake: bool, sr: int = 8000) -> np.ndarray:
+    """Decode an audio payload to mono float32 PCM at ``sr`` Hz.
+
+    Real deployments replace the body with ffmpeg/soundfile. ``fake=True``
+    derives a deterministic 1-second signal from the payload bytes
+    (content-seeded mix of two tones + noise) so the DSP below is
+    testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio codec not available in this environment; pass fake=True "
+            "or deploy with ffmpeg/soundfile"
+        )
+    h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
+    rng = np.random.default_rng(int(h.sum()) + len(payload))
+    t = np.arange(sr, dtype=np.float32) / sr
+    f1, f2 = rng.uniform(100, 1000), rng.uniform(1000, 3500)
+    sig = (
+        np.sin(2 * np.pi * f1 * t)
+        + 0.5 * np.sin(2 * np.pi * f2 * t)
+        + 0.1 * rng.standard_normal(sr)
+    )
+    return sig.astype(np.float32)
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = True,
+    sr: int = 8000,
+) -> DataFrame:
+    """binary audio -> (duration, rms, zero-crossing rate, spectral
+    centroid).
+
+    Decode is per-payload (the codec boundary); all DSP is one vectorized
+    numpy pass over the stacked batch: same shape as image_features, so
+    the 100 TB story is identical — Arrow batches in, compact features
+    out, partition bytes capped upstream.
+    """
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = np.stack(
+                [
+                    _decode_audio_stub(bytes(p), fake, sr)
+                    for p in pdf[payload_col]
+                ]
+            )  # (n, sr) — batch-stacked, DSP below is one pass
+            rms = np.sqrt((sigs**2).mean(axis=1))
+            zcr = (np.diff(np.signbit(sigs), axis=1) != 0).mean(axis=1)
+            spec = np.abs(np.fft.rfft(sigs, axis=1))
+            freqs = np.fft.rfftfreq(sigs.shape[1], d=1.0 / sr)
+            centroid = (spec * freqs).sum(axis=1) / np.maximum(
+                spec.sum(axis=1), 1e-12
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "duration_s": np.round(
+                        np.full(len(pdf), sigs.shape[1] / sr), 6
+                    ),
+                    "rms": np.round(rms, 6),
+                    "zero_cross_rate": np.round(zcr, 6),
+                    "spectral_centroid": np.round(centroid, 6),
+                }
+            )
+
+    return df.mapInPandas(_feat, AUDIO_FEATURE_SCHEMA)
+
+
 def synth_media(df: DataFrame, id_col: str = "doc_id", size: int = 4096) -> DataFrame:
     """Deterministic binary payload per id (test fixture for the stubs):
     repeated md5 bytes of the id — pure Column ops, no Python."""

@@ -86,3 +86,45 @@ def test_resize_images_shapes(spark):
     for r in out:
         assert (r["width"], r["height"], r["channels"]) == (8, 8, 3)
         assert len(bytes(r["pixels"])) == 8 * 8 * 3
+
+
+def test_sniff_format_magic_bytes(spark):
+    payloads = [
+        (1, bytes.fromhex("FFD8FF") + b"\x00" * 9, "jpeg"),
+        (2, bytes.fromhex("89504E470D0A1A0A") + b"\x00" * 4, "png"),
+        (3, b"GIF89a" + b"\x00" * 6, "gif"),
+        (4, b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 0, "webp"),
+        (5, b"RIFF\x00\x00\x00\x00WAVE", "wav"),
+        (6, b"ID3\x04" + b"\x00" * 8, "mp3"),
+        (7, b"\x00\x00\x00\x20ftypisom", "mp4"),
+        (8, b"not a media file", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in payloads], "doc_id long, payload binary"
+    )
+    got = {
+        r["doc_id"]: r["fmt"]
+        for r in df.select("doc_id", mm.sniff_format(F.col("payload")).alias("fmt")).collect()
+    }
+    assert got == {i: f for i, _, f in payloads}
+
+
+def test_audio_features_deterministic_and_sane(spark):
+    base = spark.range(12).select(F.col("id").alias("doc_id"))
+    media = mm.synth_media(base)
+    a1 = {r["doc_id"]: r.asDict() for r in mm.audio_features(media).collect()}
+    a2 = {r["doc_id"]: r.asDict() for r in mm.audio_features(media).collect()}
+    assert a1 == a2
+    assert len(a1) == 12
+    for v in a1.values():
+        assert v["duration_s"] == 1.0
+        assert 0.3 < v["rms"] < 1.5  # unit-ish tone mix
+        assert 0.0 < v["zero_cross_rate"] < 1.0
+        assert 50.0 < v["spectral_centroid"] < 4000.0  # below nyquist
+
+
+def test_audio_stub_raises_without_fake():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm._decode_audio_stub(b"xx", fake=False)
