@@ -25,6 +25,11 @@ SHOW = [
     ("distance_join", "k-ring cover join — no cartesian product anywhere"),
     ("spatial_assembly", "flagship: agg + broadcast test-flag join"),
     ("skew_split_agg", "split/re-parent double aggregation"),
+    (
+        "dwithin_rewrite",
+        "rewrite rule output: user's cartesian dwithin plan became a "
+        "shuffled equi-join on cover cells (no CartesianProduct/BNLJ)",
+    ),
 ]
 
 
