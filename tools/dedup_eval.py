@@ -1,0 +1,152 @@
+"""Near-dup detector quality: precision/recall vs exact ground truth.
+
+The dedup operators are approximations (banded MinHash LSH, SimHash
+pigeonhole blocking); this harness measures what they trade away.
+Ground truth = exact character-5-shingle Jaccard over ALL pairs of the
+sf corpus (computed driver-side in numpy — the corpus is small; the
+operators under test are the distributed ones).
+
+Writes EVAL.md and prints one JSON line per detector config.
+
+Usage: python tools/dedup_eval.py [--sf-dir /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F
+
+from geocore_spark.functions import hashing as hsh
+from geocore_spark.operators import dedup
+from geocore_spark.session import get_spark
+
+
+def exact_pairs(texts: dict[int, str], threshold: float) -> set[tuple[int, int]]:
+    """All id pairs with exact shingle-Jaccard >= threshold."""
+    sets = {i: set(hsh.shingle_ids(t or "", 5).tolist()) for i, t in texts.items()}
+    ids = sorted(sets)
+    out = set()
+    for a, b in itertools.combinations(ids, 2):
+        sa, sb = sets[a], sets[b]
+        union = len(sa | sb)
+        if union and len(sa & sb) / union >= threshold:
+            out.add((a, b))
+    return out
+
+
+def prf(got: set, truth: set) -> dict:
+    tp = len(got & truth)
+    prec = tp / len(got) if got else 1.0
+    rec = tp / len(truth) if truth else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {
+        "predicted": len(got),
+        "truth": len(truth),
+        "tp": tp,
+        "precision": round(prec, 4),
+        "recall": round(rec, 4),
+        "f1": round(f1, 4),
+    }
+
+
+def mutate(texts: dict[int, str], seed: int = 7) -> dict[int, str]:
+    """Add graded near-dup variants: for each of the first 150 docs, one
+    mutant with a word-replacement rate drawn from [0.02, 0.6] — this
+    populates the borderline Jaccard band the raw corpus lacks, which is
+    where detectors actually differ."""
+    rng = np.random.default_rng(seed)
+    out = dict(texts)
+    base_ids = sorted(texts)[:150]
+    next_id = max(texts) + 1
+    for i in base_ids:
+        words = (texts[i] or "").split()
+        if len(words) < 10:
+            continue
+        rate = rng.uniform(0.02, 0.6)
+        w = list(words)
+        for j in range(len(w)):
+            if rng.random() < rate:
+                w[j] = f"mut{rng.integers(1e6)}"
+        out[next_id] = " ".join(w)
+        next_id += 1
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--threshold", type=float, default=0.5)
+    args = ap.parse_args()
+
+    spark = get_spark("dedup-eval", master="local[8]", shuffle_partitions=8)
+    raw = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    texts = mutate({r["doc_id"]: r["text"] for r in raw.collect()})
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    truth = exact_pairs(texts, args.threshold)
+
+    results = []
+
+    for bands in (8, 16, 32):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(
+                docs, n_perm=64, bands=bands, threshold=args.threshold
+            ).collect()
+        }
+        row = {"detector": f"minhash_lsh b={bands} r={64 // bands}", **prf(got, truth)}
+        results.append(row)
+        print(json.dumps(row))
+
+    for maxh in (3, 7):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_near_dups(docs, max_hamming=maxh).collect()
+        }
+        row = {"detector": f"simhash h<={maxh}", **prf(got, truth)}
+        results.append(row)
+        print(json.dumps(row))
+
+    with open(os.path.join(REPO, "EVAL.md"), "w") as f:
+        f.write(
+            "# EVAL — near-dup detector quality vs exact ground truth\n\n"
+            f"Corpus: `{args.sf_dir}/documents.parquet` plus graded mutants "
+            f"(word-replacement rate 0.02-0.6; {len(texts)} docs total). "
+            f"Ground truth: exact char-5-shingle Jaccard >= {args.threshold} "
+            f"over all pairs ({len(truth)} positive pairs).\n"
+            "Regenerate with `python tools/dedup_eval.py`.\n\n"
+            "| detector | predicted | tp | precision | recall | f1 |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for r in results:
+            f.write(
+                f"| {r['detector']} | {r['predicted']} | {r['tp']} "
+                f"| {r['precision']} | {r['recall']} | {r['f1']} |\n"
+            )
+        f.write(
+            "\nReading: banded LSH recall rises with more bands (lower\n"
+            "collision threshold ~ (1/b)^(1/r)) at some precision cost —\n"
+            "precision stays high here because candidates are verified by\n"
+            "signature-estimated Jaccard before emission. SimHash with a\n"
+            "small Hamming budget is a high-precision/lower-recall detector\n"
+            "for the same threshold; widening the budget trades back.\n"
+        )
+    print("wrote EVAL.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
