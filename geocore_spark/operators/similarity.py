@@ -247,3 +247,100 @@ def near_dup_cosine(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once, probe with partition pruning
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 2048,
+) -> None:
+    """Persist an IVF index: ``<path>/centroids`` (codebook) +
+    ``<path>/lists`` (corpus partitioned BY LIST ID on disk).
+
+    The partition layout is the point: at 100 TB the index is written
+    once, and every search reads only its probed ``list_id=<i>/``
+    directories — file-level partition pruning, no corpus scan. (The
+    inline :func:`ivf_topk` shuffles the corpus per query-set instead.)
+    """
+    spark = corpus.sparkSession
+    sample = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in corpus.select(vec_col).limit(train_sample).collect()
+        ]
+    )
+    centroids = _kmeans_centroids(sample, n_lists)
+    spark.createDataFrame(
+        [(i, centroids[i].tolist()) for i in range(n_lists)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assign = assign_udf(centroids, 1)
+    (
+        corpus.select(
+            F.col(corpus_id).alias("nid"),
+            F.col(vec_col).alias("nv"),
+            F.element_at(assign(F.col(vec_col)), 1).alias("list_id"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+def ivf_index_topk(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k against a :func:`build_ivf_index` index.
+
+    Collects the query side's probe-list set (queries are the small side)
+    and filters the lists scan with ``list_id IN (...)`` — a partition
+    filter, so only the probed directories are read. Scoring/ranking is
+    identical to :func:`ivf_topk`.
+    """
+    spark = queries.sparkSession
+    centroids = load_ivf_centroids(spark, path)
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.explode(assign_udf(centroids, n_probe)(F.col(vec_col))).alias("list_id"),
+    )
+    probe_ids = sorted(r["list_id"] for r in q.select("list_id").distinct().collect())
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("list_id").isin(probe_ids)
+    )
+    cand = q.join(lists, "list_id")
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("nid"))
+    scored = cand.select(
+        "qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim")
+    ).dropDuplicates(["qid", "nid"])
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("nid").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+    )

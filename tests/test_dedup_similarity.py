@@ -150,3 +150,31 @@ def test_ivf_deterministic(spark, sf_dir):
     a = sorted(map(tuple, similarity.ivf_topk(queries, emb, k=3).collect()))
     b = sorted(map(tuple, similarity.ivf_topk(queries, emb, k=3).collect()))
     assert a == b
+
+
+def test_ivf_index_persist_and_probe(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, n_lists=8)
+    # layout: lists partitioned by list_id on disk
+    import os
+
+    parts = [d for d in os.listdir(idx + "/lists") if d.startswith("list_id=")]
+    assert len(parts) >= 2
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_index_topk(queries, idx, k=5, n_probe=8)  # probe all
+    # probing every list == exact brute force
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    key = lambda r: (r["vec_id"], r["rank"], r["neighbor_id"])
+    assert sorted(map(key, out.collect())) == sorted(map(key, exact.collect()))
+
+    # partial probe: partition filter must reach the scan (pruned read)
+    one = emb.filter(F.col("vec_id") == 0)
+    probed = similarity.ivf_index_topk(one, idx, k=5, n_probe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*list_id", plan)
+    assert m, plan[:2000]
+    assert probed.count() > 0
