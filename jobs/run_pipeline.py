@@ -14,6 +14,7 @@ committed stages — SURVEY.md §7 stage 10):
   3. tile      : geocell res-13 string + S2 level-12 long ids
   4. pip       : point-in-polygon join against the fault/lease layer
   5. features  : per-cell assembly (counts, zonal raster sample, test flag)
+  6. curate    : text dedup + quality gate -> per-cell lang distribution
 
 Every stage logs per-partition row counts through the lineage tracker and
 appends to <checkpoint-root>/metrics.json.
@@ -46,6 +47,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--checkpoint-root", default="/tmp/geocore_ckpt")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--res", type=int, default=tl.DEFAULT_RES)
+    ap.add_argument(
+        "--min-quality",
+        type=float,
+        default=0.05,
+        help="curate-stage quality gate; the synthetic pages' extracted "
+        "text is short (~57 chars, q~0.057) so the default keeps the "
+        "gate live without filtering everything — raise for real corpora",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("geocore-pipeline")
@@ -122,6 +131,29 @@ def main(argv: list[str] | None = None) -> None:
 
     features = staged("features", build_features)
 
+    def build_curate():
+        # corpus-curation leg: extracted text -> exact dedup -> quality
+        # gate -> language distribution per cell (the web-text twin of the
+        # feature assembly above; same checkpoint/lineage treatment)
+        from geocore_spark.operators import dedup as dd
+
+        docs, _ = observed(
+            geotagged.join(tiled.select("url", "cell"), "url", "inner").select(
+                F.xxhash64("url").alias("doc_id"), "url", "text", "lang", "cell"
+            ),
+            "curate_in",
+        )
+        kept = dd.exact_dedup(docs, id_col="doc_id", text_col="text")
+        quality = kept.withColumn("q", tx.quality_score(F.col("text"))).filter(
+            F.col("q") >= args.min_quality
+        )
+        return quality.groupBy("cell", "lang").agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+
+    curated = staged("curate", build_curate)
+
     log.record("total", seconds=round(time.time() - t_start, 2))
     metrics_path = os.path.join(args.checkpoint_root, "metrics.json")
     with open(metrics_path, "w") as f:
@@ -131,6 +163,7 @@ def main(argv: list[str] | None = None) -> None:
             {
                 "feature_cells": features.count(),
                 "pip_hits": pip.count(),
+                "curated_groups": curated.count(),
                 "metrics": metrics_path,
                 "seconds": round(time.time() - t_start, 2),
             }
