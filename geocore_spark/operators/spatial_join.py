@@ -202,35 +202,45 @@ def pip_polygon_join(
             out[m] = pip_mod.points_in_wkb(lons[m], lats[m], table[int(pid)])
         return pd.Series(out)
 
-    # One equi-join per distinct cover resolution (typically 2-3): points
-    # encode at that res with pure arithmetic, the broadcast cover subset
-    # joins on the cell. Full-interior cells skip the exact refine; only
-    # boundary-cell candidates pay the Arrow round trip.
-    results = []
-    for r in sorted(cover["res"].unique()):
-        sub = cover[cover["res"] == r]
-        cover_df = F.broadcast(
-            spark.createDataFrame(
-                sub[["cell", "polygon_id", "full"]],
-                "cell string, polygon_id long, full boolean",
+    # ONE equi-join for every cover resolution at once: each polygon
+    # covers at exactly one res, so points explode to their cell id at
+    # each distinct cover res (a handful) and join the broadcast cover on
+    # (res, cell) — one scan of the points, one broadcast probe, instead
+    # of a join + union pair per resolution. Full-interior cells pass
+    # immediately; the exact refine runs in a single Arrow stage over the
+    # (small) candidate set. At 100 TB the explode factor is the distinct
+    # cover-res count (<= 4), applied before a broadcast join — no
+    # shuffle of the big side.
+    resolutions = sorted(int(r) for r in cover["res"].unique())
+    cover_df = F.broadcast(
+        spark.createDataFrame(
+            cover[["res", "cell", "polygon_id", "full"]],
+            "res int, cell string, polygon_id long, full boolean",
+        )
+    )
+    pts = points.withColumn(
+        "__rc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("res"),
+                        tl.latlng_to_cell(F.col(lat), F.col(lon), r).alias("cell"),
+                    )
+                    for r in resolutions
+                ]
             )
-        )
-        pts = points.withColumn(
-            "__cell", tl.latlng_to_cell(F.col(lat), F.col(lon), int(r))
-        )
-        cand = pts.join(cover_df, pts["__cell"] == cover_df["cell"], "inner").drop(
-            cover_df["cell"]
-        )
-        hits = cand.filter("full").unionByName(
-            cand.filter(~F.col("full")).filter(
-                _refine(F.col(lat), F.col(lon), F.col("polygon_id"))
-            )
-        )
-        results.append(hits.drop("__cell", "full"))
-    out = results[0]
-    for r_df in results[1:]:
-        out = out.unionByName(r_df)
-    return out.join(F.broadcast(polygons.drop("wkb")), "polygon_id", "left")
+        ),
+    )
+    cand = pts.join(
+        cover_df,
+        (pts["__rc.res"] == cover_df["res"]) & (pts["__rc.cell"] == cover_df["cell"]),
+        "inner",
+    ).drop(cover_df["res"]).drop(cover_df["cell"])
+    hits = cand.filter(
+        F.col("full") | _refine(F.col(lat), F.col(lon), F.col("polygon_id"))
+    ).drop("__rc", "full")
+    return hits.join(F.broadcast(polygons.drop("wkb")), "polygon_id", "left")
 
 
 # ---------------------------------------------------------------------------
