@@ -243,6 +243,88 @@ def pip_polygon_join(
     return hits.join(F.broadcast(polygons.drop("wkb")), "polygon_id", "left")
 
 
+def pip_polygon_join_partitioned(
+    points: DataFrame,
+    polygons: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = tl.DEFAULT_RES,
+    max_cover_cells: int = 2048,
+) -> DataFrame:
+    """PIP join for LARGE polygon layers (SURVEY §7 stage 5's partitioned
+    variant).
+
+    The broadcast variant collects the layer to the driver — right for
+    an 85 KB coastline, wrong for millions of parcels. Here the cover
+    table is computed EXECUTOR-side (``mapInPandas`` over polygon
+    partitions, same kernel), persisted, and shuffle-joined with the
+    points on (res, cell); boundary cover rows carry their polygon's WKB
+    so the refine needs no driver-side lookup table. The layer never
+    passes through the driver and nothing is broadcast (AQE may still
+    choose a broadcast join if the cover turns out small — that's the
+    right call when it happens).
+
+    Results are identical to :func:`pip_polygon_join` (both are exact).
+    """
+    spark = points.sparkSession
+
+    def _covers(batches):
+        for pdf in batches:
+            sub = polygon_cover_cells(pdf, res, max_cover_cells)
+            if not len(sub):
+                continue
+            wkb_by_id = {int(r["polygon_id"]): bytes(r["wkb"]) for _, r in pdf.iterrows()}
+            out = sub.copy()
+            out["wkb"] = [
+                None if full else wkb_by_id[int(pid)]
+                for pid, full in zip(sub["polygon_id"], sub["full"])
+            ]
+            yield out[["res", "cell", "polygon_id", "full", "wkb"]]
+
+    cover = polygons.select("polygon_id", "wkb").mapInPandas(
+        _covers, "res int, cell string, polygon_id long, full boolean, wkb binary"
+    )
+    # persisted: the distinct-res probe below and the join both read it;
+    # at 100 TB this would be a staged table (plans/checkpoint.py)
+    cover = cover.persist()
+    resolutions = sorted(r["res"] for r in cover.select("res").distinct().collect())
+
+    @F.pandas_udf("boolean")
+    def _refine_wkb(lat_s: pd.Series, lon_s: pd.Series, wkb_s: pd.Series) -> pd.Series:
+        lats = lat_s.to_numpy(float)
+        lons = lon_s.to_numpy(float)
+        out = np.zeros(len(lats), dtype=bool)
+        keys = wkb_s.map(lambda b: bytes(b) if b is not None else None)
+        for wkb, grp in pd.RangeIndex(len(keys)).to_series().groupby(keys):
+            m = grp.to_numpy()
+            out[m] = pip_mod.points_in_wkb(lons[m], lats[m], wkb)
+        return pd.Series(out)
+
+    pts = points.withColumn(
+        "__rc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("res"),
+                        tl.latlng_to_cell(F.col(lat), F.col(lon), r).alias("cell"),
+                    )
+                    for r in resolutions
+                ]
+            )
+        ),
+    )
+    cand = pts.join(
+        cover,
+        (pts["__rc.res"] == cover["res"]) & (pts["__rc.cell"] == cover["cell"]),
+        "inner",
+    ).drop(cover["res"]).drop(cover["cell"])
+    hits = cand.filter(
+        F.col("full") | _refine_wkb(F.col(lat), F.col(lon), F.col("wkb"))
+    ).drop("__rc", "full", "wkb")
+    return hits.join(polygons.drop("wkb"), "polygon_id", "left")
+
+
 # ---------------------------------------------------------------------------
 # Distance theta-join + buffer anti-join (k-ring cover + haversine refine)
 # ---------------------------------------------------------------------------

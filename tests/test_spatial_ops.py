@@ -199,3 +199,20 @@ def test_mega_cell_split_reparent_roundtrip(spark):
     # and the split actually went finer
     finer = split.filter(F.col("work_cell") != F.col("cell")).count()
     assert finer == 500
+
+
+def test_pip_partitioned_matches_broadcast(spark):
+    """The large-layer variant (executor-side covers, no broadcast, no
+    driver collect of the layer) must produce exactly the broadcast
+    variant's rows — both are exact."""
+    import __spark_entry__ as em
+
+    pts = em._event_points(spark, "/root/testdata/sf0.01")
+    for n_polys in (24, 120):
+        polys = pgn.polygon_layer(spark, n_polys)
+        a = spatial_join.pip_polygon_join(pts, polys)
+        b = spatial_join.pip_polygon_join_partitioned(pts, polys)
+        key = lambda r: (r["id"], r["polygon_id"])
+        ra = sorted(key(r) for r in a.collect())
+        rb = sorted(key(r) for r in b.collect())
+        assert ra == rb and len(ra) > 0, (n_polys, len(ra), len(rb))
