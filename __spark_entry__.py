@@ -609,6 +609,73 @@ WHERE {haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= 400.0
 """
 
 
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (functions/urls.py): messy deterministic URLs
+    (case soup, default ports, unsorted params, fragments) -> normalized
+    form + registrable domain + path depth. Pure Column regexp/array
+    exprs; oracle replicates each step in DuckDB SQL."""
+    from geocore_spark.functions import urls
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    scheme = F.when(F.col("event_id") % 2 == 0, F.lit("HTTP")).otherwise(
+        F.lit("https")
+    )
+    port = F.when(F.col("event_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443"))
+    raw = F.concat(
+        scheme,
+        F.lit("://H"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".Zone"),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit(".COM"),
+        port,
+        F.lit("/p/"),
+        (F.col("event_id") % 1000).cast("string"),
+        F.lit("?z="),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit("&a="),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit("#s"),
+        (F.col("event_id") % 7).cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        urls.normalize_url(raw).alias("norm_url"),
+        urls.registrable_domain(raw).alias("domain"),
+        urls.url_path_depth(raw).alias("depth"),
+    )
+
+
+def _sql_url_normalize() -> str:
+    from geocore_spark.functions.urls import normalize_url_sql
+
+    raw = (
+        "(CASE WHEN event_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://H' || "
+        "CAST(user_id % 50 AS VARCHAR) || '.Zone' || CAST(user_id % 7 AS VARCHAR) "
+        "|| '.COM' || (CASE WHEN event_id % 2 = 0 THEN ':80' ELSE ':443' END) || "
+        "'/p/' || CAST(event_id % 1000 AS VARCHAR) || '?z=' || "
+        "CAST(event_id % 3 AS VARCHAR) || '&a=' || CAST(user_id % 5 AS VARCHAR) "
+        "|| '#s' || CAST(event_id % 7 AS VARCHAR))"
+    )
+    host = (
+        f"regexp_replace(lower(regexp_extract(regexp_replace(regexp_replace({raw}, "
+        "'#.*$', ''), '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?#]+)', 1)), "
+        "':[0-9]+$', '')"
+    )
+    path = (
+        f"regexp_replace(regexp_replace(regexp_replace({raw}, '[#?].*$', ''), "
+        "'^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^[^/]+', '')"
+    )
+    return f"""
+SELECT event_id,
+       {normalize_url_sql(raw)} AS norm_url,
+       regexp_extract({host}, '([^.]+\\.[^.]+)$', 1) AS domain,
+       CAST(len(list_filter(string_split({path}, '/'), x -> x <> '')) AS INT)
+         AS depth
+FROM events
+"""
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Crawl-frontier politeness scheduler (streaming/frontier.py) in its
     batch form: per-host fetch times >= 5 s apart, priority-ordered. The
@@ -1591,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_join": q_distance_join,
         "dwithin_rewrite": q_dwithin_rewrite,
         "crawl_frontier": q_crawl_frontier,
+        "url_normalize": q_url_normalize,
         "knn": q_knn,
         "buffer_exclusion": q_buffer_exclusion,
         "zonal_stats": q_zonal_stats,
@@ -1661,6 +1729,7 @@ def oracle_sql() -> dict[str, str]:
         "distance_join": _SQL_DISTANCE_JOIN,
         "dwithin_rewrite": _SQL_DWITHIN_REWRITE,
         "crawl_frontier": _SQL_CRAWL_FRONTIER,
+        "url_normalize": _sql_url_normalize(),
         "media_format": _SQL_MEDIA_FORMAT,
         "knn": _SQL_KNN,
         "buffer_exclusion": _SQL_BUFFER_EXCL,

@@ -1,0 +1,53 @@
+"""URL canonicalization Column functions."""
+
+from pyspark.sql import functions as F
+
+from geocore_spark.functions import urls
+
+
+def _norm(spark, raw):
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    return [r["n"] for r in df.select(urls.normalize_url(F.col("url")).alias("n")).collect()]
+
+
+def test_normalize_url_cases(spark):
+    got = _norm(
+        spark,
+        [
+            "HTTP://Example.COM:80/a/b?z=1&a=2#frag",
+            "https://example.com:443/",
+            "https://example.com",
+            "http://h9.example/p/1",
+            "https://Example.com/a?b=2&a=1&a=0",
+            "http://example.com:8080/x",
+        ],
+    )
+    assert got == [
+        "http://example.com/a/b?a=2&z=1",
+        "https://example.com/",
+        "https://example.com/",
+        "http://h9.example/p/1",
+        "https://example.com/a?a=0&a=1&b=2",
+        "http://example.com:8080/x",  # non-default port kept
+    ]
+
+
+def test_normalize_idempotent(spark):
+    raw = ["HTTP://A.B:80/p?x=2&y=1#f", "https://c.d/e/f?q=1"]
+    once = _norm(spark, raw)
+    twice = _norm(spark, once)
+    assert once == twice
+
+
+def test_host_domain_depth(spark):
+    df = spark.createDataFrame(
+        [("https://Sub.News.Example.co:8443/a/b/c?x=1#y",)], "url string"
+    )
+    r = df.select(
+        urls.url_host(F.col("url")).alias("h"),
+        urls.registrable_domain(F.col("url")).alias("d"),
+        urls.url_path_depth(F.col("url")).alias("n"),
+    ).first()
+    assert r["h"] == "sub.news.example.co:8443"
+    assert r["d"] == "example.co"
+    assert r["n"] == 3
