@@ -609,6 +609,48 @@ WHERE {haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= 400.0
 """
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (functions/text.py):
+    duplicate-word ratio + top-bigram share per document — pure Column
+    array exprs, DuckDB list-lambda oracle."""
+    d = _t(spark, sf_dir, "documents")
+    # stage the arrays as real columns: inline nesting makes codegen
+    # re-derive them per lambda element (see functions/text.word_bigrams)
+    staged = d.select("doc_id", tx.words(F.col("text")).alias("toks")).select(
+        "doc_id", "toks", tx.word_bigrams(F.col("toks")).alias("bg")
+    )
+    return staged.select(
+        "doc_id",
+        F.round(tx.dup_word_ratio(F.col("toks")), 6).alias("dup_word_ratio"),
+        F.round(tx.top_bigram_share(F.col("bg")), 6).alias("top_bigram_share"),
+    )
+
+
+_SQL_REPETITION = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_transform(range(1, CASE WHEN len(toks) > 2 THEN len(toks)
+                                      ELSE 2 END),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bg
+  FROM t
+)
+SELECT doc_id,
+       round(CASE WHEN n = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / CAST(n AS DOUBLE) END, 6) AS dup_word_ratio,
+       round(CASE WHEN n < 2 THEN 0.0
+             ELSE CAST(list_max(list_transform(list_distinct(bg),
+                    v -> len(list_filter(bg, x -> x = v)))) AS DOUBLE)
+                  / CAST(n - 1 AS DOUBLE) END, 6) AS top_bigram_share
+FROM b
+"""
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization (functions/urls.py): messy deterministic URLs
     (case soup, default ports, unsorted params, fragments) -> normalized
@@ -1659,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_rewrite": q_dwithin_rewrite,
         "crawl_frontier": q_crawl_frontier,
         "url_normalize": q_url_normalize,
+        "repetition_signals": q_repetition_signals,
         "knn": q_knn,
         "buffer_exclusion": q_buffer_exclusion,
         "zonal_stats": q_zonal_stats,
@@ -1730,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "dwithin_rewrite": _SQL_DWITHIN_REWRITE,
         "crawl_frontier": _SQL_CRAWL_FRONTIER,
         "url_normalize": _sql_url_normalize(),
+        "repetition_signals": _SQL_REPETITION,
         "media_format": _SQL_MEDIA_FORMAT,
         "knn": _SQL_KNN,
         "buffer_exclusion": _SQL_BUFFER_EXCL,

@@ -147,6 +147,51 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("long")
 
 
+def words(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+
+
+def word_bigrams(toks: Column) -> Column:
+    """Adjacent word pairs of a token-array column (empty if < 2 tokens).
+
+    IMPORTANT for consumers: pass a *materialized column* (stage the
+    token array in a prior select) — nested higher-order lambdas over an
+    inline expression make codegen re-derive it per element, turning an
+    O(n^2) row into O(n^4) (measured 26 s vs 0.2 s on 500 short docs).
+    """
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(bigrams)
+
+
+def dup_word_ratio(toks: Column) -> Column:
+    """Fraction of word occurrences that repeat an earlier word
+    (1 - distinct/total) — the Gopher-style repetition signal over a
+    token-array column. 0.0 for empty text."""
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    )
+
+
+def top_bigram_share(bg: Column) -> Column:
+    """Share of the most frequent bigram in a bigram-array column — high
+    values flag boilerplate/templated text. O(distinct^2) per row in JVM
+    array exprs (docs are short; no UDF, no shuffle)."""
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bg), lambda b: F.size(F.filter(bg, lambda x: x == b))
+        )
+    )
+    return F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
+        top.cast("double") / F.size(bg).cast("double")
+    )
+
+
 def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     min k-gram hash per sliding window of ``window`` hashes; robust

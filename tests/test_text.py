@@ -1,0 +1,33 @@
+"""Repetition-quality text signals (Gopher-style)."""
+
+from pyspark.sql import functions as F
+
+from geocore_spark.functions import text as tx
+
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (1, "a a a a"),                 # all dup words; bigram 'a a' x3
+        (2, "w x y z"),                 # no repetition
+        (3, ""),                        # empty
+        (4, "one"),                     # single token: no bigrams
+        (5, "go go go stop go go go"),  # heavy top-bigram share
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    staged = df.select("doc_id", tx.words(F.col("text")).alias("toks")).select(
+        "doc_id", "toks", tx.word_bigrams(F.col("toks")).alias("bg")
+    )
+    got = {
+        r["doc_id"]: (r["d"], r["t"])
+        for r in staged.select(
+            "doc_id",
+            F.round(tx.dup_word_ratio(F.col("toks")), 6).alias("d"),
+            F.round(tx.top_bigram_share(F.col("bg")), 6).alias("t"),
+        ).collect()
+    }
+    assert got[1] == (0.75, 1.0)
+    assert got[2] == (0.0, 0.333333)  # 4 words -> 3 distinct bigrams -> 1/3
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.0)
+    assert got[5] == (0.714286, 0.666667)  # 'go go' 4 of 6 bigrams
