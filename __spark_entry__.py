@@ -609,6 +609,63 @@ WHERE {haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= 400.0
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental-crawl delta (operators/diff.py): classify keys between
+    two snapshots as added/removed/changed/unchanged via one full-outer
+    join + null-safe fingerprint compare. Snapshots derived
+    deterministically from documents; md5 fingerprints so the oracle
+    computes the identical values."""
+    from geocore_spark.operators import diff as df_mod
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    new = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.md5(F.concat(F.col("text"), F.lit("v2"))),
+            )
+            .otherwise(F.md5(F.col("text")))
+            .alias("fp"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.md5(F.col("text")).alias("fp"),
+            )
+        )
+    )
+    return df_mod.snapshot_diff(old, new, key="doc_id", fingerprint="fp")
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN md5(text || 'v2')
+              ELSE md5(text) END AS fp
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 17 = 0
+),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         o.fp AS old_fp, n.fp AS new_fp,
+         o.doc_id IS NOT NULL AS in_old, n.doc_id IS NOT NULL AS in_new
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN old_fp IS NOT DISTINCT FROM new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_fp, new_fp
+FROM j
+"""
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals (functions/text.py):
     duplicate-word ratio + top-bigram share per document — pure Column
@@ -1702,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "url_normalize": q_url_normalize,
         "repetition_signals": q_repetition_signals,
+        "snapshot_diff": q_snapshot_diff,
         "knn": q_knn,
         "buffer_exclusion": q_buffer_exclusion,
         "zonal_stats": q_zonal_stats,
@@ -1774,6 +1832,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _SQL_CRAWL_FRONTIER,
         "url_normalize": _sql_url_normalize(),
         "repetition_signals": _SQL_REPETITION,
+        "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "media_format": _SQL_MEDIA_FORMAT,
         "knn": _SQL_KNN,
         "buffer_exclusion": _SQL_BUFFER_EXCL,

@@ -198,19 +198,45 @@ def minhash_batch(texts, n_perm: int = _N_PERM_DEFAULT, k: int = 5) -> np.ndarra
     # min. pd.factorize is hash-based O(n) — ~25x cheaper than np.unique's
     # sort at this size, and min doesn't care that uniq is unsorted.
     inv, uniq = pd.factorize(shingles)
+    inv = np.ascontiguousarray(inv)
     uniq = np.ascontiguousarray(uniq, dtype=np.uint64)
-    out = np.empty((ndocs, n_perm), dtype=np.uint64)
-    nw = len(inv)
-    g = np.empty(nw, dtype=np.uint64)
-    hi = np.empty(len(uniq), dtype=np.uint64)
-    cmp = np.empty(len(uniq), dtype=bool)
-    vals = np.empty(len(uniq), dtype=np.uint64)
+    nu = len(uniq)
+    # all permuted values of the distinct shingles, once per batch
+    vals_all = np.empty((n_perm, nu), dtype=np.uint64)
+    hi = np.empty(nu, dtype=np.uint64)
+    cmp = np.empty(nu, dtype=bool)
     for i in range(n_perm):
-        np.multiply(uniq, a[i], out=vals)
-        np.add(vals, b[i], out=vals)
-        _mod61_inplace(vals, hi, cmp)
-        np.take(vals, inv, out=g)
-        out[:, i] = np.minimum.reduceat(g, seg)
+        v = vals_all[i]
+        np.multiply(uniq, a[i], out=v)
+        np.add(v, b[i], out=v)
+        _mod61_inplace(v, hi, cmp)
+    # Doc-chunked min pass: the naive loop streams a windows-sized gather
+    # through DRAM 64 times (~4.5 GB per 8k-doc batch) — fine alone,
+    # catastrophic when 32 executor-side workers share one memory bus
+    # (measured 6.5x per-batch slowdown at 32-way). Chunking by doc keeps
+    # the gather buffer + inverse indices L2-resident across the 64
+    # perms, cutting DRAM traffic ~{windows/chunk}x.
+    out = np.empty((ndocs, n_perm), dtype=np.uint64)
+    target_windows = 1 << 16
+    gbuf = np.empty(min(len(inv), 2 * target_windows + 1024), dtype=np.uint64)
+    d0 = 0
+    while d0 < ndocs:
+        d1 = d0 + 1
+        w0 = seg[d0]
+        limit = w0 + target_windows
+        while d1 < ndocs and seg[d1] < limit:
+            d1 += 1
+        w1 = seg[d1] if d1 < ndocs else len(inv)
+        nwc = w1 - w0
+        if nwc > len(gbuf):
+            gbuf = np.empty(nwc, dtype=np.uint64)
+        inv_c = inv[w0:w1]
+        seg_c = seg[d0:d1] - w0
+        gc = gbuf[:nwc]
+        for i in range(n_perm):
+            np.take(vals_all[i], inv_c, out=gc)
+            out[d0:d1, i] = np.minimum.reduceat(gc, seg_c)
+        d0 = d1
     return out.astype(np.int64)
 
 
@@ -229,11 +255,27 @@ def simhash_batch(texts, k: int = 4) -> np.ndarray:
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     z = z ^ (z >> np.uint64(31))
     out = np.zeros(ndocs, dtype=np.uint64)
-    for i in range(64):
-        bits = (z >> np.uint64(i)) & np.uint64(1)
-        ones = np.add.reduceat(bits, seg).astype(np.int64)
-        votes = 2 * ones - counts
-        out |= (votes > 0).astype(np.uint64) << np.uint64(i)
+    # doc-chunked bit voting — same memory-bus rationale as minhash_batch:
+    # keep the 64-pass loop's working set L2-resident per chunk
+    target = 1 << 16
+    d0 = 0
+    while d0 < ndocs:
+        d1 = d0 + 1
+        w0 = seg[d0]
+        limit = w0 + target
+        while d1 < ndocs and seg[d1] < limit:
+            d1 += 1
+        w1 = seg[d1] if d1 < ndocs else len(s_u)
+        zc = z[w0:w1]
+        seg_c = seg[d0:d1] - w0
+        counts_c = counts[d0:d1]
+        oc = out[d0:d1]
+        for i in range(64):
+            bits = (zc >> np.uint64(i)) & np.uint64(1)
+            ones = np.add.reduceat(bits, seg_c).astype(np.int64)
+            votes = 2 * ones - counts_c
+            oc |= (votes > 0).astype(np.uint64) << np.uint64(i)
+        d0 = d1
     return out.astype(np.int64)
 
 

@@ -84,6 +84,66 @@ print(json.dumps({{"t": min(ts)}}))
     return json.loads(out.stdout.strip().splitlines()[-1])["t"]
 
 
+DOCS_PARQUET = os.environ.get("SPARK_GRAFT_DOCS_DIR", "/tmp/geocore_docs500k")
+N_DOCS = 500_000
+
+
+def _materialize_docs() -> None:
+    if os.path.exists(os.path.join(DOCS_PARQUET, "_SUCCESS")):
+        return
+    code = f"""
+from geocore_spark.session import get_spark
+from geocore_spark.sources import documents as ds
+spark = get_spark("mat-docs", master="local[32]", shuffle_partitions=32)
+ds.documents(spark, {N_DOCS}, partitions=128) \\
+  .write.mode("overwrite").parquet("{DOCS_PARQUET}")
+"""
+    subprocess.run(
+        [sys.executable, "-c", code],
+        env=dict(os.environ, PYTHONPATH=REPO),
+        check=True,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+
+
+def _text_flagship(cpus: int) -> float:
+    """Webtext leg: docs parquet -> MinHash signatures (batched Arrow
+    kernel) -> banded LSH bucket counts. The dedup candidate-generation
+    spine, measured end to end."""
+    code = f"""
+import time, json
+from pyspark.sql import functions as F
+from geocore_spark.session import get_spark
+from geocore_spark.functions import hashing as hsh
+spark = get_spark("scale-text", master="local[{cpus}]", shuffle_partitions={cpus})
+def pipe():
+    d = spark.read.parquet("{DOCS_PARQUET}")
+    sig = d.select("doc_id", hsh.minhash_udf(64, 5)(F.col("text")).alias("sig"))
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.transform(F.sequence(F.lit(0), F.lit(15)),
+            lambda b: F.xxhash64(F.slice(F.col("sig"), b * 4 + 1, 4)))).alias("bhash"))
+    (banded.groupBy("bhash").count()
+           .write.format("noop").mode("overwrite").save())
+pipe()  # warm workers + codegen
+ts = []
+for _ in range(3):
+    t0 = time.time(); pipe(); ts.append(time.time() - t0)
+print(json.dumps({{"t": min(ts)}}))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=dict(os.environ, PYTHONPATH=REPO),
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])["t"]
+
+
 def _query_bench(cpus: int) -> dict:
     env = dict(
         os.environ,
@@ -104,10 +164,15 @@ def _query_bench(cpus: int) -> dict:
 
 def main():
     _materialize_pages()
+    _materialize_docs()
     t = {c: _flagship(c) for c in (2, 8, 32)}
     rate = {c: N_PAGES / t[c] for c in t}
     eff_2_8 = rate[8] / rate[2] / 4
     eff_8_32 = rate[32] / rate[8] / 4
+    td = {c: _text_flagship(c) for c in (2, 8, 32)}
+    drate = {c: N_DOCS / td[c] for c in td}
+    deff_2_8 = drate[8] / drate[2] / 4
+    deff_8_32 = drate[32] / drate[8] / 4
     r8 = _query_bench(8)
     r32 = _query_bench(32)
 
@@ -139,6 +204,24 @@ def main():
         "  Single-box thread scaling is the pessimistic bound, not the",
         "  cluster prediction.",
         "",
+        "## Webtext flagship scaling (dedup candidate generation)",
+        "",
+        f"{N_DOCS:,} docs (~80 words each) -> batched-Arrow MinHash(64) ->",
+        "16-band LSH bucket counts. Python-kernel + shuffle path (the",
+        "geotag flagship above is the pure-JVM path).",
+        "",
+        "| cores | wall s | docs/sec |",
+        "|---|---|---|",
+    ]
+    for c in (2, 8, 32):
+        lines.append(f"| local[{c}] | {td[c]:.2f} | {drate[c]:,.0f} |")
+    lines += [
+        "",
+        f"- 2 -> 8 cores: efficiency {deff_2_8:.2f};"
+        f" 8 -> 32 cores: efficiency {deff_8_32:.2f}"
+        " (Arrow-batched numpy kernels scale past the string-decode",
+        "  bandwidth wall that caps the JVM flagship's 8->32 pair).",
+        "",
         "## Per-query wall seconds (bench.py, sf0.1, best of 3)",
         "",
         "| query | local[8] s | local[32] s | speedup |",
@@ -158,6 +241,9 @@ def main():
         json.dumps({"flagship_wall_s": t, "pages": N_PAGES,
                     "efficiency_2_8": round(eff_2_8, 3),
                     "efficiency_8_32": round(eff_8_32, 3)}),
+        json.dumps({"text_flagship_wall_s": td, "docs": N_DOCS,
+                    "text_efficiency_2_8": round(deff_2_8, 3),
+                    "text_efficiency_8_32": round(deff_8_32, 3)}),
         json.dumps(r8),
         json.dumps(r32),
         "```",
@@ -167,7 +253,9 @@ def main():
         f.write("\n".join(lines) + "\n")
     print(
         f"wrote BENCH/BASELINE.md; eff(2->8)={eff_2_8:.2f} "
-        f"eff(8->32)={eff_8_32:.2f} peak={rate[32]:,.0f} pages/s"
+        f"eff(8->32)={eff_8_32:.2f} peak={rate[32]:,.0f} pages/s; "
+        f"text eff(2->8)={deff_2_8:.2f} eff(8->32)={deff_8_32:.2f} "
+        f"peak={drate[32]:,.0f} docs/s"
     )
 
 
