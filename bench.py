@@ -61,8 +61,9 @@ def b_tile_pipeline(spark, sf_dir, n_pages):
     df = spark.read.parquet(_pages_parquet(spark, n_pages))
     tagged = (
         df.withColumn("hs", F.decode("html", "UTF-8"))
-        .withColumn("lat", tx.geo_lat(F.col("hs")))
-        .withColumn("lon", tx.geo_lon(F.col("hs")))
+        .withColumn("g", tx.geo_latlon(F.col("hs")))
+        .withColumn("lat", F.col("g.lat"))
+        .withColumn("lon", F.col("g.lon"))
         .withColumn("cell", tl.latlng_to_cell(F.col("lat"), F.col("lon"), 13))
     )
     _sink(

@@ -44,6 +44,23 @@ def geo_lon(html_str: Column) -> Column:
     return F.when(v != "", v.cast("double"))
 
 
+_GEO_META_ONE = r'<meta name="geo\.position" content="(-?\d+\.\d+;-?\d+\.\d+)"/>'
+
+
+def geo_latlon(html_str: Column) -> Column:
+    """Both coordinates in ONE regex pass: struct(lat, lon), nulls when
+    absent. geo_lat + geo_lon run the same pattern twice — on the geotag
+    flagship the regex IS the dominant cost, so pipelines should extract
+    once and project the struct fields. Value-identical to
+    geo_lat/geo_lon (pinned in tests)."""
+    v = F.regexp_extract(html_str, _GEO_META_ONE, 1)
+    parts = F.split(v, ";")
+    return F.struct(
+        F.when(v != "", F.element_at(parts, 1).cast("double")).alias("lat"),
+        F.when(v != "", F.element_at(parts, 2).cast("double")).alias("lon"),
+    )
+
+
 def title_of(html_str: Column) -> Column:
     return F.regexp_extract(html_str, _TITLE, 1)
 

@@ -35,8 +35,10 @@ def tile_stream(pages: DataFrame, res: int = tl.DEFAULT_RES) -> DataFrame:
     """
     hs = F.decode("html", "UTF-8")
     return (
-        pages.withColumn("lat", tx.geo_lat(hs))
-        .withColumn("lon", tx.geo_lon(hs))
+        pages.withColumn("g", tx.geo_latlon(hs))
+        .withColumn("lat", F.col("g.lat"))
+        .withColumn("lon", F.col("g.lon"))
+        .drop("g")
         .filter(F.col("lat").isNotNull())
         .withColumn("cell", tl.latlng_to_cell(F.col("lat"), F.col("lon"), res))
     )

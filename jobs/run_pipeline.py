@@ -84,13 +84,14 @@ def main(argv: list[str] | None = None) -> None:
     def build_geotag():
         df, _ = observed(pages, "geotag_in")
         hs = F.decode("html", "UTF-8")
+        g = tx.geo_latlon(hs)
         return df.select(
             "url",
             "warc_ts",
             "lang",
             tx.extract_text_udf()(F.col("html")).alias("text"),
-            tx.geo_lat(hs).alias("lat"),
-            tx.geo_lon(hs).alias("lon"),
+            g["lat"].alias("lat"),
+            g["lon"].alias("lon"),
         ).filter(F.col("lat").isNotNull())
 
     geotagged = staged("geotag", build_geotag)

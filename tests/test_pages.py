@@ -94,3 +94,23 @@ def test_lang_guess(spark):
     )
     got = [r[0] for r in df.select(tx.lang_guess(F.col("text"))).collect()]
     assert got == ["en", "de", "fr", "unknown"]
+
+
+def test_geo_latlon_matches_split_extractors(spark):
+    """Single-pass geo_latlon must equal geo_lat + geo_lon on tagged,
+    untagged, and malformed pages."""
+    rows = [
+        ('<meta name="geo.position" content="40.7128;-74.0060"/>',),
+        ('<meta name="geo.position" content="-33.9;151.2"/>',),
+        ("<html>no tag</html>",),
+        ('<meta name="geo.position" content="bad;data"/>',),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "h string")
+    got = df.select(
+        tx.geo_lat(F.col("h")).alias("lat1"),
+        tx.geo_lon(F.col("h")).alias("lon1"),
+        tx.geo_latlon(F.col("h")).alias("g"),
+    ).collect()
+    for r in got:
+        assert r["lat1"] == r["g"]["lat"] and r["lon1"] == r["g"]["lon"], r
