@@ -1,0 +1,53 @@
+"""WARC source connector: parse + Spark read + pipeline composition."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from geocore_spark.functions import text as tx
+from geocore_spark.sources import warc
+
+RECS = [
+    (
+        "https://a.example/p/1",
+        "2025-03-01T12:00:00Z",
+        b'<html><meta name="geo.position" content="40.7128;-74.0060"/>x</html>',
+    ),
+    ("https://b.example/p/2", "2025-03-01T12:05:00Z", b"<html>no geo</html>"),
+    ("https://c.example/p/3", "2025-03-02T00:00:00Z", b"<html>\xe6\x97\xa5</html>"),
+]
+
+
+def test_parse_roundtrip(tmp_path):
+    p = str(tmp_path / "a.warc")
+    warc.write_warc(RECS, p)
+    got = warc.parse_warc_bytes(open(p, "rb").read())
+    assert [r["url"] for r in got] == [u for u, _, _ in RECS]
+    assert all(r["warc_type"] == "response" for r in got)
+    assert got[0]["html"] == RECS[0][2]  # HTTP headers stripped exactly
+    assert got[2]["html"] == RECS[2][2]  # binary-safe
+
+
+def test_parse_gzip_and_truncation(tmp_path):
+    p = str(tmp_path / "a.warc.gz")
+    warc.write_warc(RECS, p, compress=True)
+    got = warc.parse_warc_bytes(open(p, "rb").read())
+    assert len(got) == 3
+    # truncated archive: complete prefix records survive
+    raw = gzip.decompress(open(p, "rb").read())
+    assert len(warc.parse_warc_bytes(raw[: len(raw) - 40])) == 2
+
+
+def test_read_warc_spark(spark, tmp_path):
+    warc.write_warc(RECS[:2], str(tmp_path / "s1.warc"))
+    warc.write_warc(RECS[2:], str(tmp_path / "s2.warc.gz"), compress=True)
+    df = warc.read_warc(spark, str(tmp_path / "*.warc*"))
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {u for u, _, _ in RECS}
+    assert rows["https://a.example/p/1"]["warc_ts"].isoformat() == "2025-03-01T12:00:00"
+    # composes with the geotag pipeline
+    tagged = df.select(
+        "url", tx.geo_latlon(F.decode("html", "UTF-8")).alias("g")
+    ).filter(F.col("g.lat").isNotNull())
+    got = tagged.collect()
+    assert len(got) == 1 and got[0]["g"]["lat"] == 40.7128
