@@ -53,6 +53,26 @@ class DatasetConfig:
     index_col: str = "cell"
 
 
+def load_config(path: str) -> DatasetConfig:
+    """YAML experiment config -> DatasetConfig — the reference's config
+    surface (experiment_configs/*.yaml; dataset block keys features /
+    labels / tests / buffer_km / index_col). Unknown keys are ignored so
+    model/training blocks can coexist in the same file, as they do in
+    the reference's configs."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    ds = raw.get("dataset", raw)
+    return DatasetConfig(
+        features=list(ds["features"]),
+        labels=list(ds["labels"]),
+        tests=list(ds.get("tests", []) or []),
+        buffer_km=ds.get("buffer_km"),
+        index_col=ds.get("index_col", "cell"),
+    )
+
+
 def build_dataset(
     spark: SparkSession, cfg: DatasetConfig
 ) -> tuple[DataFrame, DataFrame]:

@@ -76,3 +76,22 @@ def test_register_rejects_same_name(spark):
         @reg.register(reg.FEATURES_REGISTRY, "f_base")
         def again(s):
             return None
+
+
+def test_load_config_yaml(spark, tmp_path):
+    _setup(spark)
+    p = tmp_path / "exp.yaml"
+    p.write_text(
+        "experiment: x\n"
+        "dataset:\n"
+        "  features: [f_base, f_partial]\n"
+        "  labels: [l_main]\n"
+        "  tests: [t_held]\n"
+        "  buffer_km: 0.0001\n"
+        "model: {type: lightgbm}\n"
+    )
+    cfg = reg.load_config(str(p))
+    assert cfg.features == ["f_base", "f_partial"]
+    assert cfg.buffer_km == 0.0001 and cfg.index_col == "cell"
+    train, app = reg.build_dataset(spark, cfg)
+    assert train.count() > 0 and app.count() > 0
