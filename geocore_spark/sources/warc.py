@@ -36,8 +36,23 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
     Malformed tails are dropped, not raised — a truncated archive yields
     its complete prefix records (crawl reality).
     """
-    if data[:2] == b"\x1f\x8b":  # whole-file gzip
-        data = gzip.decompress(data)
+    if data[:2] == b"\x1f\x8b":
+        # gzip: whole-file OR concatenated per-record members (the
+        # Common Crawl wire format — one gzip member per record).
+        # zlib's unused_data walks member boundaries; the decompressed
+        # concatenation parses identically either way.
+        import zlib
+
+        parts = []
+        while data[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=47)
+            try:
+                parts.append(d.decompress(data))
+                parts.append(d.flush())
+            except zlib.error:
+                break  # truncated trailing member: keep complete prefix
+            data = d.unused_data
+        data = b"".join(parts)
     out = []
     pos = 0
     n = len(data)

@@ -51,3 +51,15 @@ def test_read_warc_spark(spark, tmp_path):
     ).filter(F.col("g.lat").isNotNull())
     got = tagged.collect()
     assert len(got) == 1 and got[0]["g"]["lat"] == 40.7128
+
+
+def test_per_record_gzip_members(tmp_path):
+    """Common Crawl wire format: one gzip member per record, concatenated."""
+    members = []
+    for rec in RECS:
+        warc.write_warc([rec], str(tmp_path / "tmp.warc"))
+        members.append(gzip.compress(open(str(tmp_path / "tmp.warc"), "rb").read()))
+    blob = b"".join(members)
+    got = warc.parse_warc_bytes(blob)
+    assert [r["url"] for r in got] == [u for u, _, _ in RECS]
+    assert got[0]["html"] == RECS[0][2]
