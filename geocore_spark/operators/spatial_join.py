@@ -168,6 +168,34 @@ def polygon_cover_cells(
     )
 
 
+_COVER_CACHE: dict[tuple, tuple] = {}
+
+
+def _cover_cached(spark, polygons: DataFrame, res: int):
+    """Driver-side cover table + broadcast WKB map, cached per
+    (layer plan semantic hash, res).
+
+    Layers are reused across many joins in a session; without the cache
+    every call pays the collect + cover construction + broadcast again
+    (~1 s for a 24-polygon layer — pure fixed cost). semanticHash keys
+    the *plan*, so a layer read from the same source hits; sources whose
+    content changes under an identical plan must construct a fresh
+    DataFrame (normal for parquet reads — new snapshot, new path).
+    """
+    key = (polygons.semanticHash(), res)
+    hit = _COVER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    poly_pdf = polygons.select("polygon_id", "wkb").toPandas()
+    cover = polygon_cover_cells(poly_pdf, res)
+    wkb_by_id = {int(r["polygon_id"]): bytes(r["wkb"]) for _, r in poly_pdf.iterrows()}
+    bc = spark.sparkContext.broadcast(wkb_by_id)
+    if len(_COVER_CACHE) >= 16:
+        _COVER_CACHE.pop(next(iter(_COVER_CACHE)))
+    _COVER_CACHE[key] = (cover, bc)
+    return cover, bc
+
+
 def pip_polygon_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -185,10 +213,7 @@ def pip_polygon_join(
     row-at-a-time shapely apply (data_pipeline.py:45).
     """
     spark = points.sparkSession
-    poly_pdf = polygons.select("polygon_id", "wkb").toPandas()
-    cover = polygon_cover_cells(poly_pdf, res)
-    wkb_by_id = {int(r["polygon_id"]): bytes(r["wkb"]) for _, r in poly_pdf.iterrows()}
-    bc = spark.sparkContext.broadcast(wkb_by_id)
+    cover, bc = _cover_cached(spark, polygons, res)
 
     @F.pandas_udf("boolean")
     def _refine(lat_s: pd.Series, lon_s: pd.Series, pid_s: pd.Series) -> pd.Series:
