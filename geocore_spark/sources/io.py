@@ -97,3 +97,24 @@ def drop_table(spark: SparkSession, name: str, root: str | None = None) -> None:
         import shutil
 
         shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+def write_bucketed(
+    df: DataFrame, name: str, bucket_col: str, n_buckets: int = 128
+) -> None:
+    """Persist a table bucketed (and sorted) by the join key.
+
+    The 100 TB co-location backbone (SCALE.md): two tables bucketed by
+    the same column and count join WITHOUT any shuffle exchange — the
+    scans come up pre-hashed, and the reference's N-way cell-keyed
+    assembly (J1/J2/J5) becomes storage-partitioned. The shuffle-free
+    plan is pinned in tests (ShuffleExchange count == 0, both scans
+    ``Bucketed: true``). Uses the session catalog — on a cluster this is
+    a metastore/Iceberg table, locally the warehouse dir.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(name)
+    )

@@ -52,3 +52,35 @@ def test_h3compat_gated():
         pytest.skip("h3 present — gating not exercised")
     with pytest.raises(ImportError, match="h3"):
         h3compat.latlng_to_cell_udf(7)
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Bucketed-by-cell tables must join with zero shuffle exchanges —
+    the SCALE.md co-location claim, pinned on the physical plan."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 5000).select(
+        F.col("id").alias("cell"), (F.col("id") * 2).alias("v1")
+    )
+    b = spark.range(0, 5000).select(
+        F.col("id").alias("cell"), (F.col("id") * 3).alias("v2")
+    )
+    gio.write_bucketed(a, "bk_a", "cell", 8)
+    gio.write_bucketed(b, "bk_b", "cell", 8)
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        j = spark.table("bk_a").join(spark.table("bk_b"), "cell")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan[:1500]
+        assert plan.count("Bucketed: true") == 2
+        assert j.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
