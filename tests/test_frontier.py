@@ -136,3 +136,41 @@ def test_session_rollup_stream_drain_matches_batch(spark, tmp_path):
     for r in batch:
         per_cell.setdefault(r["cell"], []).append(r["n_pages"])
     assert sorted(per_cell["c1"]) == [2, 3] and per_cell["c2"] == [4]
+
+
+def test_schedule_batch_matches_naive_reference():
+    """The linearized running-max schedule must equal the obvious
+    sequential loop on random inputs (property test, no Spark)."""
+    import numpy as np
+    import pandas as pd
+
+    from geocore_spark.streaming.frontier import _schedule_batch
+
+    rng = np.random.default_rng(11)
+    for trial in range(50):
+        n = int(rng.integers(1, 40))
+        delay_us = int(rng.integers(1, 10_000_000))
+        next0 = int(rng.integers(0, 5_000_000))
+        disc = rng.integers(0, 50_000_000, size=n)
+        pdf = pd.DataFrame(
+            {
+                "host": "h",
+                "url": [f"u{i:03d}" for i in range(n)],
+                "priority": rng.random(n).round(3),
+                "discovered_ts": pd.to_datetime(disc, unit="us"),
+            }
+        )
+        got, got_next = _schedule_batch(pdf.copy(), next0, delay_us)
+        # naive reference
+        ref = pdf.sort_values(
+            ["priority", "url"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        nxt = next0
+        sched = []
+        for d in ref["discovered_ts"].astype("datetime64[us]").astype("int64"):
+            s = max(nxt, int(d))
+            sched.append(s)
+            nxt = s + delay_us
+        assert got_next == nxt, trial
+        got_us = got["scheduled_ts"].astype("datetime64[us]").astype("int64").tolist()
+        assert got_us == sched, trial

@@ -51,3 +51,27 @@ def test_host_domain_depth(spark):
     assert r["h"] == "sub.news.example.co:8443"
     assert r["d"] == "example.co"
     assert r["n"] == 3
+
+
+def test_normalize_idempotent_generated(spark):
+    """Idempotence over a generated grid of messy URLs (one Spark job)."""
+    import itertools
+
+    schemes = ["http", "HTTPS", "HtTp"]
+    hosts = ["A.b.C", "x.example.COM:8080", "h.io:80", "y.z:443"]
+    paths = ["", "/", "/a/b", "/a%20b/c"]
+    queries = ["", "?b=2&a=1", "?z=9&z=1&a="]
+    frags = ["", "#f", "#a?b=1"]
+    raw = [
+        f"{s}://{h}{p}{q}{fr}"
+        for s, h, p, q, fr in itertools.product(schemes, hosts, paths, queries, frags)
+    ]
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    once = [
+        r["n"] for r in df.select(urls.normalize_url(F.col("url")).alias("n")).collect()
+    ]
+    df2 = spark.createDataFrame([(u,) for u in once], "url string")
+    twice = [
+        r["n"] for r in df2.select(urls.normalize_url(F.col("url")).alias("n")).collect()
+    ]
+    assert once == twice
