@@ -609,6 +609,41 @@ WHERE {haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= 400.0
 """
 
 
+def q_robots_gate(spark, sf_dir):
+    """robots.txt gating (functions/robots.py): URLs filtered by their
+    host's parsed Disallow rules — parse once per host (Arrow UDF on the
+    broadcast side), per-URL decision pure Column. The oracle encodes
+    the fixture's expected effect (even-numbered hosts disallow /p/1*);
+    the parser itself is pinned by pytest."""
+    from geocore_spark.functions import robots as rb
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    urls = ev.select(
+        "event_id",
+        F.format_string(
+            "https://h%d.com/p/%d", F.col("user_id") % 50, F.col("event_id") % 1000
+        ).alias("url"),
+    )
+    hosts = spark.range(0, 50).select(
+        F.format_string("h%d.com", F.col("id")).alias("host"),
+        F.when(
+            F.col("id") % 2 == 0, F.lit("User-agent: *\nDisallow: /p/1")
+        ).otherwise(F.lit("User-agent: *\nDisallow:")).alias("robots_txt"),
+    )
+    return rb.robots_filter(urls, hosts).orderBy("event_id")
+
+
+_SQL_ROBOTS_GATE = """
+SELECT event_id,
+       'https://h' || CAST(user_id % 50 AS VARCHAR) || '.com/p/'
+         || CAST(event_id % 1000 AS VARCHAR) AS url
+FROM events
+WHERE NOT ((user_id % 50) % 2 = 0
+           AND ('/p/' || CAST(event_id % 1000 AS VARCHAR)) LIKE '/p/1%')
+ORDER BY event_id
+"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Incremental-crawl delta (operators/diff.py): classify keys between
     two snapshots as added/removed/changed/unchanged via one full-outer
@@ -1760,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "repetition_signals": q_repetition_signals,
         "snapshot_diff": q_snapshot_diff,
+        "robots_gate": q_robots_gate,
         "knn": q_knn,
         "buffer_exclusion": q_buffer_exclusion,
         "zonal_stats": q_zonal_stats,
@@ -1833,6 +1869,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": _sql_url_normalize(),
         "repetition_signals": _SQL_REPETITION,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "robots_gate": _SQL_ROBOTS_GATE,
         "media_format": _SQL_MEDIA_FORMAT,
         "knn": _SQL_KNN,
         "buffer_exclusion": _SQL_BUFFER_EXCL,
