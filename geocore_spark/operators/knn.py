@@ -18,11 +18,15 @@ are exact, not approximate.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geocore_spark.functions import tiling as tl
 from geocore_spark.functions.geodesy import haversine_km
+
+_LOG = logging.getLogger(__name__)
 
 
 def knn_candidates(
@@ -104,29 +108,119 @@ def knn_join(
             remaining = None
             break
     if remaining is not None and remaining.take(1):
-        # final pass: brute-force the stragglers (few rows) via cross join
-        c = corpus.select(
-            F.col(corpus_id).alias("__nid"),
-            F.col(lat).alias("__nlat"),
-            F.col(lon).alias("__nlon"),
-        )
-        pairs = remaining.crossJoin(F.broadcast(c.limit(1_000_000)))
-        if exclude_self:
-            pairs = pairs.filter(F.col(query_id) != F.col("__nid"))
-        pairs = pairs.withColumn(
-            "dist_km",
-            haversine_km(F.col(lat), F.col(lon), F.col("__nlat"), F.col("__nlon")),
-        )
-        w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col("__nid").asc())
         results.append(
-            pairs.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(F.col(query_id), F.col("__nid").alias("neighbor_id"), "dist_km", "rank")
+            _brute_force_stragglers(
+                remaining, corpus, k, query_id, corpus_id, lat, lon, exclude_self
+            )
         )
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _brute_force_stragglers(
+    remaining: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    lat: str,
+    lon: str,
+    exclude_self: bool,
+    max_stragglers: int = 100_000,
+) -> DataFrame:
+    """Exact distributed fallback for queries whose ring expansion exhausted
+    ``max_expansions`` — correct for ANY corpus size (the round-1 version
+    silently capped the corpus at 1M rows; VERDICT.md "What's wrong" #2).
+
+    Shape: collect the straggler coordinates (few by construction; hard-bounded
+    by ``max_stragglers`` with a loud error, never a silent cap), broadcast
+    them into a per-corpus-partition numpy prune (mapInPandas — each partition
+    emits at most |stragglers| * (k + pad) candidate ids, so there is no
+    |S|x|C| shuffle), then re-rank the surviving candidates with the SAME
+    Column haversine as the main path so output distances are bit-identical
+    to the ring path. The numpy prune keeps k+4 per partition so a <=1e-12
+    numpy-vs-codegen drift cannot evict a true top-k member.
+    """
+    import numpy as np
+    import pandas as pd
+
+    strag = remaining.select(query_id, lat, lon).collect()
+    n_s = len(strag)
+    if n_s > max_stragglers:
+        raise ValueError(
+            f"knn_join: {n_s} straggler queries exceed max_stragglers="
+            f"{max_stragglers}; raise max_expansions, k_ring, or coarsen res "
+            "so ring expansion converges instead of brute-forcing."
+        )
+    _LOG.warning(
+        "knn_join: ring expansion exhausted for %d queries; engaging "
+        "distributed brute-force fallback over the full corpus", n_s,
+    )
+    q_ids = np.array([r[0] for r in strag])
+    q_lat = np.radians(np.array([r[1] for r in strag], dtype="float64"))
+    q_lon = np.radians(np.array([r[2] for r in strag], dtype="float64"))
+    keep = k + 4
+
+    c = corpus.select(
+        F.col(corpus_id).alias("__nid"),
+        F.col(lat).alias("__nlat"),
+        F.col(lon).alias("__nlon"),
+    )
+
+    def _prune(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_lat = np.radians(pdf["__nlat"].to_numpy(dtype="float64"))
+            c_lon = np.radians(pdf["__nlon"].to_numpy(dtype="float64"))
+            nid = pdf["__nid"].to_numpy()
+            out_q, out_n = [], []
+            # chunk the straggler axis so the distance matrix stays small
+            for s0 in range(0, n_s, 256):
+                sl = slice(s0, min(s0 + 256, n_s))
+                dlat = q_lat[sl, None] - c_lat[None, :]
+                dlon = q_lon[sl, None] - c_lon[None, :]
+                a = (
+                    np.sin(dlat / 2) ** 2
+                    + np.cos(q_lat[sl, None]) * np.cos(c_lat[None, :]) * np.sin(dlon / 2) ** 2
+                )
+                d = 2.0 * 6371.0088 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+                kk = min(keep, d.shape[1])
+                top = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                for row, qi in enumerate(range(sl.start, sl.stop)):
+                    out_q.extend([q_ids[qi]] * kk)
+                    out_n.extend(nid[top[row]])
+            yield pd.DataFrame({"__qid": out_q, "__nid": out_n})
+
+    qid_type = remaining.schema[query_id].dataType.simpleString()
+    nid_type = corpus.schema[corpus_id].dataType.simpleString()
+    cand_ids = c.mapInPandas(_prune, f"__qid {qid_type}, __nid {nid_type}")
+    # re-rank candidates with the exact Column haversine (bit-identical to
+    # the ring path); candidate count is bounded by partitions * |S| * keep,
+    # so the candidate side is the broadcast side — the corpus never moves.
+    cand = cand_ids.join(
+        F.broadcast(
+            remaining.select(
+                F.col(query_id), F.col(lat).alias("__qlat"), F.col(lon).alias("__qlon")
+            )
+        ),
+        cand_ids["__qid"] == F.col(query_id),
+        "inner",
+    ).drop("__qid")
+    pairs = c.join(F.broadcast(cand), "__nid", "inner").withColumn(
+        "dist_km",
+        haversine_km(F.col("__qlat"), F.col("__qlon"), F.col("__nlat"), F.col("__nlon")),
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col(query_id) != F.col("__nid"))
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col("__nid").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(query_id), F.col("__nid").alias("neighbor_id"), "dist_km", "rank")
+    )
 
 
 def knn_join_simple(
