@@ -17,6 +17,8 @@ materializes |points| x |polygons|.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -168,7 +170,7 @@ def polygon_cover_cells(
     )
 
 
-_COVER_CACHE: dict[tuple, tuple] = {}
+_COVER_CACHE: OrderedDict[tuple, tuple] = OrderedDict()
 
 
 def _cover_cached(spark, polygons: DataFrame, res: int):
@@ -181,8 +183,13 @@ def _cover_cached(spark, polygons: DataFrame, res: int):
     the *plan*, so a layer read from the same source hits; sources whose
     content changes under an identical plan must construct a fresh
     DataFrame (normal for parquet reads — new snapshot, new path).
+
+    The key includes the SparkContext's applicationId so entries can never
+    outlive their session (a broadcast created on a stopped context is
+    unusable), and evicted entries destroy their broadcast instead of
+    leaking executor memory.
     """
-    key = (polygons.semanticHash(), res)
+    key = (spark.sparkContext.applicationId, polygons.semanticHash(), res)
     hit = _COVER_CACHE.get(key)
     if hit is not None:
         return hit
@@ -191,7 +198,11 @@ def _cover_cached(spark, polygons: DataFrame, res: int):
     wkb_by_id = {int(r["polygon_id"]): bytes(r["wkb"]) for _, r in poly_pdf.iterrows()}
     bc = spark.sparkContext.broadcast(wkb_by_id)
     if len(_COVER_CACHE) >= 16:
-        _COVER_CACHE.pop(next(iter(_COVER_CACHE)))
+        _, (_, old_bc) = _COVER_CACHE.popitem(last=False)
+        try:
+            old_bc.destroy()
+        except Exception:
+            pass  # its session may already be gone
     _COVER_CACHE[key] = (cover, bc)
     return cover, bc
 

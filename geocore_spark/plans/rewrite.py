@@ -62,7 +62,7 @@ def _dwithin_regex() -> re.Pattern:
         r" \* SIN\({dlon}\)\) \* SIN\({dlon_b}\)\)\)"
     ).format(dlat=dlat, dlat_b=dlat_b, dlon=dlon, dlon_b=dlon_b)
     return re.compile(
-        r"^\(\((?P<coef>{num})D? \* ASIN\(SQRT\({a}\)\)\) <=? (?P<km>{num})D?\)$".format(
+        r"^\(\((?P<coef>{num})D? \* ASIN\(SQRT\({a}\)\)\) (?P<op><=?) (?P<km>{num})D?\)$".format(
             num=_NUM, a=a
         )
     )
@@ -133,8 +133,13 @@ def rewrite_dwithin(
     lat1, lon1 = _strip_backticks(match["lat1"]), _strip_backticks(match["lon1"])
     lat2, lon2 = _strip_backticks(match["lat2"]), _strip_backticks(match["lon2"])
     km = float(match["km"])
+    strict = match["op"] == "<"
     left_names = _output_names(join.left())
     right_names = _output_names(join.right())
+    if set(left_names) & set(right_names):
+        # shared output names would make the final projection ambiguous; the
+        # rule's contract is "return df unchanged when it doesn't match".
+        return df
 
     def side(name: str) -> str | None:
         in_l, in_r = name in left_names, name in right_names
@@ -174,13 +179,13 @@ def rewrite_dwithin(
             tl.grid_disk(tl.latlng_to_cell(F.col(rlat), F.col(rlon), res), k)
         ),
     )
+    dist = haversine_km(F.col(llat), F.col(llon), F.col(rlat), F.col(rlon))
+    # re-apply the predicate with the ORIGINAL comparison operator: a strict
+    # '<' must stay strict or pairs at exactly km would be wrongly included.
     out = (
         lcell.join(rcov, F.col("__dw_cell") == F.col("__dw_cover"), "inner")
         .drop("__dw_cell", "__dw_cover")
-        .filter(
-            haversine_km(F.col(llat), F.col(llon), F.col(rlat), F.col(rlon))
-            <= F.lit(km)
-        )
+        .filter(dist < F.lit(km) if strict else dist <= F.lit(km))
     )
     for c in rest:  # re-apply the non-distance conjuncts
         try:

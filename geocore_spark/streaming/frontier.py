@@ -85,8 +85,16 @@ def _frontier_fn(delay_us: int):
 
 
 def host_of(url):
-    """Host component of a URL — pure Column expr."""
-    return F.regexp_extract(url, r"^[a-z]+://([^/]+)/", 1)
+    """Host component of a URL — pure Column expr.
+
+    Delegates to :func:`geocore_spark.functions.urls.url_host`: the previous
+    local regex required a lowercase scheme AND a trailing slash, so
+    ``https://a.com`` (no path) or ``HTTP://...`` silently collapsed into a
+    shared '' politeness group (ADVICE r1).
+    """
+    from geocore_spark.functions.urls import url_host
+
+    return url_host(url)
 
 
 def crawl_frontier(

@@ -61,6 +61,48 @@ def test_rewrite_preserves_extra_conjuncts(spark):
     )
 
 
+def test_rewrite_strict_lt_stays_strict(spark):
+    """ADVICE fix: a strict '<' predicate must be re-applied strictly —
+    a pair at exactly km distance is excluded by both plans."""
+    a, b = _sides(spark)
+    # exact boundary: measure the (1, 12) distance, use it as the km literal
+    d = (
+        a.filter(F.col("aid") == 1)
+        .crossJoin(b.filter(F.col("bid") == 12))
+        .select(
+            haversine_km(
+                F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon")
+            ).alias("d")
+        )
+        .first()["d"]
+    )
+    naive = a.crossJoin(b).filter(
+        haversine_km(F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon"))
+        < F.lit(d)
+    )
+    rw = rewrite_dwithin(naive)
+    assert rw is not naive and cartesian_free(rw)
+    got = {(r["aid"], r["bid"]) for r in rw.collect()}
+    want = {(r["aid"], r["bid"]) for r in naive.collect()}
+    assert got == want
+    assert (1, 12) not in got  # the boundary pair stays out under '<'
+    # sanity: '<=' at the same km DOES include it
+    le = rewrite_dwithin(_dwithin(a, b, d))
+    assert (1, 12) in {(r["aid"], r["bid"]) for r in le.collect()}
+
+
+def test_rewrite_shared_column_names_returns_unchanged(spark):
+    """ADVICE fix: duplicated output names across the join's sides must make
+    the rule bail out (return df), not raise AnalysisException."""
+    a, b = _sides(spark)
+    b2 = b.withColumnRenamed("bid", "aid")  # now both sides output 'aid'
+    naive = a.crossJoin(b2).filter(
+        haversine_km(F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon"))
+        <= F.lit(50.0)
+    )
+    assert rewrite_dwithin(naive) is naive
+
+
 def test_rewrite_bails_out_conservatively(spark):
     a, b = _sides(spark)
     # plain filter: no join underneath
