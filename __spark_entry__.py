@@ -1109,15 +1109,23 @@ WHERE rank <= 3
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup pairs over a doubled corpus slice."""
+    """N-gram Jaccard near-dup pairs over a doubled corpus slice.
+
+    Uses the explicit-block form (length band) because the DuckDB oracle
+    must replicate the blocking exactly; the operator's DEFAULT block is
+    MinHash-LSH candidates (not SQL-expressible), pytest-pinned in
+    tests/test_dedup_similarity.py.
+    """
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
         .select("doc_id", F.lower(F.trim("text")).alias("text"))
     )
     dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-    both = d.unionByName(dup)
-    pairs = dedup.ngram_jaccard_pairs(both, n=3, threshold=0.8)
+    both = d.unionByName(dup).withColumn(
+        "band", F.floor(F.log2(F.greatest(F.length("text"), F.lit(1)) + 1) * 2)
+    )
+    pairs = dedup.ngram_jaccard_pairs(both, n=3, threshold=0.8, block_col="band")
     return pairs.select("id_a", "id_b", "jaccard")
 
 

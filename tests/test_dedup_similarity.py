@@ -89,6 +89,46 @@ def test_ngram_jaccard_pairs(spark):
     assert 0.4 <= got[(0, 2)] < 1.0
 
 
+def test_ngram_default_lsh_block_finds_cross_length_neardups(spark):
+    """VERDICT r1 #7: the default block must find near-dup pairs that a
+    length-band block would split. Doc 11 = doc 10 plus a long appended
+    run, pushing it across the log2 length-band boundary; the old
+    length-band default missed the pair, the LSH default finds it."""
+    base = "the quick brown fox jumps over the lazy dog and keeps running " * 4
+    rows = [(10, base), (11, base + " zzzz" * 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    band = F.floor(F.log2(F.greatest(F.length("text"), F.lit(1)) + 1) * 2)
+    bands = [r["b"] for r in docs.select(band.alias("b")).collect()]
+    assert bands[0] != bands[1], "fixture must straddle a length band"
+    # old-style explicit length-band block: pair invisible
+    banded = dedup.ngram_jaccard_pairs(
+        docs.withColumn("band", band), n=3, threshold=0.3, block_col="band"
+    )
+    assert banded.count() == 0
+    # new default (MinHash-LSH candidates + exact verify): pair found
+    out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert (10, 11) in got
+    assert got[(10, 11)] >= 0.3
+
+
+def test_minhash_verify_exact_matches_true_jaccard(spark):
+    """verify='exact' emits the TRUE shingle Jaccard per candidate pair and
+    thresholds on it — precision 1.0 by construction."""
+    out = dedup.minhash_lsh_pairs(
+        _docs(spark), bands=32, threshold=0.5, verify="exact"
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(0, 1)] == 1.0 and got[(0, 4)] == 1.0  # dups: true J = 1
+    for (a, b), j in got.items():
+        ta = dict((r["doc_id"], r["text"]) for r in _docs(spark).collect())
+        sa = set(hsh.shingle_ids(ta[a]).tolist())
+        sb = set(hsh.shingle_ids(ta[b]).tolist())
+        true_j = len(sa & sb) / len(sa | sb)
+        assert abs(j - true_j) < 1e-6
+        assert true_j >= 0.5  # no false positives survive exact verify
+
+
 def test_hamming_column(spark):
     df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
     assert df.select(hsh.hamming64(F.col("a"), F.col("b")).alias("h")).first()["h"] == 2

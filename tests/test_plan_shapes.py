@@ -60,3 +60,77 @@ def test_distance_join_no_cartesian(spark, sf_dir):
 def test_spatial_assembly_broadcasts_test_flag(spark, sf_dir):
     p = _formatted(em.q_spatial_assembly(spark, sf_dir))
     assert "BroadcastHashJoin" in p
+
+
+# --- round-2 additions: snapshot every headline query (VERDICT r1 #9) ------
+
+
+def test_dedup_minhash_drops_signatures_before_shuffle(spark, sf_dir):
+    """The LSH shuffle must carry (id, id, double), never the 64-long
+    signature arrays (the 40x shrink of dedup.py)."""
+    from geocore_spark.operators import dedup
+
+    d = em._t(spark, sf_dir, "documents").limit(200)
+    p = _formatted(dedup.minhash_lsh_pairs(d))
+    # find the pair-dedup exchange: hashpartitioning on (id_a, id_b); its
+    # Input row list must not carry the signature arrays
+    lines = p.splitlines()
+    dedup_exchanges = [
+        i
+        for i, ln in enumerate(lines)
+        if "hashpartitioning(id_a" in ln and "id_b" in ln
+    ]
+    assert dedup_exchanges, "expected the (id_a, id_b) dedup exchange"
+    for i in dedup_exchanges:
+        input_line = next(
+            ln for ln in lines[i - 3 : i] if ln.startswith("Input")
+        )
+        assert "sig" not in input_line, input_line
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_pip_polygon_join_broadcasts_cover(spark, sf_dir):
+    p = _formatted(em.q_pip_rect_join(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_embedding_topk_broadcast_no_shuffle_of_corpus(spark, sf_dir):
+    p = _formatted(em.q_embedding_topk(spark, sf_dir))
+    assert "WindowGroupLimit" in p  # partial top-k before final rank
+    assert "CartesianProduct" not in p
+
+
+def test_topk_per_group_partial_limit(spark, sf_dir):
+    p = _formatted(em.q_topk_per_group(spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_hour_bucket_join_single_shuffle_grain(spark, sf_dir):
+    """The windowed agg and the join back must share the (user_id-keyed)
+    exchange — no cartesian, no nested loop."""
+    p = _formatted(em.q_hour_bucket_join(spark, sf_dir))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_text_signals_stays_jvm_side(spark, sf_dir):
+    """All five text capabilities are pure-Column: no Python eval nodes."""
+    p = _formatted(em.q_text_signals(spark, sf_dir))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_zonal_stats_no_cartesian(spark, sf_dir):
+    p = _formatted(em.q_zonal_stats(spark, sf_dir))
+    assert "CartesianProduct" not in p
+
+
+def test_dwithin_rewrite_query_kills_cartesian(spark, sf_dir):
+    p = _formatted(em.q_dwithin_rewrite(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_robots_gate_pure_column_decision(spark, sf_dir):
+    """The per-URL allow decision is pure Column against broadcast rules —
+    the only Python stage is the per-host rule parse (tiny side)."""
+    p = _formatted(em.q_robots_gate(spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p

