@@ -768,13 +768,20 @@ def q_url_normalize(spark, sf_dir):
         F.lit("https")
     )
     port = F.when(F.col("event_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443"))
+    # TLD varies so the PSL rule is exercised: .com (2-label registrable),
+    # .co.UK and .GitHub.io (listed multi-label suffixes -> 3 labels)
+    tld = (
+        F.when(F.col("event_id") % 3 == 0, F.lit(".COM"))
+        .when(F.col("event_id") % 3 == 1, F.lit(".co.UK"))
+        .otherwise(F.lit(".GitHub.io"))
+    )
     raw = F.concat(
         scheme,
         F.lit("://H"),
         (F.col("user_id") % 50).cast("string"),
         F.lit(".Zone"),
         (F.col("user_id") % 7).cast("string"),
-        F.lit(".COM"),
+        tld,
         port,
         F.lit("/p/"),
         (F.col("event_id") % 1000).cast("string"),
@@ -794,12 +801,14 @@ def q_url_normalize(spark, sf_dir):
 
 
 def _sql_url_normalize() -> str:
-    from geocore_spark.functions.urls import normalize_url_sql
+    from geocore_spark.functions.urls import normalize_url_sql, registrable_domain_sql
 
     raw = (
         "(CASE WHEN event_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://H' || "
         "CAST(user_id % 50 AS VARCHAR) || '.Zone' || CAST(user_id % 7 AS VARCHAR) "
-        "|| '.COM' || (CASE WHEN event_id % 2 = 0 THEN ':80' ELSE ':443' END) || "
+        "|| (CASE WHEN event_id % 3 = 0 THEN '.COM' WHEN event_id % 3 = 1 "
+        "THEN '.co.UK' ELSE '.GitHub.io' END) "
+        "|| (CASE WHEN event_id % 2 = 0 THEN ':80' ELSE ':443' END) || "
         "'/p/' || CAST(event_id % 1000 AS VARCHAR) || '?z=' || "
         "CAST(event_id % 3 AS VARCHAR) || '&a=' || CAST(user_id % 5 AS VARCHAR) "
         "|| '#s' || CAST(event_id % 7 AS VARCHAR))"
@@ -816,7 +825,7 @@ def _sql_url_normalize() -> str:
     return f"""
 SELECT event_id,
        {normalize_url_sql(raw)} AS norm_url,
-       regexp_extract({host}, '([^.]+\\.[^.]+)$', 1) AS domain,
+       {registrable_domain_sql(host)} AS domain,
        CAST(len(list_filter(string_split({path}, '/'), x -> x <> '')) AS INT)
          AS depth
 FROM events

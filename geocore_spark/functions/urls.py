@@ -10,8 +10,9 @@ Scope notes (documented approximations):
   inputs (http/https); it lowercases scheme+host, strips fragments and
   default ports, defaults an empty path to "/", and sorts query params
   bytewise. It does NOT percent-decode or resolve dot-segments.
-- ``registrable_domain`` is the naive last-two-labels rule; a real
-  deployment loads the Public Suffix List as a broadcast dim and joins.
+- ``registrable_domain`` applies the Public Suffix List rule over a
+  bundled multi-label-suffix snapshot (PSL_MULTI_LABEL); a deployment with
+  the full PSL passes its entries via ``extra_suffixes``.
 """
 
 from __future__ import annotations
@@ -54,13 +55,68 @@ def normalize_url(url: Column) -> Column:
     )
 
 
-def registrable_domain(url: Column) -> Column:
-    """Naive registrable domain: last two host labels (no PSL)."""
+#: Bundled snapshot SUBSET of the Public Suffix List's multi-label entries
+#: (publicsuffix.org — public data). The full PSL is a runtime file a
+#: deployment loads (``extra_suffixes``) and ships as a broadcast-size
+#: literal set; this subset covers the high-traffic ccTLD second-level
+#: registries plus common hosted-site suffixes, and the rule degrades to
+#: the standard 1-label default for unknown TLDs (the PSL's own "*" rule).
+PSL_MULTI_LABEL: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk", "plc.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in",
+    "co.kr", "or.kr", "re.kr", "go.kr",
+    "com.mx", "org.mx", "gob.mx",
+    "com.tr", "org.tr", "gov.tr",
+    "com.ar", "org.ar", "com.sg", "org.sg", "edu.sg",
+    "co.za", "org.za", "web.za",
+    "co.nz", "org.nz", "net.nz", "govt.nz",
+    "com.hk", "com.tw", "org.tw", "com.my", "com.ph", "com.vn", "com.eg",
+    "co.id", "or.id", "co.th", "or.th", "co.il", "org.il",
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com", "appspot.com",
+    "web.app", "pages.dev", "netlify.app", "vercel.app", "s3.amazonaws.com",
+)
+
+
+def registrable_domain(
+    url: Column, extra_suffixes: tuple[str, ...] = ()
+) -> Column:
+    """Registrable domain (eTLD+1) per the Public Suffix List rule.
+
+    Host labels after the longest matching public suffix plus one: a host
+    under a listed multi-label suffix (``a.b.co.uk``) keeps THREE labels;
+    otherwise the standard last-two-labels default applies. Pure Column
+    (split + isin — codegen'd); pass the full PSL's multi-label entries as
+    ``extra_suffixes`` when available.
+    """
+    suffixes = PSL_MULTI_LABEL + tuple(extra_suffixes)
     host = F.regexp_replace(url_host(url), r":\d+$", "")
     labels = F.split(host, r"\.")
-    return F.when(
-        F.size(labels) <= 2, host
-    ).otherwise(F.array_join(F.slice(labels, -2, 2), "."))
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    return (
+        F.when(F.size(labels) <= 2, host)
+        .when(last2.isin(*suffixes), last3)
+        .otherwise(last2)
+    )
+
+
+def registrable_domain_sql(host_sql: str, extra_suffixes: tuple[str, ...] = ()) -> str:
+    """ANSI-SQL (DuckDB) twin of :func:`registrable_domain`, over a host
+    expression (port already stripped)."""
+    suffixes = PSL_MULTI_LABEL + tuple(extra_suffixes)
+    in_list = ", ".join(f"'{s}'" for s in suffixes)
+    labels = f"string_split({host_sql}, '.')"
+    last2 = f"array_to_string({labels}[-2:], '.')"
+    last3 = f"array_to_string({labels}[-3:], '.')"
+    return (
+        f"(CASE WHEN len({labels}) <= 2 THEN {host_sql} "
+        f"WHEN {last2} IN ({in_list}) THEN {last3} "
+        f"ELSE {last2} END)"
+    )
 
 
 def url_path_depth(url: Column) -> Column:

@@ -51,6 +51,13 @@ class DatasetConfig:
     tests: list[str] = field(default_factory=list)
     buffer_km: float | None = None
     index_col: str = "cell"
+    #: columns to treat as categorical in the emitted dataset — the
+    #: reference's optional pandas ``category`` cast driven by config
+    #: (build.py:393-395, defaults at modeling/config/defaults.py:39).
+    #: Spark has no category dtype; the equivalent contract is a STRING
+    #: column (downstream ML indexers consume strings), so listed columns
+    #: are cast to string.
+    categorical: list[str] = field(default_factory=list)
 
 
 def load_config(path: str) -> DatasetConfig:
@@ -70,6 +77,7 @@ def load_config(path: str) -> DatasetConfig:
         tests=list(ds.get("tests", []) or []),
         buffer_km=ds.get("buffer_km"),
         index_col=ds.get("index_col", "cell"),
+        categorical=list(ds.get("categorical", []) or []),
     )
 
 
@@ -122,6 +130,11 @@ def build_dataset(
             pts.filter(F.col("is_test") == 1).select("lat", "lon").distinct()
         )
         wide = assembly.mask_bad_train(pts, test_pts, cfg.buffer_km).drop("lat", "lon")
+
+    for c in cfg.categorical:
+        if c not in wide.columns:
+            raise KeyError(f"categorical column not in dataset: {c}")
+        wide = wide.withColumn(c, F.col(c).cast("string"))
 
     feature_cols = [
         c

@@ -55,6 +55,25 @@ def test_build_dataset_end_to_end(spark):
     assert app.filter(F.col("cell") == "13:3:3").first()["is_test"] == 1
 
 
+def test_categorical_cast_config(spark):
+    """Reference's optional category cast (build.py:393-395): listed columns
+    come out as strings; unknown names raise."""
+    _setup(spark)
+    cfg = reg.DatasetConfig(
+        features=["f_base", "f_partial"], labels=["l_main"], categorical=["f_a"]
+    )
+    train, app = reg.build_dataset(spark, cfg)
+    assert dict(train.dtypes)["f_a"] == "string"
+    assert dict(app.dtypes)["f_a"] == "string"
+    with pytest.raises(KeyError, match="categorical"):
+        reg.build_dataset(
+            spark,
+            reg.DatasetConfig(
+                features=["f_base"], labels=["l_main"], categorical=["nope"]
+            ),
+        )
+
+
 def test_build_dataset_rejects_duplicates(spark):
     _setup(spark)
     with pytest.raises(BadTable, match="duplicate"):

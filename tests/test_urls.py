@@ -53,6 +53,29 @@ def test_host_domain_depth(spark):
     assert r["n"] == 3
 
 
+def test_registrable_domain_psl_rule(spark):
+    """PSL multi-label suffixes keep three labels; unknown TLDs default to
+    two; bare/short hosts pass through; extra_suffixes extends the set."""
+    cases = [
+        ("https://www.example.co.uk/x", "example.co.uk"),
+        ("https://a.b.example.com.au", "example.com.au"),
+        ("https://deep.sub.example.com/x", "example.com"),
+        ("https://user.github.io/repo", "user.github.io"),
+        ("https://example.org", "example.org"),
+        ("https://localhost:8080/", "localhost"),
+        ("https://x.y.z.co.jp:443/p", "z.co.jp"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["d"] for r in df.select(urls.registrable_domain(F.col("url")).alias("d")).collect()]
+    assert got == [w for _, w in cases]
+    # extra suffix extends the rule
+    df2 = spark.createDataFrame([("https://a.b.custom.tld/x",)], "url string")
+    r = df2.select(
+        urls.registrable_domain(F.col("url"), extra_suffixes=("custom.tld",)).alias("d")
+    ).first()
+    assert r["d"] == "b.custom.tld"
+
+
 def test_normalize_idempotent_generated(spark):
     """Idempotence over a generated grid of messy URLs (one Spark job)."""
     import itertools

@@ -288,6 +288,40 @@ def main():
         "sf0.1 inputs are sub-second scale for most queries — those rows",
         "measure fixed costs (planning, broadcast build, Arrow spin-up),",
         "not scaling; the flagship table above is the scaling evidence.",
+    ]
+
+    # --- round-over-round comparison vs the driver's last recorded bench ---
+    prev_path = None
+    for cand in sorted(os.listdir(REPO), reverse=True):
+        if cand.startswith("BENCH_r") and cand.endswith(".json"):
+            prev_path = os.path.join(REPO, cand)
+            break
+    if prev_path:
+        prev = json.load(open(prev_path))
+        prev_q = prev.get("queries", {})
+        shared = [q for q in r32["queries"] if q in prev_q]
+        lines += [
+            "",
+            f"## vs {os.path.basename(prev_path)} (driver bench, same sf/cpus)",
+            "",
+            "Queries renamed by round-2 consolidation (cell_centroid ->",
+            "tile_encode etc.) have no prior row. Any query > 1.3x slower",
+            "than its prior round needs a named cause.",
+            "",
+            "| query | prior s | now s | ratio |",
+            "|---|---|---|---|",
+        ]
+        for q in shared:
+            ratio = r32["queries"][q] / prev_q[q] if prev_q[q] else float("nan")
+            flag = " **(slower — see note)**" if ratio > 1.3 else ""
+            lines.append(
+                f"| {q} | {prev_q[q]:.2f} | {r32['queries'][q]:.2f} | {ratio:.2f}x{flag} |"
+            )
+        new_q = [q for q in r32["queries"] if q not in prev_q]
+        if new_q:
+            lines.append("")
+            lines.append(f"New/renamed this round (no prior row): {', '.join(new_q)}.")
+    lines += [
         "",
         "## Raw JSON",
         "```json",
