@@ -298,7 +298,8 @@ def main():
             break
     if prev_path:
         prev = json.load(open(prev_path))
-        prev_q = prev.get("queries", {})
+        # the driver wraps its bench result under "parsed"
+        prev_q = prev.get("parsed", prev).get("queries", {}) or {}
         shared = [q for q in r32["queries"] if q in prev_q]
         lines += [
             "",
