@@ -121,3 +121,23 @@ def test_haversine_symmetry_and_triangle_zero(lat1, lon1, lat2, lon2):
 
     assert abs(hav(lat1, lon1, lat2, lon2) - hav(lat2, lon2, lat1, lon1)) < 1e-9
     assert hav(lat1, lon1, lat1, lon1) == 0.0
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000_000), min_size=1, max_size=50)
+)
+@settings(max_examples=300, deadline=None)
+def test_integer_micro_mean_is_round_half_up(v6s):
+    """The group_transform oracle arithmetic: (2s + c) div (2c) equals
+    round-half-up(s/c) for any positive micro-unit values — the
+    order-independent mean both engines compute identically."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    s, c = sum(v6s), len(v6s)
+    got = (2 * s + c) // (2 * c)
+    want = int(
+        (Decimal(s) / Decimal(c)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    )
+    assert got == want
+
+

@@ -76,6 +76,36 @@ def test_registrable_domain_psl_rule(spark):
     assert r["d"] == "b.custom.tld"
 
 
+def test_registrable_domain_column_matches_python_model_grid(spark):
+    """One Spark job over a generated host grid: the Column PSL expression
+    must agree with the straightforward Python model on every host —
+    including hosts whose last two labels ARE a listed suffix and hosts
+    deeper than three labels."""
+    import itertools
+
+    suffix_samples = ["com", "org", "co.uk", "github.io", "com.au", "zz"]
+    prefixes = [[], ["example"], ["a", "example"], ["x", "y", "example"]]
+    hosts = [
+        ".".join(p + s.split("."))
+        for p, s in itertools.product(prefixes, suffix_samples)
+    ]
+
+    def model(host):
+        parts = host.split(".")
+        if len(parts) <= 2:
+            return host
+        if ".".join(parts[-2:]) in urls.PSL_MULTI_LABEL:
+            return ".".join(parts[-3:])
+        return ".".join(parts[-2:])
+
+    df = spark.createDataFrame([(f"https://{h}/p",) for h in hosts], "url string")
+    got = [
+        r["d"]
+        for r in df.select(urls.registrable_domain(F.col("url")).alias("d")).collect()
+    ]
+    assert got == [model(h) for h in hosts]
+
+
 def test_normalize_idempotent_generated(spark):
     """Idempotence over a generated grid of messy URLs (one Spark job)."""
     import itertools
