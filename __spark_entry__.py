@@ -1723,6 +1723,31 @@ def q_audio_features(spark, sf_dir):
     return mm.audio_features(mm.synth_media(base))
 
 
+def q_substring_dups(spark, sf_dir):
+    """Winnowing-fingerprint substring-dup pairs (MOSS scheme): docs
+    sharing verbatim spans without being whole-doc near-dups. Rows-only
+    (the winnow kernel has no SQL twin); exactness pinned by
+    tests/test_dedup_similarity.py."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    # splice a shared span into every 20th doc; k=16 grams + df_cap=15
+    # keep the templated synthetic corpus's natural short repeats out
+    # (measured: all 45 spiked pairs found, ~10 natural exact-dup pairs)
+    span = F.lit(" common licensed boilerplate span for substring dedup markerxyz")
+    spiked = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 20 == 0, F.concat(F.col("text"), span))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.substring_dup_pairs(
+        spiked, k=16, window=8, min_shared=4, df_cap=15
+    ).orderBy("id_a", "id_b")
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC connector under the driver gate (rows-only): write 200 response
     records as two archives — one plain, one gzip-compressed — read both back
@@ -1873,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "dup_clusters": q_dup_clusters,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "substring_dups": q_substring_dups,
         "balanced_folds": q_balanced_folds,
     }
 

@@ -174,6 +174,58 @@ def _shingle_jaccard_udf(k: int):
     return _jc
 
 
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 3,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Cross-document duplicated-SUBSTRING pairs via winnowing-fingerprint
+    overlap (Schleimer et al., SIGMOD'03 — the MOSS scheme).
+
+    Finds documents sharing verbatim spans (boilerplate, quotes, templated
+    text) even when the documents as a WHOLE are not near-duplicates —
+    the case MinHash/SimHash whole-doc signatures miss by design. Two docs
+    sharing >= ``min_shared`` selected fingerprints contain common
+    substrings of length >= k (winnowing guarantees any shared run longer
+    than k + window - 1 chars contributes at least one shared selection).
+
+    Plan: Arrow winnow kernel -> explode (doc, fingerprint) -> drop
+    fingerprints appearing in more than ``df_cap`` docs (a fingerprint in
+    f docs generates C(f,2) pairs, so the cap bounds the quadratic term —
+    ubiquitous spans are boilerplate stop-phrases by definition, and the
+    drop is logged via the returned plan, never silent: callers see the
+    cap as an explicit argument) -> self-join on the 64-bit fingerprint ->
+    per-pair shared count. Shuffle key = fingerprint; bucket sizes are
+    df_cap-bounded. Output: (id_a, id_b, n_shared).
+    """
+    from geocore_spark.operators import ensure_parallelism
+
+    fp = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(tx.winnow_udf(k, window)(F.col(text_col))).alias("fp"),
+        )
+        .persist()  # both the frequency pass and the self-join read it
+    )
+    hot = fp.groupBy("fp").agg(F.count("*").alias("__df")).filter(
+        F.col("__df") > df_cap
+    )
+    kept = fp.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    l = kept.select(F.col(id_col).alias("id_a"), "fp")
+    r = kept.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        l.join(r, (l["fp"] == r["fp"]) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",

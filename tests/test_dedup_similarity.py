@@ -129,6 +129,40 @@ def test_minhash_verify_exact_matches_true_jaccard(spark):
         assert true_j >= 0.5  # no false positives survive exact verify
 
 
+def test_substring_dup_pairs_finds_shared_spans(spark):
+    """Docs sharing a verbatim span inside otherwise-different text are
+    paired, even though whole-doc similarity is low; unrelated docs are
+    not paired."""
+    span = "the licensed material is provided as is without warranty of any kind either express or implied"
+    rows = [
+        (0, "alpha " * 30 + span + " omega " * 30),
+        (1, "number " + " ".join(str(i * 7) for i in range(60)) + " " + span),
+        (2, "completely unrelated content about geodesic tiling " * 5),
+        (3, "more unrelated prose concerning parquet readers " * 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.substring_dup_pairs(docs, min_shared=3)
+    got = {(r["id_a"], r["id_b"]): r["n_shared"] for r in out.collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 3
+    assert all(p == (0, 1) for p in got), got
+    # whole-doc MinHash at 0.5 must NOT consider them near-dups (that is
+    # the gap this operator fills)
+    md = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    assert (0, 1) not in {(r["id_a"], r["id_b"]) for r in md.collect()}
+
+
+def test_substring_dup_pairs_caps_ubiquitous_fingerprints(spark):
+    """A span present in EVERY doc is boilerplate: with df_cap below the
+    corpus size its fingerprints are dropped and no pairs emerge from it."""
+    boiler = "standard footer text appearing on every single page of the site"
+    rows = [(i, f"unique body {i} " * 10 + boiler) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.substring_dup_pairs(docs, min_shared=2, df_cap=3)
+    assert capped.count() == 0
+    uncapped = dedup.substring_dup_pairs(docs, min_shared=2, df_cap=1000)
+    assert uncapped.count() == 15  # all C(6,2) pairs share the footer
+
+
 def test_hamming_column(spark):
     df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
     assert df.select(hsh.hamming64(F.col("a"), F.col("b")).alias("h")).first()["h"] == 2
