@@ -1546,6 +1546,169 @@ ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phone runs) as a pure-Column
+    regexp_replace chain — geocore_spark/functions/cleaning.py. The corpus
+    is salted with deterministic synthetic PII derived from doc_id (the
+    generator's documents carry none) so every pattern actually fires;
+    the identical salt expression runs on the oracle side."""
+    from geocore_spark.functions import cleaning as cl
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or +1 (555) 123-"),
+            (1000 + F.col("doc_id") % 9000).cast("string"),
+        ).alias("t"),
+    )
+    return salted.select(
+        "doc_id",
+        cl.scrub_pii(F.col("t")).alias("clean_text"),
+        cl.pii_counts(F.col("t")).getField("emails").alias("n_emails"),
+        cl.pii_counts(F.col("t")).getField("ips").alias("n_ips"),
+        cl.pii_counts(F.col("t")).getField("phones").alias("n_phones"),
+    )
+
+
+def _sql_pii_scrub():
+    from geocore_spark.functions import cleaning as cl
+
+    em, ip, ph = cl.EMAIL_PATTERN, cl.IPV4_PATTERN, cl.PHONE_PATTERN
+    return f"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 or +1 (555) 123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+           AS t
+  FROM documents WHERE doc_id < 200),
+stages AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{em}', '{cl.EMAIL_TOKEN}', 'g') AS t1
+  FROM salted),
+stages2 AS (
+  SELECT *, regexp_replace(t1, '{ip}', '{cl.IPV4_TOKEN}', 'g') AS t2 FROM stages)
+SELECT doc_id,
+       regexp_replace(t2, '{ph}', '{cl.PHONE_TOKEN}', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t, '{em}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{ip}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '{ph}')) AS BIGINT) AS n_phones
+FROM stages2
+"""
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Passage chunking for context-window packing: 32-token windows every
+    24 tokens (8-token overlap), start = 1-based token offset. Pure Column
+    (sequence + transform + slice), explode factor known up front."""
+    from geocore_spark.functions import cleaning as cl
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    staged = d.select("doc_id", toks.alias("toks"))
+    return (
+        staged.select(
+            "doc_id", F.explode(cl.chunk_spans(F.col("toks"), 32, 24)).alias("ch")
+        )
+        .select(
+            "doc_id",
+            F.col("ch.start").alias("start"),
+            F.col("ch.chunk").alias("chunk"),
+            tx.token_count(F.col("ch.chunk")).alias("n_tokens"),
+        )
+    )
+
+
+_SQL_DOC_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x != '') AS w
+  FROM documents WHERE doc_id < 50),
+chunks AS (
+  SELECT doc_id,
+         unnest([{{'start': i,
+                   'chunk': array_to_string(w[i:i+31], ' ')}}
+                 for i in range(1, greatest(len(w), 1) + 1, 24)]) AS ch
+  FROM toks)
+SELECT doc_id, CAST(ch.start AS INT) AS start, ch.chunk AS chunk,
+       {orc.token_count_sql("ch.chunk")} AS n_tokens
+FROM chunks
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any word 3-gram with the
+    held-out set (doc_id % 97 = 0 plays the benchmark). Benchmark grams are
+    broadcast; corpus side is one scan + explode + broadcast semi-join —
+    the 100 TB shape (operators/decontam.py). n=3 because the synthetic
+    docs are short; real pipelines use 8-13."""
+    from geocore_spark.operators import decontam as dc
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    docs = d.filter(F.col("doc_id") % 97 != 0)
+    return dc.decontaminate(docs, bench, n=3)
+
+
+_SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x != '') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+              ELSE [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, len(w) - 1)] END AS g
+  FROM toks),
+bg AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0),
+dg AS (SELECT DISTINCT doc_id, unnest(g) AS gram FROM grams
+       WHERE doc_id % 97 <> 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS overlap_ngrams
+FROM dg JOIN bg USING (gram) GROUP BY doc_id
+"""
+
+
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact mode
+    (operators/similarity.py:near_dup_pairs_exact). Duplicates are planted
+    deterministically (+0.01 per component, cos ~0.997) since the synthetic
+    embeddings have no natural near-dups (max natural cosine < 0.9); the
+    LSH scale path is recall-evaluated against this exact truth in EVAL.md
+    and tests."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    both = emb.unionByName(shifted)
+    return similarity.near_dup_pairs_exact(both, threshold=0.99)
+
+
+_SQL_EMBEDDING_DEDUP = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS d FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, [x + 0.01 for x in embedding::DOUBLE[]]
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.d, b.d)
+               / (sqrt(list_dot_product(a.d, a.d))
+                  * sqrt(list_dot_product(b.d, b.d))), 6) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.99
+"""
+
+
 # --- rows-only queries (no ANSI-SQL twin; driver records weaker check) ----
 
 
@@ -1831,10 +1994,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so every oracle-backed entry (47) precedes the rows-only tail:
-    the driver hard-checks the first 50 dict entries, so positions 1-47 are
-    the full SQL-twin set and 48-50 are the three most valuable rows-only
-    entries (MinHash LSH, WARC round-trip, streaming session rollup)."""
+    """Ordering contract: the driver hard-checks the first 50 dict entries.
+    Positions 1-47 are oracle-backed (ANSI-SQL twin), 48-50 the three most
+    valuable rows-only entries (MinHash LSH, WARC round-trip, streaming
+    session rollup). Positions 51+ are outside the hard window: 4 more
+    oracle-backed entries (value-verified every session by
+    tools/verify_local.py) then the rows-only tail."""
     return {
         # --- oracle-backed (ANSI-SQL twin in oracle_sql()) -----------------
         "pricing_summary": q_pricing_summary,
@@ -1888,6 +2053,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "warc_roundtrip": q_warc_roundtrip,
         "stream_rollup": q_stream_rollup,
+        # --- oracle-backed tail (positions 51+: outside the driver's hard
+        # window by necessity — it checks only the first 50 entries — but
+        # value-verified by tools/verify_local.py every session) ------------
+        "pii_scrub": q_pii_scrub,
+        "doc_chunks": q_doc_chunks,
+        "decontaminate": q_decontaminate,
+        "embedding_dedup": q_embedding_dedup,
         # --- rows-only tail (local verify + pytest coverage) ---------------
         "s2_encode": q_s2_encode,
         "simhash_pairs": q_simhash_pairs,
@@ -1952,6 +2124,10 @@ def oracle_sql() -> dict[str, str]:
         "intersect_except": _SQL_INTERSECT_EXCEPT,
         "rolling_avg": _SQL_ROLLING,
         "region_revenue": _SQL_REGION_REVENUE,
+        "pii_scrub": _sql_pii_scrub(),
+        "doc_chunks": _SQL_DOC_CHUNKS,
+        "decontaminate": _SQL_DECONTAMINATE,
+        "embedding_dedup": _SQL_EMBEDDING_DEDUP,
         # minhash_lsh, warc_roundtrip, stream_rollup, s2_encode,
         # simhash_pairs, ann_lsh, ann_ivf, page_extraction, media_features,
         # audio_features, dup_clusters, winnow_fingerprints, balanced_folds:

@@ -1,0 +1,113 @@
+"""Corpus-cleaning kernels: PII scrubbing, passage chunking, word n-grams.
+
+Training-data pipelines over crawl corpora need three operations the rest of
+the engine doesn't cover: redacting personally-identifiable substrings before
+a corpus leaves the enclave, splitting documents into fixed-size overlapping
+passages for context-window packing / retrieval indexing, and generic word
+n-grams (the 2-gram special case lives in :mod:`functions.text`).
+
+All three are **pure Column expressions** — JVM-side, codegen'd, zero Python
+in the hot path — and every pattern is written in the common subset of Java
+regex (Spark) and RE2 (DuckDB) so the oracle replays them exactly: no
+lookaround, no backreferences, explicit character classes only.
+
+Reference role: the reference has no cleaning stage (its inputs are curated
+warehouse tables, /root/reference/modeling/datasets/base.py:25-56); these
+operators are part of the beyond-reference LLM-pipeline surface required by
+the brief, same tier as functions/text.py quality signals.
+
+Scale notes:
+- ``scrub_pii`` is a chain of three ``regexp_replace`` over one string
+  column: narrow projection, whole-stage codegen, embarrassingly parallel.
+  No shuffle at any scale.
+- ``chunk_spans`` emits an array of (start, chunk) structs; callers
+  posexplode it. Explode factor = ceil(tokens/stride) — bounded and known
+  up front. IMPORTANT: materialize the token array in a prior select before
+  passing it here (the nested-lambda re-derivation trap documented at
+  functions/text.py:word_bigrams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Patterns shared verbatim by the Spark expressions and the SQL oracles.
+# Order matters and is part of the contract: emails first (so the phone rule
+# can't eat a digit-heavy mailbox local part), then IPv4, then phone runs.
+# A mailbox with a raw-IP host ("root@10.1.2.3") is NOT an email by this
+# grammar (no alphabetic TLD) — it redacts as "root@<IP>", still masked.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+EMAIL_TOKEN = "<EMAIL>"
+IPV4_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, IPv4 addresses, and phone-number runs (in that order).
+
+    Spark ``regexp_replace`` replaces every occurrence; the DuckDB twin needs
+    the explicit ``'g'`` flag — oracle SQL must use
+    ``regexp_replace(t, pat, tok, 'g')``.
+    """
+    out = F.regexp_replace(text, EMAIL_PATTERN, EMAIL_TOKEN)
+    out = F.regexp_replace(out, IPV4_PATTERN, IPV4_TOKEN)
+    return F.regexp_replace(out, PHONE_PATTERN, PHONE_TOKEN)
+
+
+def pii_counts(text: Column) -> Column:
+    """struct(emails, ips, phones): how many of each PII class the scrubber
+    would redact. Counted on the same progressively-scrubbed text the
+    replacement chain sees, so counts always equal redactions."""
+    after_email = F.regexp_replace(text, EMAIL_PATTERN, EMAIL_TOKEN)
+    after_ip = F.regexp_replace(after_email, IPV4_PATTERN, IPV4_TOKEN)
+    return F.struct(
+        F.regexp_count(text, F.lit(EMAIL_PATTERN)).cast("long").alias("emails"),
+        F.regexp_count(after_email, F.lit(IPV4_PATTERN)).cast("long").alias("ips"),
+        F.regexp_count(after_ip, F.lit(PHONE_PATTERN)).cast("long").alias("phones"),
+    )
+
+
+def chunk_spans(toks: Column, size: int, stride: int) -> Column:
+    """Overlapping fixed-size passages over a token-array column.
+
+    Returns ``array<struct<start:int, chunk:string>>`` where ``start`` is the
+    1-based token offset (so chunk i covers tokens [start, start+size)) and
+    chunks are taken every ``stride`` tokens — ``stride < size`` gives the
+    standard overlapping-window packing. An empty/whitespace-only document
+    yields one empty chunk at start=1 (callers filter on token count).
+
+    SQL twin (DuckDB list comprehension, probed exact):
+    ``[{'start': i, 'chunk': array_to_string(w[i:i+size-1], ' ')}
+       for i in range(1, len(w)+1, stride)]``
+    — note DuckDB slices are END-INCLUSIVE (``w[i:i+size-1]`` = ``size``
+    tokens) while Spark ``slice(toks, i, size)`` takes a length.
+    """
+    if stride < 1 or size < 1:
+        raise ValueError("size and stride must be >= 1")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("start"),
+            F.concat_ws(" ", F.slice(toks, s, size)).alias("chunk"),
+        ),
+    )
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token-array column (empty if < n
+    tokens). Generalizes functions/text.py:word_bigrams; same
+    materialize-your-tokens-first caveat applies."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(sz - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(sz < n, F.array().cast("array<string>")).otherwise(grams)

@@ -1,0 +1,73 @@
+"""Benchmark decontamination: flag corpus documents that share word n-grams
+with a held-out evaluation set.
+
+The standard pre-training hygiene step (GPT-3 appendix C / PaLM §7 style):
+any training document containing an n-gram that also appears in a benchmark
+is contaminated and must be dropped or audited. The reference has no
+analogue (its labels are curated tables, /root/reference/modeling/datasets/
+build.py:217-285); this is part of the beyond-reference LLM-pipeline surface.
+
+Shape at 100 TB:
+- The benchmark side is SMALL by definition (eval sets are MBs). Its
+  distinct n-gram set is broadcast — the corpus side is one scan, one
+  explode, one broadcast-hash semi-join, then one aggregation keyed by
+  doc_id. No corpus-vs-corpus shuffle ever happens.
+- Explode factor is ~tokens-per-doc; the join keeps only matching grams, so
+  the aggregated state is |contaminated docs|, not |grams|.
+- ``hashed=True`` joins on ``xxhash64(gram)`` instead of the gram string —
+  8-byte keys instead of ~50-byte strings in the broadcast table and the
+  exchange. Same result set (collision odds ~2^-64 per pair); pinned equal
+  in tests. The string mode exists because the DuckDB oracle cannot replay
+  Spark's xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geocore_spark.functions.cleaning import word_ngrams
+
+
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool) -> DataFrame:
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    grams = staged.select(
+        F.col(id_col), F.explode(word_ngrams(F.col("_toks"), n)).alias("gram")
+    )
+    if hashed:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+    return grams
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    hashed: bool = False,
+) -> DataFrame:
+    """Contaminated docs: ``(doc_id, overlap_ngrams)`` for every document of
+    ``docs`` sharing >= 1 word ``n``-gram with any ``benchmark`` row.
+
+    ``overlap_ngrams`` counts DISTINCT offending grams per document (a gram
+    appearing 10 times in one doc counts once — the audit-relevant number).
+    Clean documents are absent from the result; left-join downstream to flag
+    a whole corpus. Tokenization: lowercase, whitespace split, empties
+    dropped — identical to the dedup operators so contamination and dedup
+    agree on what a "word" is.
+    """
+    bench_grams = (
+        _gram_rows(benchmark, id_col, bench_text_col or text_col, n, hashed)
+        .select("gram")
+        .distinct()
+    )
+    doc_grams = _gram_rows(docs, id_col, text_col, n, hashed).dropDuplicates(
+        [id_col, "gram"]
+    )
+    hits = doc_grams.join(F.broadcast(bench_grams), "gram")
+    return hits.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("overlap_ngrams")
+    )

@@ -9,7 +9,10 @@ embedding-space analogues):
   no Python); the corpus side is broadcast.
 - lsh_topk: random-hyperplane LSH (Charikar) bucketing for the scale
   path — candidates only from matching buckets, then exact re-rank.
-- near_dup_cosine: embedding near-duplicate pairs (cosine >= threshold).
+- near_dup_cosine: embedding near-duplicate pairs (cosine >= threshold)
+  via hyperplane-LSH blocks — the scale path.
+- near_dup_pairs_exact: the same pair semantics brute-force (broadcast
+  self-join) — correctness baseline and recall truth for the LSH variant.
 
 All ordered-sum formulations match the DuckDB oracle bit-for-bit (same
 IEEE double fold order).
@@ -244,6 +247,46 @@ def near_dup_cosine(
         cands.dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def near_dup_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: every (id_a < id_b) with
+    ``round(cosine, 6) >= threshold``.
+
+    Brute force by design — broadcast self-join, |df|^2/2 codegen'd dot
+    products, no Python. This is the correctness baseline (SQL-twinnable:
+    DuckDB ``list_dot_product`` on ``::DOUBLE[]`` reproduces the ordered
+    fold bit-for-bit) and the recall truth the LSH variant
+    (:func:`near_dup_cosine`) is measured against in EVAL.md. Use it up to
+    ~100k vectors; beyond that the LSH path is the 100 TB shape.
+    """
+    # Norms are precomputed per side: HOF lambdas are interpreted per
+    # element (CLAUDE.md), so computing |a| and |b| inside the pair
+    # projection would triple the per-pair work. sqrt(dot(v,v)) is the
+    # same double either way — parity with the per-pair oracle formula
+    # is exact.
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    ).withColumn("na", _norm(F.col("va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).withColumn("nb", _norm(F.col("vb")))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
