@@ -30,6 +30,11 @@ SHOW = [
         "rewrite rule output: user's cartesian dwithin plan became a "
         "shuffled equi-join on cover cells (no CartesianProduct/BNLJ)",
     ),
+    (
+        "decontaminate",
+        "benchmark grams broadcast (BroadcastHashJoin) — the corpus side "
+        "never shuffles before the per-doc aggregation",
+    ),
 ]
 
 
