@@ -1911,6 +1911,29 @@ def q_substring_dups(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Sequence packing (rows-only: greedy FFD inside applyInPandas has no
+    SQL twin; invariants pinned by tests/test_packing.py): chunk the
+    documents table into 32-token passages, pack them into 128-token
+    training sequences, return per-pack totals."""
+    from geocore_spark.functions import cleaning as cl
+    from geocore_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    chunks = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(cl.chunk_spans(F.col("toks"), 32, 24)).alias("ch"))
+        .select(
+            "doc_id",
+            F.col("ch.start").alias("start"),
+            tx.token_count(F.col("ch.chunk")).alias("n_tokens"),
+        )
+    )
+    packed = packing.pack_sequences(chunks, budget=128, n_groups=8)
+    return packing.pack_stats(packed)
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC connector under the driver gate (rows-only): write 200 response
     records as two archives — one plain, one gzip-compressed — read both back
@@ -2072,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "substring_dups": q_substring_dups,
         "balanced_folds": q_balanced_folds,
+        "sequence_packing": q_sequence_packing,
     }
 
 

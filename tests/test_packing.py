@@ -1,0 +1,84 @@
+"""Sequence packing invariants: exactly-once assignment, budget respected,
+determinism, FFD model equivalence, utilization sanity."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from geocore_spark.operators import packing
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    # deterministic synthetic chunk table: token counts 5..96, a few
+    # oversized rows (> budget 100) to exercise the singleton rule
+    rows = []
+    for doc in range(40):
+        for start in range(1, 6):
+            rows.append((doc, start, 5 + (doc * 37 + start * 13) % 92))
+    rows += [(97, 1, 250), (98, 1, 101)]
+    return spark.createDataFrame(rows, ["doc_id", "start", "n_tokens"])
+
+
+BUDGET = 100
+
+
+def test_exactly_once_and_budget(chunks):
+    packed = packing.pack_sequences(chunks, budget=BUDGET, n_groups=8).persist()
+    n_in = chunks.count()
+    assert packed.count() == n_in
+    assert packed.select("doc_id", "start").distinct().count() == n_in
+
+    stats = packing.pack_stats(packed).collect()
+    for r in stats:
+        if r["pack_tokens"] > BUDGET:
+            # only legal as a singleton oversized chunk
+            assert r["n_chunks"] == 1
+    # totals preserved
+    assert sum(r["pack_tokens"] for r in stats) == (
+        chunks.agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    packed.unpersist()
+
+
+def test_deterministic(chunks):
+    a = sorted(map(tuple, packing.pack_sequences(chunks, BUDGET, n_groups=8).collect()))
+    b = sorted(map(tuple, packing.pack_sequences(chunks, BUDGET, n_groups=8).collect()))
+    assert a == b
+
+
+def test_matches_local_ffd_model(chunks):
+    # n_groups=1 -> the distributed result must equal the local FFD walk
+    # over the (doc_id, start)-sorted chunk list
+    packed = {
+        (r["doc_id"], r["start"]): r["pack_id"]
+        for r in packing.pack_sequences(chunks, BUDGET, n_groups=1).collect()
+    }
+    local = sorted(
+        (r["doc_id"], r["start"], r["n_tokens"]) for r in chunks.collect()
+    )
+    model = packing._ffd_pack([c for _, _, c in local], BUDGET)
+    for (doc, start, _), want in zip(local, model):
+        assert packed[(doc, start)] == want
+
+
+def test_ffd_kernel_edges():
+    assert packing._ffd_pack([], 10) == []
+    assert packing._ffd_pack([11], 10) == [0]  # oversized -> own pack
+    assert packing._ffd_pack([6, 6, 6], 10) == [0, 1, 2]
+    # decreasing order packs big-first: 7 with 3, 5 with 5
+    assert packing._ffd_pack([5, 7, 3, 5], 10) == [1, 0, 0, 1]
+
+
+def test_utilization_beats_naive_sequential(chunks):
+    # FFD within groups should reach high utilization on this mix
+    packed = packing.pack_sequences(
+        chunks.filter(F.col("n_tokens") <= BUDGET), BUDGET, n_groups=4
+    )
+    stats = packing.pack_stats(packed).collect()
+    total = sum(r["pack_tokens"] for r in stats)
+    assert total / (len(stats) * BUDGET) >= 0.8
+
+
+def test_budget_validation(chunks):
+    with pytest.raises(ValueError):
+        packing.pack_sequences(chunks, budget=0)
