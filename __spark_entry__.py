@@ -1709,6 +1709,36 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.99
 """
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Deterministic corpus mixing: per-source sampling rates + a stable
+    train/eval split, both pure functions of (doc_id, salt)
+    (operators/sampling.py) — re-runnable bit-identically and replayed
+    exactly by the oracle's integer arithmetic."""
+    from geocore_spark.operators import sampling as smp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = smp.stratified_sample(
+        d, rates={"src0": 1.0, "src1": 0.5, "src2": 0.1}, default_rate=0.3
+    )
+    return smp.deterministic_split(mixed, eval_fraction=0.2)
+
+
+def _sql_corpus_mix():
+    from geocore_spark.operators import sampling as smp
+
+    b0 = smp.hash_bucket_sql("doc_id", 0)
+    b1 = smp.hash_bucket_sql("doc_id", 7919)
+    return f"""
+SELECT doc_id, source,
+       CASE WHEN {b1} < 200000 THEN 'eval' ELSE 'train' END AS split
+FROM documents
+WHERE {b0} < CASE source WHEN 'src0' THEN 1000000
+                         WHEN 'src1' THEN 500000
+                         WHEN 'src2' THEN 100000
+                         ELSE 300000 END
+"""
+
+
 # --- rows-only queries (no ANSI-SQL twin; driver records weaker check) ----
 
 
@@ -2083,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "decontaminate": q_decontaminate,
         "embedding_dedup": q_embedding_dedup,
+        "corpus_mix": q_corpus_mix,
         # --- rows-only tail (local verify + pytest coverage) ---------------
         "s2_encode": q_s2_encode,
         "simhash_pairs": q_simhash_pairs,
@@ -2152,6 +2183,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _SQL_DOC_CHUNKS,
         "decontaminate": _SQL_DECONTAMINATE,
         "embedding_dedup": _SQL_EMBEDDING_DEDUP,
+        "corpus_mix": _sql_corpus_mix(),
         # minhash_lsh, warc_roundtrip, stream_rollup, s2_encode,
         # simhash_pairs, ann_lsh, ann_ivf, page_extraction, media_features,
         # audio_features, dup_clusters, winnow_fingerprints, balanced_folds:

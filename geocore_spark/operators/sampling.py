@@ -1,0 +1,81 @@
+"""Deterministic corpus sampling and mixing: stratified per-source rates
+and reproducible train/eval splits.
+
+Training-data pipelines never sample with RNG state — a corpus must be
+re-buildable bit-identically from config. Membership here is a pure
+function of (id, salt): a Knuth multiplicative hash mapped into 10^6
+buckets, keep iff bucket < rate * 10^6. Re-running, adding executors, or
+reordering input cannot change the sample. The same arithmetic runs in any
+SQL engine (the DuckDB oracle replays it exactly), which also makes the
+sampling decision auditable outside Spark.
+
+Overflow discipline: ids are folded mod 2^31 BEFORE the multiply so the
+product stays under 2^63 — Java long wrap-around vs DuckDB's overflow
+error would otherwise diverge on huge ids.
+
+Scale: narrow map + filter, no shuffle, fully pushdown-friendly (the
+bucket expression is a deterministic Column, so a rate filter prunes at
+the scan when the id is a partition/file-stat column). The reference's
+split machinery is the spatial buffer/BlockCV path
+(/root/reference/modeling/datasets/build.py:164-177) — covered by
+operators/blockcv.py; this module is its corpus-frequency counterpart
+for the webtext surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761  # 2^32 * golden ratio conjugate, the classic multiplier
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(id_col: Column, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, 10^6): ((id + salt) mod 2^31) * K mod
+    2^31, scaled into 10^6. Pure integer Column arithmetic — identical in
+    Spark and ANSI SQL."""
+    folded = F.pmod(id_col.cast("long") + F.lit(salt), F.lit(1 << 31))
+    return F.pmod(folded * F.lit(_KNUTH), F.lit(1 << 31)) % F.lit(_BUCKETS)
+
+
+def hash_bucket_sql(id_expr: str, salt: int = 0) -> str:
+    """The oracle twin of :func:`hash_bucket` (same arithmetic, ANSI SQL)."""
+    return (
+        f"((((({id_expr} + {salt}) % 2147483648 + 2147483648) % 2147483648)"
+        f" * {_KNUTH}) % 2147483648) % {_BUCKETS}"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Keep each row iff its hash bucket clears the per-stratum rate —
+    the corpus-mixing primitive (e.g. downweight crawl dumps, keep all of
+    a curated source). Rates are fractions in [0, 1]."""
+    rate: Column = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    threshold = F.round(rate * _BUCKETS, 0).cast("long")
+    return df.filter(hash_bucket(F.col(id_col), salt) < threshold)
+
+
+def deterministic_split(
+    df: DataFrame,
+    eval_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    salt: int = 7919,
+) -> DataFrame:
+    """Add a ``split`` column ('train' | 'eval') from an independent salt,
+    so the split is stable under re-sampling and corpus growth (a doc's
+    split never changes when other docs are added or removed)."""
+    cut = int(round(eval_fraction * _BUCKETS))
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(F.col(id_col), salt) < cut, "eval").otherwise("train"),
+    )

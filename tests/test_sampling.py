@@ -1,0 +1,83 @@
+"""Deterministic sampling/mixing invariants: stability, stratified rates,
+split independence from sampling, negative-id safety."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from geocore_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, f"src{i % 4}") for i in range(4000)]
+    return spark.createDataFrame(rows, ["doc_id", "source"])
+
+
+def test_rates_are_respected(corpus):
+    out = sampling.stratified_sample(
+        corpus, rates={"src0": 1.0, "src1": 0.5, "src2": 0.0}, default_rate=0.25
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["src0"] == 1000          # rate 1.0 keeps everything
+    assert "src2" not in counts            # rate 0.0 keeps nothing
+    assert 400 <= counts["src1"] <= 600    # ~0.5 of 1000
+    assert 150 <= counts["src3"] <= 350    # default 0.25 of 1000
+
+
+def test_membership_is_stable_under_corpus_changes(corpus):
+    full = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(corpus, {}, default_rate=0.5).collect()
+    }
+    half = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            corpus.filter(F.col("doc_id") < 2000), {}, default_rate=0.5
+        ).collect()
+    }
+    # removing rows never flips another row's membership
+    assert half == {i for i in full if i < 2000}
+
+
+def test_split_stable_and_disjoint_from_sampling_salt(corpus):
+    out = sampling.deterministic_split(corpus, eval_fraction=0.1).persist()
+    n_eval = out.filter(F.col("split") == "eval").count()
+    assert 320 <= n_eval <= 480  # ~10% of 4000
+    # split of a doc is unchanged when the corpus is subsampled first
+    sub = sampling.deterministic_split(
+        sampling.stratified_sample(corpus, {}, default_rate=0.5), eval_fraction=0.1
+    )
+    sub_splits = {r["doc_id"]: r["split"] for r in sub.collect()}
+    full_splits = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert all(full_splits[i] == s for i, s in sub_splits.items())
+    out.unpersist()
+
+
+def test_negative_ids_safe(spark):
+    df = spark.createDataFrame([(-5, "a"), (-(1 << 40), "a")], ["doc_id", "source"])
+    rows = df.select(sampling.hash_bucket(F.col("doc_id")).alias("b")).collect()
+    for r in rows:
+        assert 0 <= r["b"] < 1_000_000
+
+
+def test_bucket_matches_sql_twin(spark):
+    import duckdb
+
+    ids = [0, 1, 42, 999_983, 2**31 - 1, 2**31, 2**40]
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", sampling.hash_bucket(F.col("doc_id"), salt=3).alias("b")
+        ).collect()
+    }
+    expr = sampling.hash_bucket_sql("doc_id", salt=3)
+    want = dict(
+        duckdb.sql(
+            f"SELECT doc_id, {expr} AS b FROM (SELECT unnest({ids}) AS doc_id)"
+        ).fetchall()
+    )
+    assert got == want
