@@ -1,0 +1,178 @@
+"""End-to-end training-data curation pipeline as a spark-submit job — the
+webtext twin of jobs/run_pipeline.py, chaining the LLM-pipeline operator
+set under the same checkpoint/lineage machinery:
+
+    zip -r engine.zip geocore_spark
+    spark-submit --py-files engine.zip jobs/run_curation.py \
+        --docs 200000 --checkpoint-root /tmp/geocore_curation [--resume]
+
+Stages (each a checkpointed snapshot; --resume skips committed stages):
+
+  1. corpus      : synthesize the documents table (deterministic generator)
+  2. scrub       : PII redaction + quality / language / token signals
+  3. dedup       : exact dedup, then MinHash-LSH near-dup pair removal
+  4. decontam    : drop docs sharing n-grams with the held-out benchmark
+  5. mix         : stratified source rates + deterministic train/eval split
+  6. chunks      : overlapping passage chunking
+  7. pack        : FFD sequence packing to the token budget
+
+Every stage logs per-partition row counts through the lineage tracker and
+appends to <checkpoint-root>/metrics.json. The final JSON line reports
+doc/chunk/pack counts and packing utilization.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from geocore_spark.functions import cleaning as cl, text as tx
+from geocore_spark.operators import decontam, dedup, packing, sampling
+from geocore_spark.plans.checkpoint import StageCheckpoint
+from geocore_spark.plans.lineage import LineageLog, observed
+from geocore_spark.session import get_spark
+from geocore_spark.sources import documents as docsrc
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--checkpoint-root", default="/tmp/geocore_curation")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--budget", type=int, default=512, help="pack token budget")
+    ap.add_argument("--chunk-size", type=int, default=64)
+    ap.add_argument("--chunk-stride", type=int, default=48)
+    ap.add_argument("--ngram", type=int, default=8, help="decontamination n")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("geocore-curation")
+    cp = StageCheckpoint(spark, args.checkpoint_root)
+    if not args.resume:
+        for stage in list(cp.stages()):
+            cp.invalidate(stage)
+    log = LineageLog()
+    t_start = time.time()
+
+    def staged(name, build):
+        t0 = time.time()
+        was_done = cp.is_done(name)
+        df = cp.run(name, build)
+        rows = cp.stages()[name]["rows"]
+        log.record(
+            name, rows=rows, seconds=round(time.time() - t0, 2), resumed=was_done
+        )
+        print(f"[stage {name}] rows={rows} resumed={was_done}", flush=True)
+        return df
+
+    def build_corpus():
+        d = docsrc.documents(spark, args.docs)
+        # source = a deterministic shard label (plays the crawl-dump id)
+        return d.withColumn(
+            "source", F.concat(F.lit("dump"), (F.col("doc_id") % 8).cast("string"))
+        )
+
+    corpus = staged("corpus", build_corpus)
+
+    def build_scrub():
+        d, _ = observed(corpus, "scrub_in")
+        return d.select(
+            "doc_id",
+            "source",
+            cl.scrub_pii(F.col("text")).alias("text"),
+            tx.lang_guess(F.col("text")).alias("lang"),
+            tx.quality_score(F.col("text")).alias("quality"),
+            tx.token_count(F.col("text")).alias("n_tokens"),
+        )
+
+    scrubbed = staged("scrub", build_scrub)
+
+    def build_dedup():
+        kept = dedup.exact_dedup(scrubbed, id_col="doc_id", text_col="text")
+        pairs = dedup.minhash_lsh_pairs(
+            kept.select("doc_id", "text"), n_perm=64, bands=16, threshold=0.8
+        )
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        return kept.join(losers, "doc_id", "left_anti")
+
+    deduped = staged("dedup", build_dedup)
+
+    def build_decontam():
+        bench = deduped.filter(F.col("doc_id") % 1013 == 0)
+        pool = deduped.filter(F.col("doc_id") % 1013 != 0)
+        dirty = decontam.decontaminate(pool, bench, n=args.ngram, hashed=True)
+        return pool.join(dirty.select("doc_id"), "doc_id", "left_anti")
+
+    clean = staged("decontam", build_decontam)
+
+    def build_mix():
+        mixed = sampling.stratified_sample(
+            clean, rates={"dump0": 1.0, "dump1": 0.5}, default_rate=0.8
+        )
+        return sampling.deterministic_split(mixed, eval_fraction=0.05)
+
+    mixed = staged("mix", build_mix)
+
+    def build_chunks():
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+        )
+        staged_toks = mixed.select("doc_id", "split", toks.alias("toks"))
+        return staged_toks.select(
+            "doc_id",
+            "split",
+            F.explode(
+                cl.chunk_spans(F.col("toks"), args.chunk_size, args.chunk_stride)
+            ).alias("ch"),
+        ).select(
+            "doc_id",
+            "split",
+            F.col("ch.start").alias("start"),
+            tx.token_count(F.col("ch.chunk")).alias("n_tokens"),
+        )
+
+    chunks = staged("chunks", build_chunks)
+
+    def build_pack():
+        packed = packing.pack_sequences(
+            chunks.filter(F.col("split") == "train"), budget=args.budget
+        )
+        return packing.pack_stats(packed)
+
+    packs = staged("pack", build_pack)
+
+    log.record("total", seconds=round(time.time() - t_start, 2))
+    metrics_path = os.path.join(args.checkpoint_root, "metrics.json")
+    with open(metrics_path, "w") as f:
+        f.write(log.to_json())
+
+    n_packs = packs.count()
+    util = packs.agg(
+        (F.sum("pack_tokens") / (F.count("*") * args.budget)).alias("u")
+    ).collect()[0]["u"]
+    print(
+        json.dumps(
+            {
+                "docs_in": corpus.count(),
+                "docs_after_dedup": deduped.count(),
+                "docs_after_decontam": clean.count(),
+                "docs_mixed": mixed.count(),
+                "chunks": chunks.count(),
+                "packs": n_packs,
+                "pack_utilization": round(float(util), 4),
+                "metrics": metrics_path,
+                "seconds": round(time.time() - t_start, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

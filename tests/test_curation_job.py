@@ -1,0 +1,50 @@
+"""e2e smoke for jobs/run_curation.py: fresh run then --resume, invariant
+counts, all-stages-skipped on resume. Subprocess because the job owns its
+SparkSession lifecycle (main() stops it)."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(ckpt, extra):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_curation.py"),
+         "--docs", "1500", "--checkpoint-root", ckpt, *extra],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    stages = [ln for ln in out.stdout.splitlines() if ln.startswith("[stage")]
+    return json.loads(lines[-1]), stages
+
+
+def test_curation_job_end_to_end_and_resume(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    first, _ = _run(ckpt, [])
+    assert first["docs_in"] == 1500
+    # each funnel stage can only shrink the doc set
+    assert (
+        first["docs_in"]
+        >= first["docs_after_dedup"]
+        >= first["docs_after_decontam"]
+        >= first["docs_mixed"]
+        > 0
+    )
+    assert first["chunks"] >= first["docs_mixed"]  # >=1 chunk per doc
+    assert first["packs"] > 0
+    assert 0.5 <= first["pack_utilization"] <= 1.0
+    assert os.path.exists(first["metrics"])
+
+    second, stages = _run(ckpt, ["--resume"])
+    # resume must reproduce the exact same numbers without recomputing
+    assert {k: v for k, v in second.items() if k not in ("seconds",)} == {
+        k: v for k, v in first.items() if k not in ("seconds",)
+    }
+    assert stages and all("resumed=True" in s for s in stages)
+    shutil.rmtree(ckpt, ignore_errors=True)
