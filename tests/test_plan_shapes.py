@@ -134,3 +134,41 @@ def test_robots_gate_pure_column_decision(spark, sf_dir):
     the only Python stage is the per-host rule parse (tiny side)."""
     p = _formatted(em.q_robots_gate(spark, sf_dir))
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_pii_scrub_narrow_no_shuffle(spark, sf_dir):
+    """The scrub chain is scan-side: no exchange, no Python eval."""
+    p = _formatted(em.q_pii_scrub(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_doc_chunks_narrow_no_shuffle(spark, sf_dir):
+    """Chunking is explode-on-scan: no exchange, no Python eval, and the
+    scan reads only (doc_id, text)."""
+    p = _formatted(em.q_doc_chunks(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "n_chars" not in p  # column pruning: untouched columns stay out
+
+
+def test_corpus_mix_narrow_no_shuffle(spark, sf_dir):
+    """Sampling + split are pure Column filters/projections — one scan,
+    zero exchanges."""
+    p = _formatted(em.q_corpus_mix(spark, sf_dir))
+    assert "Exchange" not in p
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """Corpus side joins the broadcast benchmark grams — no sort-merge
+    join of the corpus before the per-doc aggregation."""
+    p = _formatted(em.q_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_embedding_dedup_corpus_broadcast(spark, sf_dir):
+    """Exact pair scan: one side broadcast, no shuffle of the pair space."""
+    p = _formatted(em.q_embedding_dedup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p  # theta join (id_a < id_b) by design
+    assert "CartesianProduct" not in p
