@@ -177,3 +177,105 @@ def test_near_dup_lsh_recall_against_exact(spark, sf_dir):
     assert got <= truth or not truth  # LSH verifies exactly -> no false positives
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9
+
+
+# --- model-based properties (hypothesis on the Python twin, one Spark
+# batch equality check — the PSL-test pattern) ------------------------------
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_MODEL_SUBS = [
+    (re.compile(cleaning.EMAIL_PATTERN), cleaning.EMAIL_TOKEN),
+    (re.compile(cleaning.IPV4_PATTERN), cleaning.IPV4_TOKEN),
+    (re.compile(cleaning.PHONE_PATTERN), cleaning.PHONE_TOKEN),
+]
+
+
+def _scrub_model(s: str) -> str:
+    for pat, tok in _MODEL_SUBS:
+        s = pat.sub(tok, s)
+    return s
+
+
+_pii_fragments = st.sampled_from(
+    ["a.b+c@ex.org", "10.0.0.1", "+1 (555) 123-4567", "255.255.255.255",
+     "x@y.zz", "no pii", "999 8888 777", "v1.2.3.4beta", "a@b", "@@", ""]
+)
+_text_st = st.lists(
+    st.one_of(_pii_fragments, st.text(alphabet=st.characters(codec="ascii"), max_size=12)),
+    max_size=8,
+).map(" ".join)
+
+
+@given(_text_st)
+@settings(max_examples=300, deadline=None)
+def test_scrub_model_idempotent(s):
+    once = _scrub_model(s)
+    assert _scrub_model(once) == once
+
+
+@given(_text_st)
+@settings(max_examples=300, deadline=None)
+def test_scrub_model_leaves_no_pii(s):
+    out = _scrub_model(s)
+    assert not re.search(cleaning.EMAIL_PATTERN, out)
+    assert not re.search(cleaning.IPV4_PATTERN, out)
+
+
+def test_scrub_column_matches_python_model(spark):
+    # deterministic diverse sample driven through BOTH implementations
+    frags = ["a.b+c@ex.org", "10.0.0.1", "+1 (555) 123-4567", "x@y.zz",
+             "w", "", "1.2", "call 555 867 5309 now", "root@10.1.2.3",
+             "a@b.co.uk and 8.8.8.8 and +44 20 7946 0958 done"]
+    rows = []
+    for i in range(200):
+        parts = [frags[(i * 7 + j) % len(frags)] for j in range(1 + i % 4)]
+        rows.append((i, " ".join(parts)))
+    df = spark.createDataFrame(rows, ["i", "text"])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", cleaning.scrub_pii(F.col("text")).alias("c")).collect()
+    }
+    for i, t in rows:
+        assert got[i] == _scrub_model(t), (i, t, got[i])
+
+
+def _chunk_model(tokens, size, stride):
+    n = max(len(tokens), 1)
+    return [(s, " ".join(tokens[s - 1 : s - 1 + size]))
+            for s in range(1, n + 1, stride)]
+
+
+@given(st.lists(st.sampled_from(["a", "bb", "ccc", "d1"]), max_size=40),
+       st.integers(1, 8), st.integers(1, 8))
+@settings(max_examples=300, deadline=None)
+def test_chunk_model_covers_every_token(tokens, size, stride):
+    chunks = _chunk_model(tokens, size, stride)
+    if stride <= size:  # overlap or exact tiling -> total coverage
+        covered = set()
+        for s, _ in chunks:
+            covered.update(range(s, s + size))
+        assert set(range(1, len(tokens) + 1)) <= covered
+    # chunk count is exactly ceil(max(n,1)/stride)
+    n = max(len(tokens), 1)
+    assert len(chunks) == -(-n // stride)
+
+
+def test_chunk_column_matches_python_model(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(i))) for i in range(0, 30)]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    out = (
+        df.select("i", toks.alias("t"))
+        .select("i", F.explode(cleaning.chunk_spans(F.col("t"), 5, 3)).alias("ch"))
+        .collect()
+    )
+    got = {}
+    for r in out:
+        got.setdefault(r["i"], []).append((r["ch"]["start"], r["ch"]["chunk"]))
+    for i, text in rows:
+        tokens = [t for t in text.split() if t]
+        assert sorted(got[i]) == sorted(_chunk_model(tokens, 5, 3)), i
