@@ -2032,7 +2032,13 @@ def q_stream_rollup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    finished = q.awaitTermination(300)
+    if not finished:
+        # a timed-out drain would silently return a partial table — fail
+        # loudly instead (this VM shows multi-second host stalls; 300 s is
+        # ~20x the quiet-run drain time)
+        q.stop()
+        raise TimeoutError("stream_rollup: availableNow drain exceeded 300 s")
     return spark.table(name).orderBy("session_start", "cell")
 
 

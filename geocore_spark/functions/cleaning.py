@@ -90,13 +90,18 @@ def chunk_spans(toks: Column, size: int, stride: int) -> Column:
         raise ValueError("size and stride must be >= 1")
     n = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
-    return F.transform(
+    spans = F.transform(
         starts,
         lambda s: F.struct(
             s.cast("int").alias("start"),
             F.concat_ws(" ", F.slice(toks, s, size)).alias("chunk"),
         ),
     )
+    # null token array -> no chunks (size(null) is null, which would
+    # otherwise fall through greatest() and emit one phantom '' chunk)
+    return F.when(
+        toks.isNull(), F.array().cast("array<struct<start:int,chunk:string>>")
+    ).otherwise(spans)
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
@@ -110,4 +115,8 @@ def word_ngrams(toks: Column, n: int) -> Column:
         F.sequence(F.lit(1), F.greatest(sz - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.when(sz < n, F.array().cast("array<string>")).otherwise(grams)
+    # sz < n covers real arrays; the isNull guard stops a null array from
+    # falling through to one phantom '' gram
+    return F.when(toks.isNull() | (sz < n), F.array().cast("array<string>")).otherwise(
+        grams
+    )

@@ -93,30 +93,46 @@ def registrable_domain(
     ``extra_suffixes`` when available.
     """
     suffixes = PSL_MULTI_LABEL + tuple(extra_suffixes)
+    sufs2 = [s for s in suffixes if s.count(".") == 1]
+    sufs3 = [s for s in suffixes if s.count(".") == 2]
     host = F.regexp_replace(url_host(url), r":\d+$", "")
     labels = F.split(host, r"\.")
     last2 = F.array_join(F.slice(labels, -2, 2), ".")
     last3 = F.array_join(F.slice(labels, -3, 3), ".")
-    return (
-        F.when(F.size(labels) <= 2, host)
-        .when(last2.isin(*suffixes), last3)
-        .otherwise(last2)
-    )
+    last4 = F.array_join(F.slice(labels, -4, 4), ".")
+    out = F.when(F.size(labels) <= 2, host)
+    if sufs3:
+        # 3-label suffixes (s3.amazonaws.com): suffix + one label = 4
+        # labels kept; a host that IS the suffix passes through whole.
+        out = out.when((F.size(labels) >= 4) & last3.isin(*sufs3), last4).when(
+            last3.isin(*sufs3), host
+        )
+    if sufs2:
+        out = out.when(last2.isin(*sufs2), last3)
+    return out.otherwise(last2)
 
 
 def registrable_domain_sql(host_sql: str, extra_suffixes: tuple[str, ...] = ()) -> str:
     """ANSI-SQL (DuckDB) twin of :func:`registrable_domain`, over a host
     expression (port already stripped)."""
     suffixes = PSL_MULTI_LABEL + tuple(extra_suffixes)
-    in_list = ", ".join(f"'{s}'" for s in suffixes)
+    sufs2 = [s for s in suffixes if s.count(".") == 1]
+    sufs3 = [s for s in suffixes if s.count(".") == 2]
     labels = f"string_split({host_sql}, '.')"
     last2 = f"array_to_string({labels}[-2:], '.')"
     last3 = f"array_to_string({labels}[-3:], '.')"
-    return (
-        f"(CASE WHEN len({labels}) <= 2 THEN {host_sql} "
-        f"WHEN {last2} IN ({in_list}) THEN {last3} "
-        f"ELSE {last2} END)"
-    )
+    last4 = f"array_to_string({labels}[-4:], '.')"
+    sql = f"(CASE WHEN len({labels}) <= 2 THEN {host_sql} "
+    if sufs3:
+        in3 = ", ".join(f"'{s}'" for s in sufs3)
+        sql += (
+            f"WHEN len({labels}) >= 4 AND {last3} IN ({in3}) THEN {last4} "
+            f"WHEN {last3} IN ({in3}) THEN {host_sql} "
+        )
+    if sufs2:
+        in2 = ", ".join(f"'{s}'" for s in sufs2)
+        sql += f"WHEN {last2} IN ({in2}) THEN {last3} "
+    return sql + f"ELSE {last2} END)"
 
 
 def url_path_depth(url: Column) -> Column:

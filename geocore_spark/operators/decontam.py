@@ -31,7 +31,12 @@ from geocore_spark.functions.cleaning import word_ngrams
 
 def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool) -> DataFrame:
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
-    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    # null text yields no grams (matches the SQL twin, where a NULL split
+    # drops the row) — without this, word_ngrams over a null array emits
+    # one '' gram and null docs cross-match each other
+    staged = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_toks")
+    )
     grams = staged.select(
         F.col(id_col), F.explode(word_ngrams(F.col("_toks"), n)).alias("gram")
     )
@@ -64,10 +69,13 @@ def decontaminate(
         .select("gram")
         .distinct()
     )
-    doc_grams = _gram_rows(docs, id_col, text_col, n, hashed).dropDuplicates(
-        [id_col, "gram"]
-    )
+    # Join FIRST, dedupe inside the aggregation: the broadcast semi-join
+    # discards non-matching grams map-side, so the only shuffle is the
+    # per-doc agg over MATCHED grams. (A per-doc dropDuplicates before the
+    # join would shuffle the entire exploded gram stream — |corpus grams|,
+    # not |matches| — exactly the state this module promises to avoid.)
+    doc_grams = _gram_rows(docs, id_col, text_col, n, hashed)
     hits = doc_grams.join(F.broadcast(bench_grams), "gram")
     return hits.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("overlap_ngrams")
+        F.count_distinct("gram").cast("long").alias("overlap_ngrams")
     )

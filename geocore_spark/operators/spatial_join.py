@@ -186,8 +186,11 @@ def _cover_cached(spark, polygons: DataFrame, res: int):
 
     The key includes the SparkContext's applicationId so entries can never
     outlive their session (a broadcast created on a stopped context is
-    unusable), and evicted entries destroy their broadcast instead of
-    leaking executor memory.
+    unusable). Evicted entries UNPERSIST (not destroy) their broadcast:
+    unpersist frees the executor copies but leaves the driver value
+    rebroadcastable, so a still-pending DataFrame built from an earlier
+    join keeps working if it executes after eviction; destroy() would
+    fail those tasks with "Attempted to use Broadcast after destroy".
     """
     key = (spark.sparkContext.applicationId, polygons.semanticHash(), res)
     hit = _COVER_CACHE.get(key)
@@ -200,7 +203,7 @@ def _cover_cached(spark, polygons: DataFrame, res: int):
     if len(_COVER_CACHE) >= 16:
         _, (_, old_bc) = _COVER_CACHE.popitem(last=False)
         try:
-            old_bc.destroy()
+            old_bc.unpersist(blocking=False)
         except Exception:
             pass  # its session may already be gone
     _COVER_CACHE[key] = (cover, bc)

@@ -82,10 +82,16 @@ def main(argv: list[str] | None = None) -> None:
 
     def build_scrub():
         d, _ = observed(corpus, "scrub_in")
-        return d.select(
+        # scrub FIRST, then derive signals from the scrubbed column — in a
+        # single select the signal exprs would resolve 'text' to the
+        # pre-scrub input and disagree with the stored text
+        scrubbed_text = d.select(
+            "doc_id", "source", cl.scrub_pii(F.col("text")).alias("text")
+        )
+        return scrubbed_text.select(
             "doc_id",
             "source",
-            cl.scrub_pii(F.col("text")).alias("text"),
+            "text",
             tx.lang_guess(F.col("text")).alias("lang"),
             tx.quality_score(F.col("text")).alias("quality"),
             tx.token_count(F.col("text")).alias("n_tokens"),

@@ -279,3 +279,39 @@ def test_chunk_column_matches_python_model(spark):
     for i, text in rows:
         tokens = [t for t in text.split() if t]
         assert sorted(got[i]) == sorted(_chunk_model(tokens, 5, 3)), i
+
+
+def test_null_text_yields_no_grams_or_chunks(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e")], "doc_id long, text string"
+    )
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    staged = df.select("doc_id", toks.alias("t"))
+    grams = staged.select(
+        "doc_id", cleaning.word_ngrams(F.col("t"), 3).alias("g")
+    ).collect()
+    got = {r["doc_id"]: r["g"] for r in grams}
+    assert got[1] == []  # null -> no phantom '' gram
+    assert got[2] == ["a b c", "b c d", "c d e"]
+    chunks = staged.select(
+        "doc_id", cleaning.chunk_spans(F.col("t"), 4, 3).alias("c")
+    ).collect()
+    got_c = {r["doc_id"]: r["c"] for r in chunks}
+    assert got_c[1] == []
+
+
+def test_decontaminate_ignores_null_text(spark):
+    bench = spark.createDataFrame(
+        [(100, None), (101, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "see the quick brown fox jumps here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["overlap_ngrams"]
+        for r in decontam.decontaminate(docs, bench, n=5).collect()
+    }
+    # null docs must NOT cross-match the null benchmark row
+    assert out == {3: 1}

@@ -161,10 +161,23 @@ def test_corpus_mix_narrow_no_shuffle(spark, sf_dir):
 
 def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     """Corpus side joins the broadcast benchmark grams — no sort-merge
-    join of the corpus before the per-doc aggregation."""
+    join of the corpus, and the ONLY shuffle is the per-doc aggregation
+    over matched grams (a pre-join dedup of the full gram stream would
+    add a second shuffle keyed on |corpus grams|)."""
     p = _formatted(em.q_decontaminate(spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+    # exactly 3 distinct shuffle exchanges: the benchmark-side distinct
+    # (benchmark-sized) + the two-phase count_distinct AFTER the join
+    # (bounded by matched grams). A pre-join dedup of the corpus gram
+    # stream — the |corpus grams| shuffle this design forbids — adds a 4th.
+    import re as _re
+
+    shuffle_ids = {
+        m.group(1)
+        for m in _re.finditer(r"\((\d+)\) Exchange\b", p)
+    }
+    assert len(shuffle_ids) == 3, sorted(shuffle_ids)
 
 
 def test_embedding_dedup_corpus_broadcast(spark, sf_dir):

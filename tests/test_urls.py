@@ -64,6 +64,11 @@ def test_registrable_domain_psl_rule(spark):
         ("https://example.org", "example.org"),
         ("https://localhost:8080/", "localhost"),
         ("https://x.y.z.co.jp:443/p", "z.co.jp"),
+        # 3-label suffix: suffix + one label = four labels kept
+        ("https://bucket.s3.amazonaws.com/key", "bucket.s3.amazonaws.com"),
+        ("https://a.bucket.s3.amazonaws.com/key", "bucket.s3.amazonaws.com"),
+        # the bare suffix itself passes through whole
+        ("https://s3.amazonaws.com/", "s3.amazonaws.com"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["d"] for r in df.select(urls.registrable_domain(F.col("url")).alias("d")).collect()]
@@ -83,7 +88,9 @@ def test_registrable_domain_column_matches_python_model_grid(spark):
     deeper than three labels."""
     import itertools
 
-    suffix_samples = ["com", "org", "co.uk", "github.io", "com.au", "zz"]
+    suffix_samples = [
+        "com", "org", "co.uk", "github.io", "com.au", "zz", "s3.amazonaws.com"
+    ]
     prefixes = [[], ["example"], ["a", "example"], ["x", "y", "example"]]
     hosts = [
         ".".join(p + s.split("."))
@@ -94,6 +101,8 @@ def test_registrable_domain_column_matches_python_model_grid(spark):
         parts = host.split(".")
         if len(parts) <= 2:
             return host
+        if ".".join(parts[-3:]) in urls.PSL_MULTI_LABEL:
+            return ".".join(parts[-4:]) if len(parts) >= 4 else host
         if ".".join(parts[-2:]) in urls.PSL_MULTI_LABEL:
             return ".".join(parts[-3:])
         return ".".join(parts[-2:])

@@ -291,11 +291,21 @@ def main():
     ]
 
     # --- round-over-round comparison vs the driver's last recorded bench ---
-    prev_path = None
-    for cand in sorted(os.listdir(REPO), reverse=True):
-        if cand.startswith("BENCH_r") and cand.endswith(".json"):
-            prev_path = os.path.join(REPO, cand)
-            break
+    # numeric round sort — lexical reverse-sort would pick BENCH_r9 over
+    # BENCH_r10 once rounds reach double digits
+    def _round_no(name: str) -> int:
+        try:
+            return int(name[len("BENCH_r"): -len(".json")])
+        except ValueError:
+            return -1
+
+    cands = [
+        c for c in os.listdir(REPO)
+        if c.startswith("BENCH_r") and c.endswith(".json") and _round_no(c) >= 0
+    ]
+    prev_path = (
+        os.path.join(REPO, max(cands, key=_round_no)) if cands else None
+    )
     if prev_path:
         prev = json.load(open(prev_path))
         # the driver wraps its bench result under "parsed"
