@@ -64,6 +64,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     verify: str = "estimate",
+    pairing: str = "all",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, verified by
     Jaccard >= threshold.
@@ -79,6 +80,18 @@ def minhash_lsh_pairs(
     Jaccard (Arrow-batched numpy pair kernel): cost is bounded by the
     candidate count, never |corpus|^2, and precision becomes 1.0 by
     construction (the emitted ``jaccard`` column is the true value).
+
+    ``pairing`` is the viral-bucket defense. ``'all'`` (default) emits
+    every colliding pair — exact candidate semantics, but a bucket of m
+    near-identical docs (boilerplate pages, mirrored sites) costs
+    O(m^2): at m=1e6 that is 5e11 pairs from ONE bucket. ``'chain'``
+    sorts each bucket by id and pairs each doc with its successor only —
+    O(m) pairs, one window shuffle instead of a self-join, and the
+    duplicate CLUSTERS are identical (a bucket's chain connects the same
+    component that its clique would; feed duplicate_clusters as usual).
+    Chain pairs are a SUBSET of all-pairs, so per-pair recall is lower
+    when a threshold filter breaks a chain link — use it when the goal
+    is cluster collapse (dedup), not exhaustive pair enumeration.
     """
     from geocore_spark.operators import ensure_parallelism
 
@@ -113,24 +126,44 @@ def minhash_lsh_pairs(
     # shuffle ~40x. Threshold-filtering before the dedup shuffle cuts the
     # row count too (est is a pure function of the pair, so filter and
     # dedup commute).
-    est = F.aggregate(
-        F.zip_with(F.col("l.sig"), F.col("r.sig"), lambda a, b: (a == b).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("double") / F.lit(float(n_perm))
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    def _est(sig_a, sig_b):
+        return F.aggregate(
+            F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double") / F.lit(float(n_perm))
+
+    if pairing == "chain":
+        # one window shuffle on the bucket key; each doc pairs with its
+        # id-successor in the bucket — O(m) pairs even for a viral bucket
+        w = Window.partitionBy("band", "bhash").orderBy(F.col(id_col).asc())
+        chained = banded.select(
+            F.lag(id_col).over(w).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lag("sig").over(w).alias("sig_a"),
+            F.col("sig").alias("sig_b"),
+        ).filter(F.col("id_a").isNotNull())
+        pairs = chained.select(
+            "id_a",
+            "id_b",
+            F.round(_est(F.col("sig_a"), F.col("sig_b")), 6).alias("est_jaccard"),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.round(est, 6).alias("est_jaccard"),
+    elif pairing == "all":
+        pairs = (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bhash") == F.col("r.bhash"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.round(_est(F.col("l.sig"), F.col("r.sig")), 6).alias("est_jaccard"),
+            )
         )
-    )
+    else:
+        raise ValueError(f"pairing must be 'all' or 'chain', got {pairing!r}")
     if verify == "estimate":
         return (
             pairs.filter(F.col("est_jaccard") >= threshold)

@@ -101,8 +101,15 @@ def main(argv: list[str] | None = None) -> None:
 
     def build_dedup():
         kept = dedup.exact_dedup(scrubbed, id_col="doc_id", text_col="text")
+        # chain pairing: O(m) pairs per LSH bucket — the viral-cluster-safe
+        # mode; removal semantics match all-pairs (every non-min member of
+        # a duplicate chain appears as id_b)
         pairs = dedup.minhash_lsh_pairs(
-            kept.select("doc_id", "text"), n_perm=64, bands=16, threshold=0.8
+            kept.select("doc_id", "text"),
+            n_perm=64,
+            bands=16,
+            threshold=0.8,
+            pairing="chain",
         )
         losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
         return kept.join(losers, "doc_id", "left_anti")

@@ -252,3 +252,38 @@ def test_ivf_index_persist_and_probe(spark, sf_dir, tmp_path):
     m = re.search(r"PartitionFilters: \[[^\]]*list_id", plan)
     assert m, plan[:2000]
     assert probed.count() > 0
+
+
+def test_minhash_chain_pairing_linear_and_same_clusters(spark):
+    """A viral bucket (many identical docs) must cost O(m) pairs in chain
+    mode while producing the SAME duplicate clusters as all-pairs mode."""
+    from geocore_spark.operators import components, dedup
+
+    viral = [(i, "the same viral boilerplate page body repeated everywhere") for i in range(40)]
+    distinct = [(100 + i, f"unique document number {i} with its own words entirely") for i in range(10)]
+    docs = spark.createDataFrame(viral + distinct, ["doc_id", "text"])
+
+    all_pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9).persist()
+    chain_pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9, pairing="chain").persist()
+
+    n_all, n_chain = all_pairs.count(), chain_pairs.count()
+    assert n_all == 40 * 39 // 2          # the clique
+    assert n_chain == 39                  # the chain
+    # identical clusters either way
+    ca = sorted(map(tuple, components.dedup_clusters(docs, all_pairs).select("doc_id", "keeper_id").collect()))
+    cc = sorted(map(tuple, components.dedup_clusters(docs, chain_pairs).select("doc_id", "keeper_id").collect()))
+    assert ca == cc
+    # chain estimates are true signature estimates (identical docs -> 1.0)
+    assert all(r["est_jaccard"] == 1.0 for r in chain_pairs.collect())
+    all_pairs.unpersist(); chain_pairs.unpersist()
+
+
+def test_minhash_pairing_validation(spark):
+    from geocore_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    try:
+        dedup.minhash_lsh_pairs(docs, pairing="bogus").collect()
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
