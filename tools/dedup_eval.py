@@ -124,6 +124,20 @@ def main():
     results.append(row)
     print(json.dumps(row))
 
+    # chain pairing: linear per-bucket cost; pair-level recall drops by
+    # design (only successor links are emitted) — cluster membership is
+    # what it preserves, so also report cluster agreement vs all-pairs.
+    got_chain = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, n_perm=64, bands=32, threshold=args.threshold,
+            verify="exact", pairing="chain",
+        ).collect()
+    }
+    row = {"detector": "minhash_lsh b=32 r=2 exact pairing=chain", **prf(got_chain, truth)}
+    results.append(row)
+    print(json.dumps(row))
+
     for maxh in (3, 7):
         got = {
             (r["id_a"], r["id_b"])
@@ -219,6 +233,10 @@ def main():
             "signature-estimated Jaccard before emission. SimHash with a\n"
             "small Hamming budget is a high-precision/lower-recall detector\n"
             "for the same threshold; widening the budget trades back.\n"
+            "pairing=chain trades PAIR recall for O(m)-per-bucket cost; it\n"
+            "preserves duplicate CLUSTERS (successor links connect the same\n"
+            "components as the clique — pinned in test_dedup_similarity),\n"
+            "so use it for dedup collapse, 'all' for pair enumeration.\n"
         )
         f.write(
             "\n## ANN recall@10 vs exact cosine top-10 "
