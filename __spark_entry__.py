@@ -1610,7 +1610,7 @@ def q_doc_chunks(spark, sf_dir):
     from geocore_spark.functions import cleaning as cl
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    toks = cl.tokens(F.col("text"))
     staged = d.select("doc_id", toks.alias("toks"))
     return (
         staged.select(
@@ -1950,7 +1950,7 @@ def q_sequence_packing(spark, sf_dir):
     from geocore_spark.operators import packing
 
     d = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    toks = cl.tokens(F.col("text"))
     chunks = (
         d.select("doc_id", toks.alias("toks"))
         .select("doc_id", F.explode(cl.chunk_spans(F.col("toks"), 32, 24)).alias("ch"))
@@ -1976,7 +1976,13 @@ def q_warc_roundtrip(spark, sf_dir):
 
     from geocore_spark.sources import warc as wc
 
-    d = tempfile.mkdtemp(prefix="warc_rt_")
+    # fixed per-session dir (content is deterministic, so rewrite is
+    # idempotent): repeated gate/verify runs reuse one path instead of
+    # accumulating a fresh mkdtemp per invocation
+    d = os.path.join(
+        tempfile.gettempdir(), f"warc_rt_{spark.sparkContext.applicationId}"
+    )
+    os.makedirs(d, exist_ok=True)
     for shard, compress in (("a", False), ("b", True)):
         records = []
         for i in range(100):
@@ -2010,7 +2016,11 @@ def q_stream_rollup(spark, sf_dir):
 
     from geocore_spark.streaming import ingest as ing
 
-    landing = tempfile.mkdtemp(prefix="stream_rollup_")
+    # fixed per-session landing dir, overwritten each run — no unbounded
+    # mkdtemp + events-parquet-copy accumulation across gate/verify runs
+    landing = os.path.join(
+        tempfile.gettempdir(), f"stream_rollup_{spark.sparkContext.applicationId}"
+    )
     ev = (
         _t(spark, sf_dir, "events")
         .select(

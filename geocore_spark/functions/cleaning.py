@@ -104,6 +104,14 @@ def chunk_spans(toks: Column, size: int, stride: int) -> Column:
     ).otherwise(spans)
 
 
+def tokens(text: Column) -> Column:
+    """THE canonical tokenizer of the engine's text operators: lowercase,
+    whitespace split, empties dropped. Dedup, decontamination, chunking,
+    and the curation job all call this one expression so they agree on
+    what a "word" is — do not re-spell it inline."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != "")
+
+
 def word_ngrams(toks: Column, n: int) -> Column:
     """Space-joined word n-grams of a token-array column (empty if < n
     tokens). Generalizes functions/text.py:word_bigrams; same

@@ -26,20 +26,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from geocore_spark.functions.cleaning import word_ngrams
+from geocore_spark.functions.cleaning import tokens, word_ngrams
 
 
-def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool) -> DataFrame:
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
+def _gram_rows(
+    df: DataFrame, id_col: str | None, text_col: str, n: int, hashed: bool
+) -> DataFrame:
+    """Gram stream of a frame; ``id_col=None`` emits grams only (the
+    benchmark side needs no id — and must not be forced to carry one)."""
+    ids = [F.col(id_col)] if id_col else []
     # null text yields no grams (matches the SQL twin, where a NULL split
     # drops the row) — without this, word_ngrams over a null array emits
     # one '' gram and null docs cross-match each other
     staged = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), toks.alias("_toks")
+        *ids, tokens(F.col(text_col)).alias("_toks")
     )
-    grams = staged.select(
-        F.col(id_col), F.explode(word_ngrams(F.col("_toks"), n)).alias("gram")
-    )
+    grams = staged.select(*ids, F.explode(word_ngrams(F.col("_toks"), n)).alias("gram"))
     if hashed:
         grams = grams.withColumn("gram", F.xxhash64("gram"))
     return grams
@@ -64,11 +66,9 @@ def decontaminate(
     dropped — identical to the dedup operators so contamination and dedup
     agree on what a "word" is.
     """
-    bench_grams = (
-        _gram_rows(benchmark, id_col, bench_text_col or text_col, n, hashed)
-        .select("gram")
-        .distinct()
-    )
+    bench_grams = _gram_rows(
+        benchmark, None, bench_text_col or text_col, n, hashed
+    ).distinct()
     # Join FIRST, dedupe inside the aggregation: the broadcast semi-join
     # discards non-matching grams map-side, so the only shuffle is the
     # per-doc agg over MATCHED grams. (A per-doc dropDuplicates before the

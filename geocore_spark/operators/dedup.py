@@ -86,12 +86,14 @@ def minhash_lsh_pairs(
     near-identical docs (boilerplate pages, mirrored sites) costs
     O(m^2): at m=1e6 that is 5e11 pairs from ONE bucket. ``'chain'``
     sorts each bucket by id and pairs each doc with its successor only —
-    O(m) pairs, one window shuffle instead of a self-join, and the
-    duplicate CLUSTERS are identical (a bucket's chain connects the same
-    component that its clique would; feed duplicate_clusters as usual).
-    Chain pairs are a SUBSET of all-pairs, so per-pair recall is lower
-    when a threshold filter breaks a chain link — use it when the goal
-    is cluster collapse (dedup), not exhaustive pair enumeration.
+    O(m) pairs, one window shuffle instead of a self-join. BEFORE any
+    threshold filter the chain connects exactly the components the clique
+    would; AFTER the filter a below-threshold middle doc can break a
+    chain link the clique would have bridged, so thresholded chain mode
+    is a (cheaper, slightly lossy) approximation — measured pair recall
+    0.875 vs all-pairs 1.0 on the EVAL.md corpus, and exact-duplicate
+    clusters (every link 1.0) are always preserved. Use it when the goal
+    is cluster collapse at scale, 'all' for exhaustive pair enumeration.
     """
     from geocore_spark.operators import ensure_parallelism
 

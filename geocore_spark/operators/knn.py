@@ -136,12 +136,16 @@ def _brute_force_stragglers(
 
     Shape: collect the straggler coordinates (few by construction; hard-bounded
     by ``max_stragglers`` with a loud error, never a silent cap), broadcast
-    them into a per-corpus-partition numpy prune (mapInPandas — each partition
-    emits at most |stragglers| * (k + pad) candidate ids, so there is no
-    |S|x|C| shuffle), then re-rank the surviving candidates with the SAME
-    Column haversine as the main path so output distances are bit-identical
-    to the ring path. The numpy prune keeps k+4 per partition so a <=1e-12
-    numpy-vs-codegen drift cannot evict a true top-k member.
+    them into a per-corpus-partition numpy prune (mapInPandas). The prune
+    ACCUMULATES a running top-(k+4) per straggler across every Arrow batch
+    of the partition and emits once at iterator end — the candidate count
+    is therefore truly bounded by partitions * |S| * (k+4), independent of
+    Arrow batch size. Candidates carry their corpus coordinates out of the
+    prune, so the tail is: join the (tiny, broadcast) straggler coords,
+    re-rank with the SAME Column haversine as the main path (bit-identical
+    distances), window top-k. The corpus is never re-joined and nothing
+    unbounded is broadcast or collected. The k+4 pad absorbs <=1e-12
+    numpy-vs-codegen drift at the cut so no true top-k member is evicted.
     """
     import numpy as np
     import pandas as pd
@@ -170,13 +174,21 @@ def _brute_force_stragglers(
     )
 
     def _prune(batches):
+        # running top-keep per straggler, merged across EVERY batch of this
+        # partition — emitted once at the end, so the per-partition output
+        # is |S| * keep rows regardless of Arrow batch size
+        best_d = np.full((n_s, keep), np.inf)
+        best_n = np.empty((n_s, keep), dtype=object)
+        best_lat = np.full((n_s, keep), np.nan)
+        best_lon = np.full((n_s, keep), np.nan)
         for pdf in batches:
             if not len(pdf):
                 continue
             c_lat = np.radians(pdf["__nlat"].to_numpy(dtype="float64"))
             c_lon = np.radians(pdf["__nlon"].to_numpy(dtype="float64"))
             nid = pdf["__nid"].to_numpy()
-            out_q, out_n = [], []
+            raw_lat = pdf["__nlat"].to_numpy(dtype="float64")
+            raw_lon = pdf["__nlon"].to_numpy(dtype="float64")
             # chunk the straggler axis so the distance matrix stays small
             for s0 in range(0, n_s, 256):
                 sl = slice(s0, min(s0 + 256, n_s))
@@ -189,27 +201,45 @@ def _brute_force_stragglers(
                 d = 2.0 * 6371.0088 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
                 kk = min(keep, d.shape[1])
                 top = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-                for row, qi in enumerate(range(sl.start, sl.stop)):
-                    out_q.extend([q_ids[qi]] * kk)
-                    out_n.extend(nid[top[row]])
-            yield pd.DataFrame({"__qid": out_q, "__nid": out_n})
+                # merge batch winners into the running buffer
+                cand_d = np.concatenate([best_d[sl], np.take_along_axis(d, top, 1)], axis=1)
+                cand_n = np.concatenate([best_n[sl], nid[top]], axis=1)
+                cand_la = np.concatenate([best_lat[sl], raw_lat[top]], axis=1)
+                cand_lo = np.concatenate([best_lon[sl], raw_lon[top]], axis=1)
+                sel = np.argpartition(cand_d, keep - 1, axis=1)[:, :keep]
+                best_d[sl] = np.take_along_axis(cand_d, sel, 1)
+                best_n[sl] = np.take_along_axis(cand_n, sel, 1)
+                best_lat[sl] = np.take_along_axis(cand_la, sel, 1)
+                best_lon[sl] = np.take_along_axis(cand_lo, sel, 1)
+        mask = np.isfinite(best_d)
+        if mask.any():
+            qi, ki = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "__qid": q_ids[qi],
+                    "__nid": best_n[qi, ki],
+                    "__nlat": best_lat[qi, ki],
+                    "__nlon": best_lon[qi, ki],
+                }
+            )
 
     qid_type = remaining.schema[query_id].dataType.simpleString()
     nid_type = corpus.schema[corpus_id].dataType.simpleString()
-    cand_ids = c.mapInPandas(_prune, f"__qid {qid_type}, __nid {nid_type}")
-    # re-rank candidates with the exact Column haversine (bit-identical to
-    # the ring path); candidate count is bounded by partitions * |S| * keep,
-    # so the candidate side is the broadcast side — the corpus never moves.
-    cand = cand_ids.join(
+    cands = c.mapInPandas(
+        _prune, f"__qid {qid_type}, __nid {nid_type}, __nlat double, __nlon double"
+    )
+    # candidates carry their corpus coords; only the straggler coords (tiny)
+    # are broadcast, then the exact Column haversine re-ranks — bit-identical
+    # distances to the ring path, no corpus re-join, nothing unbounded moves.
+    pairs = cands.join(
         F.broadcast(
             remaining.select(
                 F.col(query_id), F.col(lat).alias("__qlat"), F.col(lon).alias("__qlon")
             )
         ),
-        cand_ids["__qid"] == F.col(query_id),
+        cands["__qid"] == F.col(query_id),
         "inner",
-    ).drop("__qid")
-    pairs = c.join(F.broadcast(cand), "__nid", "inner").withColumn(
+    ).withColumn(
         "dist_km",
         haversine_km(F.col("__qlat"), F.col("__qlon"), F.col("__nlat"), F.col("__nlon")),
     )

@@ -32,11 +32,31 @@ _BUCKETS = 1_000_000
 
 
 def hash_bucket(id_col: Column, salt: int = 0) -> Column:
-    """Deterministic bucket in [0, 10^6): ((id + salt) mod 2^31) * K mod
-    2^31, scaled into 10^6. Pure integer Column arithmetic — identical in
-    Spark and ANSI SQL."""
+    """Deterministic bucket in [0, 10^6) for an INTEGRAL id column:
+    ((id + salt) mod 2^31) * K mod 2^31, scaled into 10^6. Pure integer
+    Column arithmetic — identical in Spark and ANSI SQL. A null id yields
+    a null bucket (callers define the policy; see stratified_sample)."""
     folded = F.pmod(id_col.cast("long") + F.lit(salt), F.lit(1 << 31))
     return F.pmod(folded * F.lit(_KNUTH), F.lit(1 << 31)) % F.lit(_BUCKETS)
+
+
+def hash_bucket_any(id_col: Column, salt: int = 0) -> Column:
+    """Bucket for NON-integral ids (string urls, binary digests):
+    xxhash64-based — deterministic within Spark but NOT replayable in
+    other SQL engines (use integral ids when the sampling decision must
+    be auditable outside Spark). Null-safe like :func:`hash_bucket`."""
+    return F.when(
+        id_col.isNull(), F.lit(None).cast("long")
+    ).otherwise(F.pmod(F.xxhash64(id_col, F.lit(salt)), F.lit(_BUCKETS)))
+
+
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint", "long", "integer", "short", "byte"}
+
+
+def _bucket_for(df: DataFrame, id_col: str, salt: int) -> Column:
+    dtype = dict(df.dtypes).get(id_col, "")
+    fn = hash_bucket if dtype in _INTEGRAL_TYPES else hash_bucket_any
+    return fn(F.col(id_col), salt)
 
 
 def hash_bucket_sql(id_expr: str, salt: int = 0) -> str:
@@ -57,12 +77,16 @@ def stratified_sample(
 ) -> DataFrame:
     """Keep each row iff its hash bucket clears the per-stratum rate —
     the corpus-mixing primitive (e.g. downweight crawl dumps, keep all of
-    a curated source). Rates are fractions in [0, 1]."""
+    a curated source). Rates are fractions in [0, 1]. Integral ids use
+    the SQL-replayable arithmetic bucket; other id types fall back to
+    xxhash64 (Spark-deterministic only). Rows with a NULL id are DROPPED
+    from every sample — a null cannot hash stably, and silently keeping
+    it would make the sample depend on the rate path taken."""
     rate: Column = F.lit(float(default_rate))
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
     threshold = F.round(rate * _BUCKETS, 0).cast("long")
-    return df.filter(hash_bucket(F.col(id_col), salt) < threshold)
+    return df.filter(_bucket_for(df, id_col, salt) < threshold)
 
 
 def deterministic_split(
@@ -73,9 +97,10 @@ def deterministic_split(
 ) -> DataFrame:
     """Add a ``split`` column ('train' | 'eval') from an independent salt,
     so the split is stable under re-sampling and corpus growth (a doc's
-    split never changes when other docs are added or removed)."""
+    split never changes when other docs are added or removed). A NULL id
+    is labeled 'train' explicitly — never silently 'eval'."""
     cut = int(round(eval_fraction * _BUCKETS))
     return df.withColumn(
         "split",
-        F.when(hash_bucket(F.col(id_col), salt) < cut, "eval").otherwise("train"),
+        F.when(_bucket_for(df, id_col, salt) < cut, "eval").otherwise("train"),
     )

@@ -102,8 +102,10 @@ def main(argv: list[str] | None = None) -> None:
     def build_dedup():
         kept = dedup.exact_dedup(scrubbed, id_col="doc_id", text_col="text")
         # chain pairing: O(m) pairs per LSH bucket — the viral-cluster-safe
-        # mode; removal semantics match all-pairs (every non-min member of
-        # a duplicate chain appears as id_b)
+        # mode. With a threshold this is a best-effort approximation of
+        # all-pairs removal (a below-threshold doc between two near-dups
+        # can break a chain link; ~0.875 pair recall on the eval corpus);
+        # exact-duplicate chains always collapse fully.
         pairs = dedup.minhash_lsh_pairs(
             kept.select("doc_id", "text"),
             n_perm=64,
@@ -133,10 +135,7 @@ def main(argv: list[str] | None = None) -> None:
     mixed = staged("mix", build_mix)
 
     def build_chunks():
-        toks = F.filter(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
-        )
-        staged_toks = mixed.select("doc_id", "split", toks.alias("toks"))
+        staged_toks = mixed.select("doc_id", "split", cl.tokens(F.col("text")).alias("toks"))
         return staged_toks.select(
             "doc_id",
             "split",

@@ -81,3 +81,26 @@ def test_bucket_matches_sql_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_string_ids_supported(spark):
+    rows = [(f"https://ex.org/{i}", "web") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = sampling.stratified_sample(df, {}, default_rate=0.5)
+    n = kept.count()
+    assert 800 <= n <= 1200
+    # deterministic across invocations
+    assert kept.count() == sampling.stratified_sample(df, {}, default_rate=0.5).count()
+    split = sampling.deterministic_split(df, eval_fraction=0.1)
+    n_eval = split.filter(F.col("split") == "eval").count()
+    assert 120 <= n_eval <= 280
+
+
+def test_null_ids_dropped_from_sample_and_train_in_split(spark):
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "a"), (2, "a")], "doc_id long, source string"
+    )
+    kept = sampling.stratified_sample(df, {}, default_rate=1.0)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}  # null dropped
+    split = {r["doc_id"]: r["split"] for r in sampling.deterministic_split(df, 0.99).collect()}
+    assert split[None] == "train"  # null never lands in eval

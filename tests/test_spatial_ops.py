@@ -248,3 +248,33 @@ def test_pip_partitioned_matches_broadcast(spark):
         ra = sorted(key(r) for r in a.collect())
         rb = sorted(key(r) for r in b.collect())
         assert ra == rb and len(ra) > 0, (n_polys, len(ra), len(rb))
+
+
+def test_knn_fallback_accumulates_across_arrow_batches(spark):
+    """The prune must keep a RUNNING top-k across every Arrow batch of a
+    partition — with a tiny maxRecordsPerBatch the per-batch variant would
+    emit |S|*keep rows per 10-row batch and, worse, a per-batch-only merge
+    bug would still be exact here; the row-count bound is what we pin."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "10")
+    try:
+        pts, lat, lon = _points_df(spark, 200, seed=31, lat_range=(-60, 60))
+        corpus = pts.repartition(4)  # 4 partitions x ~5 batches each
+        queries = pts.limit(8)
+        out = knn._brute_force_stragglers(
+            queries, corpus, 4, "id", "id", "lat", "lon", exclude_self=True
+        ).persist()
+        rows = out.collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["id"], []).append((r["rank"], r["neighbor_id"]))
+        dm = _haversine_np(lat[:, None], lon[:, None], lat[None, :], lon[None, :])
+        np.fill_diagonal(dm, np.inf)
+        assert len(got) == 8
+        for i in got:
+            order = np.lexsort((np.arange(len(lat)), dm[i]))[:4]
+            assert [nid for _, nid in sorted(got[i])] == [int(j) for j in order], i
+        out.unpersist()
+    finally:
+        spark.conf.set(key, old)
