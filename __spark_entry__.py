@@ -1850,6 +1850,25 @@ def q_media_features(spark, sf_dir):
     return mm.image_features(mm.synth_media(base))
 
 
+def q_video_frames(spark, sf_dir):
+    """Video frame sampling (rows-only: mapInPandas demux plumbing, fake
+    deterministic demuxer — no codec libs in this container): every 3rd
+    1 KB "frame" per payload, per-frame fingerprint. One row per sampled
+    frame; explode factor = payload_bytes / 1024 / every_n, known up
+    front (operators/multimodal.py:frame_sample)."""
+    from geocore_spark.operators import multimodal as mm
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+    # size=65536 -> 8 KB payload -> 8 fake frames -> 3 sampled per doc
+    frames = mm.frame_sample(mm.synth_media(base, size=65536), every_n=3, fake=True)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").alias("n_bytes"),
+        F.md5(F.col("frame")).alias("fingerprint"),
+    )
+
+
 _MAGIC_PREFIXES = [
     "FFD8FF00",  # jpeg
     "89504E47",  # png
@@ -2143,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dups": q_substring_dups,
         "balanced_folds": q_balanced_folds,
         "sequence_packing": q_sequence_packing,
+        "video_frames": q_video_frames,
     }
 
 
