@@ -1677,6 +1677,41 @@ FROM dg JOIN bg USING (gram) GROUP BY doc_id
 """
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization (cleaning.nfc_normalize_udf, Arrow
+    batch) — the corpus is salted with decomposed sequences (e+combining
+    acute, A+combining ring; the generator's text is pure ASCII) so the
+    normalizer actually composes; identical salt runs on the oracle side."""
+    from geocore_spark.functions import cleaning as cl
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    salted = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NFC_SALT)).alias("raw")
+    )
+    norm = cl.nfc_normalize_udf()
+    return salted.select(
+        "doc_id",
+        norm(F.col("raw")).alias("text_nfc"),
+        F.length("raw").alias("n_chars_raw"),
+        F.length(norm(F.col("raw"))).alias("n_chars_nfc"),
+    )
+
+
+# DECOMPOSED salt (e + combining acute, A + combining ring) shared verbatim
+# by the Spark literal and the oracle SQL — NFC composes it, so
+# n_chars_nfc = n_chars_raw - 2 on every row (both engines count codepoints)
+_NFC_SALT = " cafe\u0301 A\u030a"
+
+_SQL_TEXT_NORMALIZE = f"""
+SELECT doc_id,
+       nfc_normalize(text || '{_NFC_SALT}') AS text_nfc,
+       CAST(length(text || '{_NFC_SALT}') AS INT) AS n_chars_raw,
+       CAST(length(nfc_normalize(text || '{_NFC_SALT}')) AS INT)
+         AS n_chars_nfc
+FROM documents WHERE doc_id < 200
+"""
+
+
 def q_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, exact mode
     (operators/similarity.py:near_dup_pairs_exact). Duplicates are planted
@@ -2149,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "embedding_dedup": q_embedding_dedup,
         "corpus_mix": q_corpus_mix,
+        "text_normalize": q_text_normalize,
         # --- rows-only tail (local verify + pytest coverage) ---------------
         "s2_encode": q_s2_encode,
         "simhash_pairs": q_simhash_pairs,
@@ -2220,6 +2256,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "embedding_dedup": _SQL_EMBEDDING_DEDUP,
         "corpus_mix": _sql_corpus_mix(),
+        "text_normalize": _SQL_TEXT_NORMALIZE,
         # minhash_lsh, warc_roundtrip, stream_rollup, s2_encode,
         # simhash_pairs, ann_lsh, ann_ivf, page_extraction, media_features,
         # audio_features, dup_clusters, winnow_fingerprints, balanced_folds:

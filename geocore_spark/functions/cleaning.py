@@ -29,6 +29,9 @@ Scale notes:
 
 from __future__ import annotations
 
+import unicodedata
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -102,6 +105,23 @@ def chunk_spans(toks: Column, size: int, stride: int) -> Column:
     return F.when(
         toks.isNull(), F.array().cast("array<struct<start:int,chunk:string>>")
     ).otherwise(spans)
+
+
+def nfc_normalize_udf():
+    """Unicode NFC normalization (composed form) as an Arrow-batched UDF —
+    the canonicalization step before hashing/dedup so 'cafe\\u0301' and
+    'caf\\u00e9' fingerprint identically. Spark has no built-in Unicode
+    normalizer; Python's unicodedata implements the same Unicode standard
+    algorithm as DuckDB's nfc_normalize (probed identical incl. ligature
+    non-composition), so the oracle replays it exactly. Null-safe."""
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return _nfc
 
 
 def tokens(text: Column) -> Column:

@@ -315,3 +315,22 @@ def test_decontaminate_ignores_null_text(spark):
     }
     # null docs must NOT cross-match the null benchmark row
     assert out == {3: 1}
+
+
+def test_nfc_normalize_udf(spark):
+    import unicodedata
+
+    rows = [
+        (1, "café"),          # decomposed -> composed
+        (2, "café"),           # already composed -> unchanged
+        (3, "ﬁne"),            # ligature fi: NFC must NOT decompose
+        (4, None),
+        (5, "Å plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = cleaning.nfc_normalize_udf()
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", norm(F.col("text")).alias("n")).collect()}
+    for i, t in rows:
+        want = unicodedata.normalize("NFC", t) if t is not None else None
+        assert got[i] == want, (i, got[i], want)
+    assert got[1] == "café" and got[3] == "ﬁne" and got[4] is None
