@@ -55,6 +55,28 @@ def duplicate_groups_exact(
     )
 
 
+def _banded_from_sig(sig: DataFrame, id_col: str, n_perm: int, bands: int) -> DataFrame:
+    """(id, sig, band, bhash) rows: one per (doc, band), bhash = xxhash64
+    of the band's signature slice. Shared by the in-memory pair join and
+    the persisted index so both sides band identically."""
+    rows_per_band = n_perm // bands
+    return sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -97,28 +119,13 @@ def minhash_lsh_pairs(
     """
     from geocore_spark.operators import ensure_parallelism
 
-    rows_per_band = n_perm // bands
     df = ensure_parallelism(df)
     # persist: the banded self-join reads signatures from both sides —
     # without it the MinHash kernel (the expensive stage) runs twice.
     sig = df.select(
         F.col(id_col), hsh.minhash_udf(n_perm, shingle_k)(F.col(text_col)).alias("sig")
     ).persist()
-    banded = sig.select(
-        id_col,
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("bhash"),
-                ),
-            )
-        ).alias("bk"),
-    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    banded = _banded_from_sig(sig, id_col, n_perm, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     # Estimate jaccard INLINE in the join projection and drop the 64-long
@@ -378,3 +385,100 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted LSH index: incremental dedup of new batches against a corpus
+# ---------------------------------------------------------------------------
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> None:
+    """Persist the corpus's banded MinHash signatures so each NEW crawl
+    batch can be deduped against the corpus WITHOUT re-signing it — the
+    incremental shape at 100 TB (sign 10^12 docs once, then each daily
+    batch joins its own signatures against the index).
+
+    Layout: ``<path>/bands`` parquet partitioned by ``band`` plus a
+    ``<path>/params.json`` manifest; :func:`query_lsh_index` re-bands new
+    docs with the STORED params (mismatched banding would silently find
+    nothing, so the params travel with the data).
+    """
+    import json
+    import os
+
+    from geocore_spark.operators import ensure_parallelism
+
+    sig = ensure_parallelism(df).select(
+        F.col(id_col), hsh.minhash_udf(n_perm, shingle_k)(F.col(text_col)).alias("sig")
+    )
+    banded = _banded_from_sig(sig, id_col, n_perm, bands).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+    banded.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/params.json", "w") as f:
+        json.dump(
+            {"n_perm": n_perm, "bands": bands, "shingle_k": shingle_k, "id_col": id_col},
+            f,
+        )
+
+
+def query_lsh_index(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs (new_id, corpus_id, est_jaccard) between a new batch
+    and the persisted corpus index — the corpus text is never read and its
+    signatures never recomputed. One shuffle-join on (band, bhash); the
+    new batch is typically the small side, so Spark broadcasts it.
+    Self-matches (a doc already in the corpus re-submitted with the same
+    id) are excluded.
+    """
+    import json
+
+    from geocore_spark.operators import ensure_parallelism
+
+    spark = new_docs.sparkSession
+    with open(f"{path}/params.json") as f:
+        params = json.load(f)
+    n_perm, bands, shingle_k = params["n_perm"], params["bands"], params["shingle_k"]
+    sig = ensure_parallelism(new_docs).select(
+        F.col(id_col), hsh.minhash_udf(n_perm, shingle_k)(F.col(text_col)).alias("sig")
+    ).persist()
+    banded_new = _banded_from_sig(sig, id_col, n_perm, bands).withColumnRenamed(
+        id_col, "new_id"
+    )
+    idx = spark.read.parquet(f"{path}/bands")
+    est = F.aggregate(
+        F.zip_with(F.col("n.sig"), F.col("c.sig"), lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(n_perm))
+    pairs = (
+        banded_new.alias("n")
+        .join(
+            idx.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bhash") == F.col("c.bhash"))
+            & (F.col("n.new_id") != F.col("c.corpus_id")),
+        )
+        .select(
+            F.col("n.new_id").alias("new_id"),
+            F.col("c.corpus_id").alias("corpus_id"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    return pairs

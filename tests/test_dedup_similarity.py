@@ -287,3 +287,56 @@ def test_minhash_pairing_validation(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_lsh_index_incremental_matches_inmemory(spark, tmp_path):
+    """Persisted-index query must find exactly the new-vs-corpus pairs the
+    in-memory join finds on the union — without re-signing the corpus."""
+    from geocore_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} about spark shuffles and joins plus topic {i % 5}")
+         for i in range(60)],
+        ["doc_id", "text"],
+    )
+    # new batch: 10 exact near-dups of corpus docs + 5 fresh docs
+    new = spark.createDataFrame(
+        [(1000 + i, f"corpus document number {i} about spark shuffles and joins plus topic {i % 5}")
+         for i in range(10)]
+        + [(2000 + i, f"entirely fresh content {i} nothing shared here at all") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "lsh_idx")
+    dedup.build_lsh_index(corpus, path, bands=32)
+
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in dedup.query_lsh_index(new, path, threshold=0.9).collect()
+    }
+    want = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in dedup.minhash_lsh_pairs(
+            corpus.unionByName(new), n_perm=64, bands=32, threshold=0.9
+        ).collect()
+        if (r["id_a"] >= 1000) != (r["id_b"] >= 1000)  # cross pairs only
+    }
+    assert got == {(n, c) for (n, c) in want}
+    assert all(n >= 1000 and c < 1000 for n, c in got)
+    assert len(got) >= 10  # every planted dup found
+
+
+def test_lsh_index_params_travel_with_data(spark, tmp_path):
+    from geocore_spark.operators import dedup
+    import json
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i} words words words {i}") for i in range(10)], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "idx2")
+    dedup.build_lsh_index(corpus, path, n_perm=32, bands=8, shingle_k=4)
+    params = json.load(open(f"{path}/params.json"))
+    assert params == {"n_perm": 32, "bands": 8, "shingle_k": 4, "id_col": "doc_id"}
+    # query re-bands with STORED params: identical docs must collide
+    new = spark.createDataFrame([(100, "doc 3 words words words 3")], ["doc_id", "text"])
+    out = dedup.query_lsh_index(new, path, threshold=0.9).collect()
+    assert {(r["new_id"], r["corpus_id"]) for r in out} == {(100, 3)}
