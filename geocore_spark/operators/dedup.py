@@ -482,3 +482,32 @@ def query_lsh_index(
         .dropDuplicates(["new_id", "corpus_id"])
     )
     return pairs
+
+
+def build_fingerprint_index(
+    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Persist the corpus's exact-dedup fingerprints (64-bit xxhash of the
+    normalized text) — the incremental twin of :func:`exact_dedup`. One
+    narrow map + write; 8 bytes per doc at rest."""
+    df.select(
+        F.col(id_col).alias("corpus_id"),
+        tx.fingerprint64(F.col(text_col)).alias("fp"),
+    ).write.mode("overwrite").parquet(f"{path}/fingerprints")
+
+
+def filter_new_against_fingerprint_index(
+    new_docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rows of ``new_docs`` whose normalized text does NOT already exist in
+    the indexed corpus — a left-anti join on the 8-byte fingerprint (the
+    new batch is the small side; Spark broadcasts it or AQE picks the
+    cheaper shape). Daily-batch exact dedup without rereading corpus text.
+    """
+    spark = new_docs.sparkSession
+    idx = spark.read.parquet(f"{path}/fingerprints").select("fp")
+    fp = new_docs.withColumn("__fp", tx.fingerprint64(F.col(text_col)))
+    return (
+        fp.join(idx.withColumnRenamed("fp", "__fp"), "__fp", "left_anti")
+        .drop("__fp")
+    )

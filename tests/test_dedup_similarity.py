@@ -340,3 +340,21 @@ def test_lsh_index_params_travel_with_data(spark, tmp_path):
     new = spark.createDataFrame([(100, "doc 3 words words words 3")], ["doc_id", "text"])
     out = dedup.query_lsh_index(new, path, threshold=0.9).collect()
     assert {(r["new_id"], r["corpus_id"]) for r in out} == {(100, 3)}
+
+
+def test_fingerprint_index_incremental_exact(spark, tmp_path):
+    from geocore_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(30)], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "fp_idx")
+    dedup.build_fingerprint_index(corpus, path)
+    new = spark.createDataFrame(
+        [(100, "doc body 7"),          # exact dup (same normalized text)
+         (101, "DOC   body 7"),        # dup after normalization (case/ws)
+         (102, "genuinely new body")],
+        ["doc_id", "text"],
+    )
+    kept = dedup.filter_new_against_fingerprint_index(new, path)
+    assert {r["doc_id"] for r in kept.collect()} == {102}
