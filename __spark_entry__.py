@@ -2120,9 +2120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver hard-checks the first 50 dict entries.
     Positions 1-47 are oracle-backed (ANSI-SQL twin), 48-50 the three most
     valuable rows-only entries (MinHash LSH, WARC round-trip, streaming
-    session rollup). Positions 51+ are outside the hard window: 4 more
-    oracle-backed entries (value-verified every session by
-    tools/verify_local.py) then the rows-only tail."""
+    session rollup). Positions 51+ are outside the hard window: the
+    oracle-backed tail (every entry between this dict's two section
+    comments, value-verified every session by tools/verify_local.py) then the
+    rows-only tail."""
     return {
         # --- oracle-backed (ANSI-SQL twin in oracle_sql()) -----------------
         "pricing_summary": q_pricing_summary,

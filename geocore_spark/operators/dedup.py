@@ -401,34 +401,38 @@ def build_lsh_index(
     bands: int = 16,
     shingle_k: int = 5,
 ) -> None:
-    """Persist the corpus's banded MinHash signatures so each NEW crawl
-    batch can be deduped against the corpus WITHOUT re-signing it — the
-    incremental shape at 100 TB (sign 10^12 docs once, then each daily
+    """Persist the corpus's MinHash signatures + band hashes so each NEW
+    crawl batch can be deduped against the corpus WITHOUT re-signing it —
+    the incremental shape at 100 TB (sign 10^12 docs once, then each daily
     batch joins its own signatures against the index).
 
-    Layout: ``<path>/bands`` parquet partitioned by ``band`` plus a
-    ``<path>/params.json`` manifest; :func:`query_lsh_index` re-bands new
-    docs with the STORED params (mismatched banding would silently find
-    nothing, so the params travel with the data).
+    Layout (everything written THROUGH Spark so it lands on whatever
+    filesystem ``path`` names — s3a/hdfs/local alike):
+    - ``<path>/sigs``   : (corpus_id, sig) — ONE signature per doc;
+    - ``<path>/bands``  : (corpus_id, band, bhash) — 8-byte band hashes
+      only, partitioned by band (storing the signature per band row would
+      inflate the index ~``bands``x at rest);
+    - ``<path>/params`` : single-row parquet manifest. query_lsh_index
+      re-bands new docs with the STORED params (mismatched banding would
+      silently find nothing, so the params travel with the data).
     """
-    import json
-    import os
-
     from geocore_spark.operators import ensure_parallelism
 
+    spark = df.sparkSession
     sig = ensure_parallelism(df).select(
-        F.col(id_col), hsh.minhash_udf(n_perm, shingle_k)(F.col(text_col)).alias("sig")
+        F.col(id_col).alias("corpus_id"),
+        hsh.minhash_udf(n_perm, shingle_k)(F.col(text_col)).alias("sig"),
     )
-    banded = _banded_from_sig(sig, id_col, n_perm, bands).withColumnRenamed(
-        id_col, "corpus_id"
+    sig.write.mode("overwrite").parquet(f"{path}/sigs")
+    stored = spark.read.parquet(f"{path}/sigs")
+    bands_df = _banded_from_sig(stored, "corpus_id", n_perm, bands).select(
+        "corpus_id", "band", "bhash"
     )
-    banded.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
-    os.makedirs(path, exist_ok=True)
-    with open(f"{path}/params.json", "w") as f:
-        json.dump(
-            {"n_perm": n_perm, "bands": bands, "shingle_k": shingle_k, "id_col": id_col},
-            f,
-        )
+    bands_df.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    spark.createDataFrame(
+        [(n_perm, bands, shingle_k, id_col)],
+        "n_perm int, bands int, shingle_k int, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def query_lsh_index(
@@ -440,48 +444,46 @@ def query_lsh_index(
 ) -> DataFrame:
     """Near-dup pairs (new_id, corpus_id, est_jaccard) between a new batch
     and the persisted corpus index — the corpus text is never read and its
-    signatures never recomputed. One shuffle-join on (band, bhash); the
-    new batch is typically the small side, so Spark broadcasts it.
-    Self-matches (a doc already in the corpus re-submitted with the same
-    id) are excluded.
+    signatures never recomputed. Shape: band-hash join finds candidate id
+    pairs (new side is typically the small/broadcast side), then ONLY the
+    colliding candidates join back to the two signature tables for the
+    estimate. Self-matches (same id resubmitted) are excluded.
     """
-    import json
+    spark = new_docs.sparkSession
+    p = spark.read.parquet(f"{path}/params").collect()[0]
+    n_perm, bands, shingle_k = p["n_perm"], p["bands"], p["shingle_k"]
 
     from geocore_spark.operators import ensure_parallelism
 
-    spark = new_docs.sparkSession
-    with open(f"{path}/params.json") as f:
-        params = json.load(f)
-    n_perm, bands, shingle_k = params["n_perm"], params["bands"], params["shingle_k"]
-    sig = ensure_parallelism(new_docs).select(
-        F.col(id_col), hsh.minhash_udf(n_perm, shingle_k)(F.col(text_col)).alias("sig")
-    ).persist()
-    banded_new = _banded_from_sig(sig, id_col, n_perm, bands).withColumnRenamed(
-        id_col, "new_id"
+    new_sig = ensure_parallelism(new_docs).select(
+        F.col(id_col).alias("new_id"),
+        hsh.minhash_udf(n_perm, shingle_k)(F.col(text_col)).alias("sig"),
     )
-    idx = spark.read.parquet(f"{path}/bands")
+    banded_new = _banded_from_sig(new_sig, "new_id", n_perm, bands).select(
+        "new_id", "band", "bhash"
+    )
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    cand = (
+        banded_new.join(
+            idx_bands,
+            ["band", "bhash"],
+        )
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    corpus_sigs = spark.read.parquet(f"{path}/sigs").withColumnRenamed("sig", "csig")
     est = F.aggregate(
-        F.zip_with(F.col("n.sig"), F.col("c.sig"), lambda a, b: (a == b).cast("int")),
+        F.zip_with(F.col("sig"), F.col("csig"), lambda a, b: (a == b).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     ).cast("double") / F.lit(float(n_perm))
-    pairs = (
-        banded_new.alias("n")
-        .join(
-            idx.alias("c"),
-            (F.col("n.band") == F.col("c.band"))
-            & (F.col("n.bhash") == F.col("c.bhash"))
-            & (F.col("n.new_id") != F.col("c.corpus_id")),
-        )
-        .select(
-            F.col("n.new_id").alias("new_id"),
-            F.col("c.corpus_id").alias("corpus_id"),
-            F.round(est, 6).alias("est_jaccard"),
-        )
+    return (
+        cand.join(new_sig, "new_id")
+        .join(corpus_sigs, "corpus_id")
+        .select("new_id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
-        .dropDuplicates(["new_id", "corpus_id"])
     )
-    return pairs
 
 
 def build_fingerprint_index(

@@ -139,12 +139,14 @@ def frame_sample(
     every_n: int = 10,
     fake: bool = True,
 ) -> DataFrame:
-    """Video -> sampled frames as (doc_id, frame_idx, frame binary).
+    """Video -> sampled frames as (<id_col>, frame_idx, frame binary) —
+    the id column keeps its caller-given name and type.
 
     The fake path treats the payload as a concatenation of 1 KB "frames";
     real deployments swap in an ffmpeg demuxer. Output explodes rows, so
     repartition by a hash of the id downstream if frame counts are skewed.
     """
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -159,10 +161,12 @@ def frame_sample(
                     out_idx.append(fi)
                     out_frame.append(payload[fi * 1024 : (fi + 1) * 1024])
             yield pd.DataFrame(
-                {"doc_id": out_id, "frame_idx": out_idx, "frame": out_frame}
+                {id_col: out_id, "frame_idx": out_idx, "frame": out_frame}
             )
 
-    return df.mapInPandas(_frames, "doc_id long, frame_idx int, frame binary")
+    return df.mapInPandas(
+        _frames, f"{id_col} {id_type}, frame_idx int, frame binary"
+    )
 
 
 def sniff_format(payload) -> F.Column:

@@ -52,11 +52,28 @@ def hash_bucket_any(id_col: Column, salt: int = 0) -> Column:
 
 _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint", "long", "integer", "short", "byte"}
 
+_LOG = __import__("logging").getLogger(__name__)
+
 
 def _bucket_for(df: DataFrame, id_col: str, salt: int) -> Column:
-    dtype = dict(df.dtypes).get(id_col, "")
-    fn = hash_bucket if dtype in _INTEGRAL_TYPES else hash_bucket_any
-    return fn(F.col(id_col), salt)
+    """Integral ids -> SQL-replayable arithmetic bucket; anything else ->
+    xxhash64 with a LOUD log line, because the fallback changes sample
+    membership and loses outside-Spark replayability — callers who need
+    the audit property must key on an integral id. Column lookup is
+    case-insensitive (Spark resolves columns case-insensitively; a plain
+    dict lookup would silently misroute 'DOC_ID')."""
+    dtypes = {name.lower(): dt for name, dt in df.dtypes}
+    dtype = dtypes.get(id_col.lower(), "")
+    if dtype in _INTEGRAL_TYPES:
+        return hash_bucket(F.col(id_col), salt)
+    _LOG.warning(
+        "sampling: id column %r has type %r — falling back to the xxhash64 "
+        "bucket (deterministic within Spark, NOT replayable by the SQL "
+        "twin; membership differs from the integral-arithmetic bucket)",
+        id_col,
+        dtype,
+    )
+    return hash_bucket_any(F.col(id_col), salt)
 
 
 def hash_bucket_sql(id_expr: str, salt: int = 0) -> str:

@@ -327,15 +327,17 @@ def test_lsh_index_incremental_matches_inmemory(spark, tmp_path):
 
 def test_lsh_index_params_travel_with_data(spark, tmp_path):
     from geocore_spark.operators import dedup
-    import json
 
     corpus = spark.createDataFrame(
         [(i, f"doc {i} words words words {i}") for i in range(10)], ["doc_id", "text"]
     )
     path = str(tmp_path / "idx2")
     dedup.build_lsh_index(corpus, path, n_perm=32, bands=8, shingle_k=4)
-    params = json.load(open(f"{path}/params.json"))
-    assert params == {"n_perm": 32, "bands": 8, "shingle_k": 4, "id_col": "doc_id"}
+    # manifest is written THROUGH Spark (travels with the data on any fs)
+    [p] = spark.read.parquet(f"{path}/params").collect()
+    assert (p["n_perm"], p["bands"], p["shingle_k"], p["id_col"]) == (32, 8, 4, "doc_id")
+    # band rows carry only 8-byte hashes, never the signature
+    assert set(spark.read.parquet(f"{path}/bands").columns) == {"corpus_id", "band", "bhash"}
     # query re-bands with STORED params: identical docs must collide
     new = spark.createDataFrame([(100, "doc 3 words words words 3")], ["doc_id", "text"])
     out = dedup.query_lsh_index(new, path, threshold=0.9).collect()

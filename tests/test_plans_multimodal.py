@@ -128,3 +128,18 @@ def test_audio_stub_raises_without_fake():
 
     with pytest.raises(NotImplementedError):
         mm._decode_audio_stub(b"xx", fake=False)
+
+
+def test_frame_sample_honors_id_col_name_and_type(spark):
+    from geocore_spark.operators import multimodal as mm
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("vid-a",), ("vid-b",)], ["video_id"]
+    ).withColumn("payload", F.to_binary(F.repeat(F.lit("ab"), 2048), F.lit("utf-8")))
+    out = mm.frame_sample(df, id_col="video_id", every_n=2, fake=True)
+    assert out.columns == ["video_id", "frame_idx", "frame"]
+    assert dict(out.dtypes)["video_id"] == "string"
+    rows = out.collect()
+    assert {r["video_id"] for r in rows} == {"vid-a", "vid-b"}
+    assert all(r["frame_idx"] % 2 == 0 for r in rows)
