@@ -138,6 +138,26 @@ def main():
     results.append(row)
     print(json.dumps(row))
 
+    # cluster-level agreement: chain mode exists for cluster collapse, so
+    # measure what fraction of docs land in the same duplicate cluster
+    # (keeper id) under chain pairs vs all-pairs — the operative metric,
+    # pair recall understates it.
+    from geocore_spark.operators import components
+
+    def _keepers(pair_set):
+        pairs_df = spark.createDataFrame(
+            [(a, b) for a, b in pair_set] or [(None, None)], "id_a long, id_b long"
+        ).dropna()
+        return {
+            r["doc_id"]: r["keeper_id"]
+            for r in components.dedup_clusters(docs, pairs_df).collect()
+        }
+
+    k_all, k_chain = _keepers(got), _keepers(got_chain)
+    agree = sum(k_all[d] == k_chain[d] for d in k_all) / len(k_all)
+    cluster_row = {"metric": "chain-vs-all cluster agreement", "value": round(agree, 4)}
+    print(json.dumps(cluster_row))
+
     for maxh in (3, 7):
         got = {
             (r["id_a"], r["id_b"])
@@ -233,10 +253,13 @@ def main():
             "signature-estimated Jaccard before emission. SimHash with a\n"
             "small Hamming budget is a high-precision/lower-recall detector\n"
             "for the same threshold; widening the budget trades back.\n"
-            "pairing=chain trades PAIR recall for O(m)-per-bucket cost; it\n"
-            "preserves duplicate CLUSTERS (successor links connect the same\n"
-            "components as the clique — pinned in test_dedup_similarity),\n"
-            "so use it for dedup collapse, 'all' for pair enumeration.\n"
+            "pairing=chain trades PAIR recall for O(m)-per-bucket cost; the\n"
+            "operative number is CLUSTER agreement with all-pairs mode —\n"
+            f"{cluster_row['value']:.4f} of docs keep the same duplicate-\n"
+            "cluster keeper under chain pairs on this corpus (exact-dup\n"
+            "chains always collapse identically; thresholded links can\n"
+            "split a borderline cluster). Use chain for dedup collapse,\n"
+            "'all' for pair enumeration.\n"
         )
         f.write(
             "\n## ANN recall@10 vs exact cosine top-10 "
