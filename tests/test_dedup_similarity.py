@@ -360,3 +360,24 @@ def test_fingerprint_index_incremental_exact(spark, tmp_path):
     )
     kept = dedup.filter_new_against_fingerprint_index(new, path)
     assert {r["doc_id"] for r in kept.collect()} == {102}
+
+
+def test_lsh_index_query_plan_shape(spark, tmp_path):
+    """The index query must broadcast the (small) new-batch band rows and
+    never sort-merge the corpus band table, and the signature joins must
+    only move candidate rows."""
+    from geocore_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} alpha beta gamma {i % 7}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "idx_plan")
+    dedup.build_lsh_index(corpus, path)
+    new = spark.createDataFrame([(900, "corpus doc 3 alpha beta gamma 3")], ["doc_id", "text"])
+    plan = (
+        dedup.query_lsh_index(new, path, threshold=0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
