@@ -82,3 +82,35 @@ def test_utilization_beats_naive_sequential(chunks):
 def test_budget_validation(chunks):
     with pytest.raises(ValueError):
         packing.pack_sequences(chunks, budget=0)
+
+
+# --- hypothesis invariants on the pure-Python FFD kernel -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.integers(1, 50), max_size=60), st.integers(10, 60))
+@settings(max_examples=300, deadline=None)
+def test_ffd_kernel_invariants(counts, budget):
+    pack_of = packing._ffd_pack(counts, budget)
+    assert len(pack_of) == len(counts)          # every chunk assigned once
+    loads = {}
+    for c, p in zip(counts, pack_of):
+        loads.setdefault(p, []).append(c)
+    if loads:
+        assert set(loads) == set(range(len(loads)))  # contiguous pack ids
+    for members in loads.values():
+        # budget respected unless a single oversized chunk owns the pack
+        assert sum(members) <= budget or len(members) == 1
+    # pack count never exceeds the trivial one-chunk-per-pack bound and
+    # never beats the volume lower bound
+    if counts and all(c <= budget for c in counts):
+        import math
+        assert math.ceil(sum(counts) / budget) <= len(loads) <= len(counts)
+
+
+@given(st.lists(st.integers(1, 50), max_size=40), st.integers(10, 60))
+@settings(max_examples=200, deadline=None)
+def test_ffd_kernel_deterministic(counts, budget):
+    assert packing._ffd_pack(counts, budget) == packing._ffd_pack(counts, budget)
