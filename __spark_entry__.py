@@ -1712,6 +1712,97 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level duplicate-line removal (cleaning.dedup_lines — the
+    CCNet/RefinedWeb boilerplate strip). The synthetic docs are single-line,
+    so the corpus is first restructured into deterministic 4-word
+    pseudo-lines (identical restructuring in the oracle); any pseudo-line
+    shared by >= 2 distinct docs is treated as boilerplate and stripped.
+    Plan shape: one line-keyed hash agg (map-side partial), one anti-join,
+    one per-doc reassembly — no Python, no cartesian."""
+    from geocore_spark.functions import cleaning as cl
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", cl.tokens(F.col("text")).alias("toks"))
+    relined = staged.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                cl.chunk_spans(F.col("toks"), 4, 4), lambda c: c.getField("chunk")
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return cl.dedup_lines(relined, min_docs=2)
+
+
+_SQL_LINE_DEDUP = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x != '') AS w
+  FROM documents),
+pseudo AS (
+  SELECT doc_id,
+         [array_to_string(w[i:i+3], ' ')
+          for i in range(1, greatest(len(w), 1) + 1, 4)] AS lns
+  FROM toks),
+doclines AS (
+  SELECT doc_id, unnest(lns) AS line, unnest(range(len(lns))) AS pos
+  FROM pseudo),
+banned AS (
+  SELECT line FROM doclines WHERE trim(line) != ''
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (
+  SELECT doc_id, pos, line FROM doclines
+  WHERE line NOT IN (SELECT line FROM banned)),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+  FROM kept GROUP BY doc_id),
+totals AS (
+  SELECT doc_id, CAST(len(lns) AS BIGINT) AS n_total FROM pseudo)
+SELECT t.doc_id,
+       coalesce(a.text, '') AS text,
+       coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+       t.n_total - coalesce(a.n_lines_kept, 0) AS n_lines_removed
+FROM totals t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary statistics: term frequency + document frequency per
+    word, top 25 by tf (ties broken by word asc). The classic wordcount
+    shape — explode + hash groupBy with map-side partial aggregation; the
+    top-k is TakeOrderedAndProject, never a full sort."""
+    from geocore_spark.functions import cleaning as cl
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(cl.tokens(F.col("text"))).alias("word"))
+    return (
+        w.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("tf"), F.asc("word"))
+        .limit(25)
+    )
+
+
+_SQL_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x != '') AS w
+  FROM documents),
+wrd AS (SELECT doc_id, unnest(w) AS word FROM toks)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM wrd GROUP BY word ORDER BY tf DESC, word ASC LIMIT 25
+"""
+
+
 def q_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, exact mode
     (operators/similarity.py:near_dup_pairs_exact). Duplicates are planted
@@ -2106,6 +2197,31 @@ def q_stream_rollup(spark, sf_dir):
     return spark.table(name).orderBy("session_start", "cell")
 
 
+def q_bpe_learned(spark, sf_dir):
+    """Learned-BPE token budgeting (rows-only: the greedy merge encoder is
+    a Python kernel no SQL engine replays — functions/bpe.py). Merges are
+    learned driver-side on a deterministic 10% sample (a fixed-cost
+    artifact build, same pattern as the IVF codebook at
+    operators/similarity.py:build_ivf_index), then closure-shipped to an
+    Arrow-batched counter. Output pairs the learned count with the regex
+    approximation (functions/text.py:bpe_ish_token_count) so the drift of
+    the cheap estimator is visible per document."""
+    from geocore_spark.functions import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    sample = [
+        r["text"]
+        for r in d.filter(F.col("doc_id") % 10 == 0).select("text").collect()
+    ]
+    merges = bpe.learn_bpe(sample, n_merges=150)
+    counter = bpe.bpe_token_count_udf(merges)
+    return d.select(
+        "doc_id",
+        counter(F.col("text")).alias("n_bpe_learned"),
+        tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_regex"),
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -2180,6 +2296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        "line_dedup": q_line_dedup,
+        "vocab_topk": q_vocab_topk,
         "pii_scrub": q_pii_scrub,
         "doc_chunks": q_doc_chunks,
         "decontaminate": q_decontaminate,
@@ -2200,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_folds": q_balanced_folds,
         "sequence_packing": q_sequence_packing,
         "video_frames": q_video_frames,
+        "bpe_learned": q_bpe_learned,
     }
 
 
@@ -2252,6 +2371,8 @@ def oracle_sql() -> dict[str, str]:
         "intersect_except": _SQL_INTERSECT_EXCEPT,
         "rolling_avg": _SQL_ROLLING,
         "region_revenue": _SQL_REGION_REVENUE,
+        "line_dedup": _SQL_LINE_DEDUP,
+        "vocab_topk": _SQL_VOCAB_TOPK,
         "pii_scrub": _sql_pii_scrub(),
         "doc_chunks": _SQL_DOC_CHUNKS,
         "decontaminate": _SQL_DECONTAMINATE,

@@ -1,12 +1,14 @@
 """Corpus-cleaning kernels: PII scrubbing, passage chunking, word n-grams.
 
-Training-data pipelines over crawl corpora need three operations the rest of
+Training-data pipelines over crawl corpora need operations the rest of
 the engine doesn't cover: redacting personally-identifiable substrings before
 a corpus leaves the enclave, splitting documents into fixed-size overlapping
-passages for context-window packing / retrieval indexing, and generic word
-n-grams (the 2-gram special case lives in :mod:`functions.text`).
+passages for context-window packing / retrieval indexing, generic word
+n-grams (the 2-gram special case lives in :mod:`functions.text`), and
+corpus-level duplicate-line removal (``dedup_lines``, the CCNet-style
+boilerplate strip).
 
-All three are **pure Column expressions** — JVM-side, codegen'd, zero Python
+All are **pure Column expressions** — JVM-side, codegen'd, zero Python
 in the hot path — and every pattern is written in the common subset of Java
 regex (Spark) and RE2 (DuckDB) so the oracle replays them exactly: no
 lookaround, no backreferences, explicit character classes only.
@@ -105,6 +107,73 @@ def chunk_spans(toks: Column, size: int, stride: int) -> Column:
     return F.when(
         toks.isNull(), F.array().cast("array<struct<start:int,chunk:string>>")
     ).otherwise(spans)
+
+
+def dedup_lines(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+):
+    """Corpus-level duplicate-line removal (the CCNet/RefinedWeb boilerplate
+    strip): delete every line whose exact text occurs in >= ``min_docs``
+    distinct documents, re-join the survivors in original order.
+
+    Returns ``(id_col, text_col, n_lines_kept, n_lines_removed)`` with one
+    row per input document (a fully-boilerplate document survives with
+    ``text_col = ''``). Blank lines are never counted or removed — they are
+    document structure, not content.
+
+    Scale shape (the part that matters at 100 TB):
+    - one ``posexplode`` over the line split (explode factor = lines/doc,
+      bounded, no skew beyond document length),
+    - one hash aggregation keyed on the line string with a map-side partial
+      ``count(distinct id)`` collapse — the only shuffle of the detection
+      phase; hot boilerplate lines ("subscribe to our newsletter") are
+      exactly the high-frequency keys partial aggregation absorbs,
+    - one anti-join of lines against the banned set (AQE picks broadcast
+      when the banned set is small — the common case — else a shuffled hash
+      join on the same key the aggregation just used),
+    - one ``groupBy(id)`` re-assembly, shuffling only surviving lines.
+    No per-row Python anywhere; every expression is codegen'd Column logic.
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would ban every line)")
+    ident = F.col(id_col)
+    lines = df.select(
+        ident.alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    banned = (
+        lines.filter(F.trim(F.col("__line")) != "")
+        .groupBy("__line")
+        .agg(F.count_distinct(F.col("__id")).alias("__ndocs"))
+        .filter(F.col("__ndocs") >= min_docs)
+        .select("__line")
+    )
+    kept = lines.join(banned, on="__line", how="left_anti")
+    reassembled = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda x: x.getField("__line"),
+            ),
+            "\n",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("__n_total"))
+    return (
+        totals.join(reassembled, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+            (F.col("__n_total") - F.coalesce(F.col("n_lines_kept"), F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+        )
+    )
 
 
 def nfc_normalize_udf():

@@ -334,3 +334,48 @@ def test_nfc_normalize_udf(spark):
         want = unicodedata.normalize("NFC", t) if t is not None else None
         assert got[i] == want, (i, got[i], want)
     assert got[1] == "café" and got[3] == "ﬁne" and got[4] is None
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines (corpus-level duplicate-line removal)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def line_df(spark):
+    rows = [
+        (1, "unique alpha\nsubscribe now\n\nkeep me"),
+        (2, "subscribe now\nother text\nsubscribe now"),
+        (3, "solo line\nrepeat twice\nrepeat twice"),
+        (4, "subscribe now"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_lines_strips_cross_doc_boilerplate(line_df):
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_removed"])
+        for r in cleaning.dedup_lines(line_df, min_docs=2).collect()
+    }
+    # "subscribe now" appears in docs 1, 2, 4 -> banned everywhere
+    assert out[1] == ("unique alpha\n\nkeep me", 3, 1)
+    # doc 2 loses BOTH copies of the banned line
+    assert out[2] == ("other text", 1, 2)
+    # "repeat twice" repeats only WITHIN doc 3 (1 distinct doc) -> kept
+    assert out[3] == ("solo line\nrepeat twice\nrepeat twice", 3, 0)
+    # fully-boilerplate doc survives as an empty row, not a dropped row
+    assert out[4] == ("", 0, 1)
+    # blank lines are structure: never counted, never removed
+    assert out[5] == ("", 1, 0)
+
+
+def test_dedup_lines_min_docs_threshold(line_df):
+    out = {
+        r["doc_id"]: r["n_lines_removed"]
+        for r in cleaning.dedup_lines(line_df, min_docs=4).collect()
+    }
+    # no line reaches 4 distinct docs -> nothing removed anywhere
+    assert out == {1: 0, 2: 0, 3: 0, 4: 0, 5: 0}
+    with pytest.raises(ValueError):
+        cleaning.dedup_lines(line_df, min_docs=1)
