@@ -1803,6 +1803,76 @@ FROM wrd GROUP BY word ORDER BY tf DESC, word ASC LIMIT 25
 """
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Per-document tf-idf top terms (operators/terms.py): explode ->
+    (doc,term) tf agg -> vocabulary-sized df agg -> broadcast scalar N ->
+    round-then-rank top-k (WindowGroupLimit). Ranks after rounding with a
+    term tie-break so the oracle agrees at float boundaries."""
+    from geocore_spark.operators import terms as tm
+
+    d = _t(spark, sf_dir, "documents")
+    return tm.tfidf_top_terms(d, k=5)
+
+
+_SQL_TFIDF_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x != '') AS w
+  FROM documents),
+trm AS (SELECT doc_id, unnest(w) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM trm GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 6)
+           AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number()
+    OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored)
+SELECT doc_id, term, tf, doc_freq, tfidf FROM ranked WHERE rk <= 5
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured payload extraction: pull a typed field out of the
+    events JSON props column (get_json_object — JVM-side JSON path, no
+    Python), filter on it, aggregate per event type. The filter happens
+    after extraction but before the aggregation shuffle; integer sums stay
+    exact in both engines (< 2^53)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+_SQL_JSON_EXTRACT = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       round(AVG(k), 6) AS avg_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events) t
+WHERE k >= 50
+GROUP BY event_type
+"""
+
+
 def q_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, exact mode
     (operators/similarity.py:near_dup_pairs_exact). Duplicates are planted
@@ -2298,6 +2368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-verified by tools/verify_local.py every session) ------------
         "line_dedup": q_line_dedup,
         "vocab_topk": q_vocab_topk,
+        "tfidf_terms": q_tfidf_terms,
+        "json_extract": q_json_extract,
         "pii_scrub": q_pii_scrub,
         "doc_chunks": q_doc_chunks,
         "decontaminate": q_decontaminate,
@@ -2373,6 +2445,8 @@ def oracle_sql() -> dict[str, str]:
         "region_revenue": _SQL_REGION_REVENUE,
         "line_dedup": _SQL_LINE_DEDUP,
         "vocab_topk": _SQL_VOCAB_TOPK,
+        "tfidf_terms": _SQL_TFIDF_TERMS,
+        "json_extract": _SQL_JSON_EXTRACT,
         "pii_scrub": _sql_pii_scrub(),
         "doc_chunks": _SQL_DOC_CHUNKS,
         "decontaminate": _SQL_DECONTAMINATE,

@@ -164,19 +164,22 @@ def main(argv: list[str] | None = None) -> None:
     with open(metrics_path, "w") as f:
         f.write(log.to_json())
 
-    n_packs = packs.count()
+    # row counts come from the checkpoint commits — every stage already
+    # counted on write, so re-counting here would re-read six snapshots
+    # just to recompute known numbers
+    rows = {name: meta["rows"] for name, meta in cp.stages().items()}
     util = packs.agg(
         (F.sum("pack_tokens") / (F.count("*") * args.budget)).alias("u")
     ).collect()[0]["u"]
     print(
         json.dumps(
             {
-                "docs_in": corpus.count(),
-                "docs_after_dedup": deduped.count(),
-                "docs_after_decontam": clean.count(),
-                "docs_mixed": mixed.count(),
-                "chunks": chunks.count(),
-                "packs": n_packs,
+                "docs_in": rows["corpus"],
+                "docs_after_dedup": rows["dedup"],
+                "docs_after_decontam": rows["decontam"],
+                "docs_mixed": rows["mix"],
+                "chunks": rows["chunks"],
+                "packs": rows["pack"],
                 "pack_utilization": round(float(util), 4),
                 "metrics": metrics_path,
                 "seconds": round(time.time() - t_start, 2),

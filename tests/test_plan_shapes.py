@@ -185,3 +185,28 @@ def test_embedding_dedup_corpus_broadcast(spark, sf_dir):
     p = _formatted(em.q_embedding_dedup(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p  # theta join (id_a < id_b) by design
     assert "CartesianProduct" not in p
+
+
+def test_line_dedup_anti_join_no_cartesian(spark, sf_dir):
+    p = _formatted(em.q_line_dedup(spark, sf_dir))
+    # banned-line removal must be an anti join (broadcast or shuffled-hash,
+    # AQE's call) — never a nested-loop / cartesian shape
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    # the detection agg partially collapses map-side before its shuffle
+    assert "partial_count" in p
+
+
+def test_vocab_topk_take_ordered_not_full_sort(spark, sf_dir):
+    p = _formatted(em.q_vocab_topk(spark, sf_dir))
+    # top-k must be TakeOrderedAndProject (bounded heap), not Sort+Limit
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tfidf_partial_topk_and_scalar_broadcast(spark, sf_dir):
+    p = _formatted(em.q_tfidf_terms(spark, sf_dir))
+    # per-doc rank<=k applied before the final window sort
+    assert "WindowGroupLimit" in p
+    # the 1-row corpus-size aggregate rides a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
