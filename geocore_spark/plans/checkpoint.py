@@ -24,7 +24,8 @@ import os
 import time
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 
 class StageCheckpoint:
@@ -59,9 +60,15 @@ class StageCheckpoint:
         if self.is_done(stage):
             return self.spark.read.parquet(path)
         df = build()
-        df.write.mode("overwrite").parquet(path)
+        # row count observed ON the write action itself (AggregatingAccumulator
+        # riding the job) — at 100 TB a separate count() would re-scan the
+        # snapshot; at toy scale it still costs one scheduled job per stage
+        obs = Observation(f"cp_{stage}_{time.time_ns()}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(path)
         out = self.spark.read.parquet(path)
-        rows = out.count()
+        rows = obs.get["rows"]
         manifest = self._manifest()
         manifest["stages"][stage] = {
             "rows": rows,
