@@ -1984,6 +1984,37 @@ FROM lp GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_inverted_index(spark, sf_dir):
+    """Term -> posting-list index (operators/terms.py:inverted_index):
+    one explode + one term-keyed hash aggregate (tf, doc_freq, sorted
+    distinct postings), hapax terms pruned with min_df=2. Posting arrays
+    compare as plain value lists against the oracle."""
+    from geocore_spark.operators import terms as tm
+
+    d = _t(spark, sf_dir, "documents")
+    return tm.inverted_index(d, min_df=2).orderBy("term")
+
+
+_SQL_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x != '') AS w
+  FROM documents),
+wrd AS (SELECT doc_id, unnest(w) AS term FROM toks),
+tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM wrd GROUP BY term),
+dd AS (SELECT DISTINCT term, doc_id FROM wrd),
+pl AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+         list(doc_id ORDER BY doc_id) AS postings
+  FROM dd GROUP BY term)
+SELECT tf.term, tf.tf, pl.doc_freq, pl.postings
+FROM tf JOIN pl ON tf.term = pl.term
+WHERE pl.doc_freq >= 2
+ORDER BY tf.term
+"""
+
+
 # --- rows-only queries (no ANSI-SQL twin; driver records weaker check) ----
 
 
@@ -2416,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
         "lm_perplexity": q_lm_perplexity,
+        "inverted_index": q_inverted_index,
         "line_dedup": q_line_dedup,
         "vocab_topk": q_vocab_topk,
         "tfidf_terms": q_tfidf_terms,
@@ -2494,6 +2526,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_avg": _SQL_ROLLING,
         "region_revenue": _SQL_REGION_REVENUE,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
+        "inverted_index": _SQL_INVERTED_INDEX,
         "line_dedup": _SQL_LINE_DEDUP,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "tfidf_terms": _SQL_TFIDF_TERMS,

@@ -76,3 +76,41 @@ def tfidf_top_terms(
         .filter(F.col("__rk") <= k)
         .select(F.col("__id").alias(id_col), "term", "tf", "doc_freq", "tfidf")
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Term -> sorted posting list over the corpus — the retrieval-side
+    sibling of tf-idf (decontamination lookups, keyword routing, cheap
+    boolean search over a curated dump).
+
+    One explode + one hash aggregate per term: ``tf`` (total occurrences),
+    ``doc_freq`` (distinct documents), ``postings`` (sorted distinct doc
+    ids). ``min_df`` prunes hapax terms — at web scale the df=1 tail is
+    most of the vocabulary and rarely worth indexing.
+
+    Scale shape: a single shuffle keyed on term with map-side partial
+    aggregation; posting arrays are bounded by document frequency, so the
+    only skew risk is stop-word-like terms — cap those upstream via
+    ``min_df``'s mirror (a max_df filter) or a stop list before indexing
+    100 TB. collect_set keeps the whole list per term in executor memory,
+    which is the standard posting-list contract (segment-sized terms).
+    """
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    terms = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(cleaning.tokens(F.col(text_col))).alias("term"),
+    )
+    out = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("__id").alias("doc_freq"),
+        F.sort_array(F.collect_set("__id")).alias("postings"),
+    )
+    if min_df > 1:
+        out = out.filter(F.col("doc_freq") >= min_df)
+    return out

@@ -36,3 +36,26 @@ def test_tfidf_k_one_tie_break(corpus):
     assert got == {1: "apple", 2: "banana", 3: "cherry"}
     with pytest.raises(ValueError):
         terms.tfidf_top_terms(corpus, k=0)
+
+
+def test_inverted_index_semantics(spark):
+    rows = [
+        (1, "a b a c"),
+        (2, "b c"),
+        (3, "c"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from geocore_spark.operators import terms as tm
+
+    idx = {r.term: r for r in tm.inverted_index(df).collect()}
+    assert idx["a"].tf == 2 and idx["a"].doc_freq == 1 and idx["a"].postings == [1]
+    assert idx["c"].tf == 3 and idx["c"].postings == [1, 2, 3]
+    # min_df prunes hapax terms
+    pruned = {r.term for r in tm.inverted_index(df, min_df=2).collect()}
+    assert pruned == {"b", "c"}
+    import pytest
+
+    with pytest.raises(ValueError):
+        tm.inverted_index(df, min_df=0)
