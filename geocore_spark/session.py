@@ -61,7 +61,13 @@ def get_spark(
     )
     if master is not None:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
+    elif not os.environ.get("SPARK_MASTER") and not os.environ.get(
+        "PYSPARK_GATEWAY_PORT"
+    ):
+        # PYSPARK_GATEWAY_PORT means spark-submit already launched the JVM
+        # with its own --master/--conf; forcing local[N] here would hijack
+        # a real cluster submit. Only default the master for bare
+        # `python script.py` runs.
         builder = builder.master(f"local[{cpus}]")
     if extra_conf:
         for k, v in extra_conf.items():
