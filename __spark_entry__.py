@@ -2372,6 +2372,28 @@ def q_bpe_learned(spark, sf_dir):
     )
 
 
+def q_sketch_profile(spark, sf_dir):
+    """Mergeable-sketch corpus profile (operators/sketches.py; rows-only:
+    DataSketches estimates have no SQL twin). Per source: HLL distinct
+    text fingerprints + KLL n_chars quantiles, built per-source then
+    re-aggregated — the sketch-table pattern that replaces exact
+    count_distinct/percentile at 100 TB. Estimates are deterministic
+    (no RNG in sketching), so row values are stable run to run; accuracy
+    bounds are pinned by tests/test_sketches.py."""
+    from geocore_spark.operators import sketches as sk
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.xxhash64("text").alias("fp"), "n_chars"
+    )
+    hll = sk.estimate_distinct(
+        sk.sketch_distinct(d, "fp", by=["source"])
+    ).select("source", "n_distinct")
+    kll = sk.quantile_estimates(
+        sk.sketch_quantiles(d, "n_chars", by=["source"]), [0.5, 0.9]
+    )
+    return hll.join(kll, "source").orderBy("source")
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -2473,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "video_frames": q_video_frames,
         "bpe_learned": q_bpe_learned,
+        "sketch_profile": q_sketch_profile,
     }
 
 
