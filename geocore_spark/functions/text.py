@@ -253,3 +253,30 @@ def fingerprint64(text: Column) -> Column:
     whitespace-normalized lowercased text (rolling-hash role; JVM-side)."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.xxhash64(norm)
+
+
+def compression_ratio_udf(level: int = 6):
+    """Arrow-batched zlib compression ratio: len(compress(utf8)) / len(utf8).
+
+    The classic cheap gibberish/boilerplate detector (used alongside the
+    Gopher repetition signals): highly repetitive boilerplate compresses
+    far below ~0.3, random noise stays near 1.0, natural prose sits
+    between. zlib at a fixed level is bit-deterministic for a given
+    input, so the signal is reproducible across runs and executors.
+    Null/empty text -> null (no 0/0). Python is unavoidable here (no JVM
+    zlib surface in Spark SQL), so it pays the Arrow batch boundary once
+    per ~10k rows, not per row.
+    """
+    import zlib
+
+    @F.pandas_udf("double")
+    def _ratio(text: pd.Series) -> pd.Series:
+        def one(s):
+            if s is None or s == "":
+                return None
+            raw = s.encode("utf-8")
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return text.map(one)
+
+    return _ratio

@@ -31,3 +31,25 @@ def test_repetition_signals(spark):
     assert got[3] == (0.0, 0.0)
     assert got[4] == (0.0, 0.0)
     assert got[5] == (0.714286, 0.666667)  # 'go go' 4 of 6 bigrams
+
+
+def test_compression_ratio_signal(spark):
+    from geocore_spark.functions import text as tx
+
+    rows = [
+        (1, "spam " * 400),                      # highly repetitive
+        (2, "".join(__import__("hashlib").sha256(str(i).encode()).hexdigest()
+                    for i in range(40))),        # hash noise: ~4 bits/char
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.ratio for r in df.select(
+        "id", tx.compression_ratio_udf()("text").alias("ratio")).collect()}
+    assert out[1] < 0.05                 # boilerplate crushes
+    assert out[2] > 0.5                  # noise barely compresses
+    assert out[3] is None and out[4] is None
+    # deterministic across invocations
+    out2 = {r.id: r.ratio for r in df.select(
+        "id", tx.compression_ratio_udf()("text").alias("ratio")).collect()}
+    assert out == out2
