@@ -210,3 +210,22 @@ def test_tfidf_partial_topk_and_scalar_broadcast(spark, sf_dir):
     # the 1-row corpus-size aggregate rides a broadcast, not a shuffle
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_lm_perplexity_plan_shape(spark, sf_dir):
+    p = _formatted(em.q_lm_perplexity(spark, sf_dir))
+    # the vocab scalar rides a 1-row broadcast, never a real product
+    assert "CartesianProduct" not in p
+    # map-side partial aggregation on both the count build and the
+    # per-doc sum (the order-independent BIGINT accumulation)
+    assert p.count("HashAggregate") >= 4
+    schema_line = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "text" in schema_line and "source" not in schema_line
+
+
+def test_inverted_index_single_shuffle(spark, sf_dir):
+    p = _formatted(em.q_inverted_index(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # (term,doc) dedup exchange + term rollup exchange + output range sort;
+    # anything more means the tf/postings sides stopped sharing the scan
+    assert p.count("Exchange (") <= 3
