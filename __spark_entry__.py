@@ -2372,6 +2372,36 @@ def q_bpe_learned(spark, sf_dir):
     )
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL connector under the local gate (rows-only): write the
+    documents table as gzipped JSONL plus one planted corrupt line, read
+    it back through sources/jsonl.read_jsonl (pinned schema,
+    DROPMALFORMED), and emit per-source row counts + an order-independent
+    xxhash64 xor fingerprint. The corrupt line must vanish without
+    failing the read; values must survive the round-trip bit-exact."""
+    import gzip
+    import tempfile
+
+    from geocore_spark.sources import jsonl
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"jsonl_rt_{spark.sparkContext.applicationId}"
+    )
+    jsonl.write_jsonl(d, out)
+    with gzip.open(os.path.join(out, "zz_corrupt.json.gz"), "wb") as f:
+        f.write(b'{"doc_id": broken\n')
+    back = jsonl.read_jsonl(spark, out)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.bit_xor(F.xxhash64("doc_id", "text", "lang")).alias("fp"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_sketch_profile(spark, sf_dir):
     """Mergeable-sketch corpus profile (operators/sketches.py; rows-only:
     DataSketches estimates have no SQL twin). Per source: HLL distinct
@@ -2496,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "bpe_learned": q_bpe_learned,
         "sketch_profile": q_sketch_profile,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
     }
 
 
