@@ -86,3 +86,30 @@ def test_no_cartesian_in_plan(corpus):
     plan = lm.score_docs(corpus, c12, c1)._jdf.queryExecution().executedPlan().toString()
     # the only product is the broadcast of the 1-row vocab scalar
     assert plan.count("CartesianProduct") == 0
+
+
+def test_lm_separates_gibberish_on_fixture(spark, sf_dir):
+    """Filter efficacy on the real documents fixture. Fully-OOV text
+    scores exactly ln(V) — on a tiny-vocab corpus that sits INSIDE the
+    real-doc range, so the discriminative probe is maximal transition
+    surprise: a frequent context word followed by a never-seen word costs
+    ln(c1 + V) per transition, which must rank strictly worse than every
+    in-domain document."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    en = docs.select("doc_id", "text", "lang").filter(F.col("lang") == "en")
+    c12, c1 = lm.train_bigram_lm(en)
+    w_max = c1.orderBy(F.desc("c1")).first().w1
+
+    gib = spark.createDataFrame(
+        [(10_000 + i, f"{w_max} zzqx{i} " * 15, "xx") for i in range(5)],
+        "doc_id long, text string, lang string",
+    )
+    corpus = docs.select("doc_id", "text", "lang").unionByName(gib)
+    scored = lm.score_docs(corpus, c12, c1).collect()
+    gib_x = [r.xent for r in scored if r.doc_id >= 10_000]
+    real_x = [r.xent for r in scored if r.doc_id < 10_000]
+    assert min(gib_x) > max(real_x)
