@@ -12,6 +12,10 @@ Stages (each a checkpointed snapshot; --resume skips committed stages):
   2. scrub       : PII redaction + quality / language / token signals
   3. dedup       : exact dedup, then MinHash-LSH near-dup pair removal
   4. decontam    : drop docs sharing n-grams with the held-out benchmark
+  4b. lmfilter   : optional (--lm-filter-quantile q) CCNet-style pass —
+                   self-trained bigram-LM xent, drop docs above the
+                   corpus q-quantile (threshold via a KLL sketch, no
+                   driver-side percentile collect)
   5. mix         : stratified source rates + deterministic train/eval split
   6. chunks      : overlapping passage chunking
   7. pack        : FFD sequence packing to the token budget
@@ -34,7 +38,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from geocore_spark.functions import cleaning as cl, text as tx
-from geocore_spark.operators import decontam, dedup, packing, sampling
+from geocore_spark.operators import decontam, dedup, lm, packing, sampling
+from geocore_spark.operators import sketches as sk
 from geocore_spark.plans.checkpoint import StageCheckpoint
 from geocore_spark.plans.lineage import LineageLog, observed
 from geocore_spark.session import get_spark
@@ -50,6 +55,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--chunk-size", type=int, default=64)
     ap.add_argument("--chunk-stride", type=int, default=48)
     ap.add_argument("--ngram", type=int, default=8, help="decontamination n")
+    ap.add_argument(
+        "--lm-filter-quantile",
+        type=float,
+        default=None,
+        help="optional CCNet-style LM filter: drop docs whose bigram-LM "
+        "cross-entropy exceeds this corpus quantile (e.g. 0.9); off by "
+        "default so the pinned 7-stage shape is unchanged",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("geocore-curation")
@@ -125,6 +138,25 @@ def main(argv: list[str] | None = None) -> None:
         return pool.join(dirty.select("doc_id"), "doc_id", "left_anti")
 
     clean = staged("decontam", build_decontam)
+
+    if args.lm_filter_quantile is not None:
+        q = args.lm_filter_quantile
+        qcol = f"q_{str(q).replace('.', '_')}"
+
+        def build_lmfilter():
+            c12, c1 = lm.train_bigram_lm(clean)
+            scored = lm.score_docs(clean, c12, c1)
+            thr = sk.quantile_estimates(
+                sk.sketch_quantiles(scored, "xent"), [q]
+            ).select(F.col(qcol).alias("__thr"))
+            keep = (
+                scored.crossJoin(F.broadcast(thr))
+                .filter(F.col("xent") <= F.col("__thr"))
+                .select("doc_id")
+            )
+            return clean.join(keep, "doc_id", "left_semi")
+
+        clean = staged("lmfilter", build_lmfilter)
 
     def build_mix():
         mixed = sampling.stratified_sample(

@@ -48,3 +48,34 @@ def test_curation_job_end_to_end_and_resume(tmp_path):
     }
     assert stages and all("resumed=True" in s for s in stages)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_lm_filter_stage_optional(tmp_path):
+    """--lm-filter-quantile adds the lmfilter stage and actually drops the
+    high-xent tail; default runs keep the pinned 7-stage shape."""
+    import json
+    import subprocess
+    import sys
+    import os
+
+    root = str(tmp_path / "ckpt")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "run_curation.py"),
+            "--docs", "3000",
+            "--checkpoint-root", root,
+            "--lm-filter-quantile", "0.9",
+        ],
+        env={**os.environ, "PYTHONPATH": REPO, "SPARK_GRAFT_CPUS": "4"},
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    man = json.load(open(os.path.join(root, "_manifest.json")))
+    stages = man["stages"]
+    assert "lmfilter" in stages
+    kept, before = stages["lmfilter"]["rows"], stages["decontam"]["rows"]
+    assert kept < before                     # the tail was dropped
+    assert kept >= int(before * 0.85)        # ~quantile-sized cut, not a purge
