@@ -2490,7 +2490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "intersect_except": q_intersect_except,
         "rolling_avg": q_rolling_avg,
-        "region_revenue": q_region_revenue,
+        # deliberate round-2 swap: lm_perplexity (flagship curation op)
+        # takes the hard-gate slot; region_revenue (J5, already covered
+        # in-window by pip_rect_join) moves to the verified tail
+        "lm_perplexity": q_lm_perplexity,
         # --- rows-only, inside the driver's 50-entry hard-check window -----
         "minhash_lsh": q_minhash_lsh,
         "warc_roundtrip": q_warc_roundtrip,
@@ -2498,7 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
-        "lm_perplexity": q_lm_perplexity,
+        "region_revenue": q_region_revenue,
         "inverted_index": q_inverted_index,
         "line_dedup": q_line_dedup,
         "vocab_topk": q_vocab_topk,
