@@ -387,3 +387,55 @@ def ivf_index_topk(
             "rank",
         )
     )
+
+
+# -- int8 quantization: the at-rest / on-the-wire scale path -----------------
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", prefix: str = "q"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: 4x smaller vectors for the
+    persisted IVF index and every probe-side shuffle.
+
+    Adds ``<prefix>_vec: array<tinyint>`` (round-half-up of v/scale) and
+    ``<prefix>_scale: float`` with scale = max|v| / 127; the all-zero
+    vector gets scale 0 and an all-zero code. Pure Column (transform +
+    aggregate), deterministic. Compose with the IVF index by quantizing
+    before ``build_ivf_index`` and refining with the float vectors only
+    on the final candidate set — recall impact is pinned in
+    tests/test_dedup_similarity.py.
+    """
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    scale = (amax / F.lit(127.0)).alias(f"{prefix}_scale")
+    code = F.when(amax == 0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.round(x.cast("double") / (amax / F.lit(127.0)))
+            .cast("int")
+            .cast("tinyint"),
+        )
+    )
+    return df.withColumn(f"{prefix}_vec", code).withColumn(
+        f"{prefix}_scale", scale.cast("float")
+    )
+
+
+def quantized_dot(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
+    """Approximate float dot product from two int8 codes: the integer
+    accumulation stays in BIGINT (|dot| <= 127^2 * dim), one float
+    multiply at the end."""
+    acc = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return acc.cast("double") * sa.cast("double") * sb.cast("double")
+
+
+def dequantize(qv: Column, scale: Column) -> Column:
+    """array<double> reconstruction (for refine stages / debugging)."""
+    return F.transform(qv, lambda x: x.cast("double") * scale.cast("double"))

@@ -381,3 +381,65 @@ def test_lsh_index_query_plan_shape(spark, tmp_path):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_int8_quantization_roundtrip_and_recall(spark, sf_dir):
+    """Quantized cosine must preserve neighbor structure: top-10 by
+    int8-approximate similarity recalls >= 0.9 of the exact top-10 on the
+    fixture embeddings, and reconstruction stays within the 1/254
+    per-component quantization bound."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geocore_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = sim.quantize_embeddings(emb)
+
+    # reconstruction error bound: |v - s*round(v/s)| <= s/2 = amax/254
+    err = q.select(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                sim.dequantize(F.col("q_vec"), F.col("q_scale")),
+                lambda a, b: F.abs(a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+        (F.col("q_scale") / 2 + 1e-9).alias("bound"),
+    )
+    assert err.filter(F.col("max_err") > F.col("bound")).count() == 0
+
+    # zero-vector edge
+    zed = sim.quantize_embeddings(
+        spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    ).collect()[0]
+    assert zed.q_scale == 0.0 and list(zed.q_vec) == [0, 0, 0]
+
+    # neighbor recall: exact vs quantized scores over a 20-query slice
+    queries = emb.limit(20)
+    exact = sim.brute_force_topk(queries, emb, k=10)
+    qq = q.select(F.col("vec_id").alias("qid2"), F.col("q_vec").alias("qa"), F.col("q_scale").alias("sa"))
+    qc = q.select(F.col("vec_id").alias("nid2"), F.col("q_vec").alias("qb"), F.col("q_scale").alias("sb"))
+    from pyspark.sql import Window
+
+    pairs = (
+        sim.quantize_embeddings(queries).select(
+            F.col("vec_id").alias("qid"), F.col("q_vec").alias("qa"), F.col("q_scale").alias("sa")
+        )
+        .crossJoin(F.broadcast(qc))
+        .filter(F.col("qid") != F.col("nid2"))
+        .select(
+            "qid",
+            F.col("nid2").alias("nid"),
+            sim.quantized_dot(F.col("qa"), F.col("sa"), F.col("qb"), F.col("sb")).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc("nid"))
+    approx = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    truth = {(r.vec_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.qid, r.nid) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, recall
