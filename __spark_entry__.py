@@ -2405,23 +2405,22 @@ def q_jsonl_roundtrip(spark, sf_dir):
 def q_sketch_profile(spark, sf_dir):
     """Mergeable-sketch corpus profile (operators/sketches.py; rows-only:
     DataSketches estimates have no SQL twin). Per source: HLL distinct
-    text fingerprints + KLL n_chars quantiles, built per-source then
-    re-aggregated — the sketch-table pattern that replaces exact
-    count_distinct/percentile at 100 TB. Estimates are deterministic
-    (no RNG in sketching), so row values are stable run to run; accuracy
-    bounds are pinned by tests/test_sketches.py."""
+    text fingerprints alongside the exact row count — the sketch-table
+    pattern that replaces exact count_distinct at 100 TB. Only the
+    HLL-backed estimate is emitted: it is hash-based and reproduces
+    exactly run to run, while KLL quantiles sample internally (~0.3%
+    run-to-run wobble measured) and live in tests/test_sketches.py
+    under rank-error bounds instead of here."""
     from geocore_spark.operators import sketches as sk
 
     d = _t(spark, sf_dir, "documents").select(
-        "source", F.xxhash64("text").alias("fp"), "n_chars"
+        "source", F.xxhash64("text").alias("fp")
     )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_rows"))
     hll = sk.estimate_distinct(
         sk.sketch_distinct(d, "fp", by=["source"])
     ).select("source", "n_distinct")
-    kll = sk.quantile_estimates(
-        sk.sketch_quantiles(d, "n_chars", by=["source"]), [0.5, 0.9]
-    )
-    return hll.join(kll, "source").orderBy("source")
+    return counts.join(hll, "source").orderBy("source")
 
 
 # ===========================================================================

@@ -401,27 +401,30 @@ def quantize_embeddings(
     Adds ``<prefix>_vec: array<tinyint>`` (round-half-up of v/scale) and
     ``<prefix>_scale: float`` with scale = max|v| / 127; the all-zero
     vector gets scale 0 and an all-zero code. Pure Column (transform +
-    aggregate), deterministic. Compose with the IVF index by quantizing
-    before ``build_ivf_index`` and refining with the float vectors only
-    on the final candidate set — recall impact is pinned in
-    tests/test_dedup_similarity.py.
+    aggregate), deterministic. The scale is materialized as its own
+    column FIRST and the transform references that column — embedding
+    the aggregate inside the per-element lambda would re-fold the whole
+    array once per element (O(d^2); HOF lambdas are interpreted).
+    Compose with the IVF index by quantizing before ``build_ivf_index``
+    and refining with the float vectors only on the final candidate set
+    — recall impact is pinned in tests/test_dedup_similarity.py.
     """
     v = F.col(vec_col)
+    scale_col = f"{prefix}_scale"
     amax = F.aggregate(
         v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
-    scale = (amax / F.lit(127.0)).alias(f"{prefix}_scale")
-    code = F.when(amax == 0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
+    staged = df.withColumn(scale_col, (amax / F.lit(127.0)).cast("float"))
+    sc = F.col(scale_col).cast("double")
+    code = F.when(
+        sc == 0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+    ).otherwise(
         F.transform(
             v,
-            lambda x: F.round(x.cast("double") / (amax / F.lit(127.0)))
-            .cast("int")
-            .cast("tinyint"),
+            lambda x: F.round(x.cast("double") / sc).cast("int").cast("tinyint"),
         )
     )
-    return df.withColumn(f"{prefix}_vec", code).withColumn(
-        f"{prefix}_scale", scale.cast("float")
-    )
+    return staged.withColumn(f"{prefix}_vec", code)
 
 
 def quantized_dot(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:

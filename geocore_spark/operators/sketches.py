@@ -16,10 +16,14 @@ dump A already remove?) via inclusion-exclusion on HLL unions.
 
 Accuracy contract (pinned by tests/test_sketches.py): HLL relative
 standard error ~ 1.04 / sqrt(2^lgk) — 1.6% at the default lgk=12 with
-4 KB sketches; KLL k=200 rank error ~1.65%. Estimates are deterministic
-for a given input multiset (sketching has no RNG), but NOT
-SQL-oracle-expressible, so the driver query is rows-only and correctness
-is pinned by property tests instead.
+4 KB sketches; KLL k=200 rank error ~1.65%. Determinism differs by
+sketch: HLL is hash-based and reproduces exactly for a given input
+multiset (merge order included), while KLL uses internal sampling —
+measured on this build, repeated identical runs move a median estimate
+by ~0.3% — so treat KLL outputs as rank-error-bounded, not repeatable.
+Neither is SQL-oracle-expressible; the driver query is rows-only (and
+emits only the HLL-backed column), with correctness pinned by property
+tests instead.
 """
 
 from __future__ import annotations
@@ -44,7 +48,7 @@ def sketch_distinct(
     is ~2^lgk bytes per group regardless of row count.
     """
     agg = F.hll_sketch_agg(F.col(key), F.lit(lgk)).alias("sketch")
-    return df.groupBy(*by).agg(agg) if by else df.agg(agg)
+    return df.groupBy(*by).agg(agg)
 
 
 def merge_distinct(
@@ -55,7 +59,7 @@ def merge_distinct(
     Sketch-in, sketch-out: the result can be merged again or estimated.
     """
     agg = F.hll_union_agg(F.col(sketch_col)).alias(sketch_col)
-    return df.groupBy(*by).agg(agg) if by else df.agg(agg)
+    return df.groupBy(*by).agg(agg)
 
 
 def estimate_distinct(
@@ -76,14 +80,14 @@ def sketch_quantiles(
     agg = F.kll_sketch_agg_double(
         F.col(value_col).cast("double"), F.lit(k)
     ).alias("qsketch")
-    return df.groupBy(*by).agg(agg) if by else df.agg(agg)
+    return df.groupBy(*by).agg(agg)
 
 
 def merge_quantiles(
     df: DataFrame, by: Sequence[str] = (), sketch_col: str = "qsketch"
 ) -> DataFrame:
     agg = F.kll_merge_agg_double(F.col(sketch_col)).alias(sketch_col)
-    return df.groupBy(*by).agg(agg) if by else df.agg(agg)
+    return df.groupBy(*by).agg(agg)
 
 
 def quantile_estimates(

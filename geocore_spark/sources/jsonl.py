@@ -52,7 +52,11 @@ def read_jsonl(
     you need to inspect just the bad lines.
     """
     if keep_corrupt:
-        full = schema.add(T.StructField(CORRUPT_COL, T.StringType()))
+        # copy — StructType.add mutates in place, which would poison the
+        # module-level DOC_SCHEMA (and any caller-supplied schema)
+        full = T.StructType(
+            [*schema.fields, T.StructField(CORRUPT_COL, T.StringType())]
+        )
         return (
             spark.read.schema(full)
             .option("mode", "PERMISSIVE")

@@ -142,21 +142,32 @@ def main(argv: list[str] | None = None) -> None:
     if args.lm_filter_quantile is not None:
         q = args.lm_filter_quantile
         qcol = f"q_{str(q).replace('.', '_')}"
+        lm_cache = {}
 
         def build_lmfilter():
             c12, c1 = lm.train_bigram_lm(clean)
-            scored = lm.score_docs(clean, c12, c1)
+            # persisted: consumed by the threshold aggregate AND the
+            # loser filter — without it the bigram joins run twice
+            scored = lm.score_docs(clean, c12, c1).persist()
+            lm_cache["scored"] = scored
+            # KLL threshold: rank-error-bounded, not bit-reproducible
+            # between runs (sketch sampling) — fine for a quality gate;
+            # the stage snapshot freezes whichever cut this run made
             thr = sk.quantile_estimates(
                 sk.sketch_quantiles(scored, "xent"), [q]
             ).select(F.col(qcol).alias("__thr"))
-            keep = (
+            losers = (
                 scored.crossJoin(F.broadcast(thr))
-                .filter(F.col("xent") <= F.col("__thr"))
+                .filter(F.col("xent") > F.col("__thr"))
                 .select("doc_id")
             )
-            return clean.join(keep, "doc_id", "left_semi")
+            # anti-join the losers so docs with < 2 tokens (unscorable,
+            # absent from `scored`) pass through instead of vanishing
+            return clean.join(losers, "doc_id", "left_anti")
 
         clean = staged("lmfilter", build_lmfilter)
+        if "scored" in lm_cache:
+            lm_cache["scored"].unpersist()
 
     def build_mix():
         mixed = sampling.stratified_sample(

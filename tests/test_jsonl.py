@@ -43,3 +43,23 @@ def test_corrupt_lines_survive(spark, tmp_path):
         assert len(bad) == 1 and bad[0].doc_id is None
     finally:
         kept.unpersist()
+
+
+def test_keep_corrupt_does_not_mutate_schema(spark, tmp_path):
+    import gzip
+
+    from pyspark.sql import types as T
+
+    p = tmp_path / "x.jsonl.gz"
+    with gzip.open(p, "wb") as f:
+        f.write(b'{"doc_id": 1, "text": "t", "lang": "en", "source": "s", "n_chars": 1}')
+    before = len(jsonl.DOC_SCHEMA.fields)
+    custom = T.StructType([T.StructField("doc_id", T.LongType())])
+    jsonl.read_jsonl(spark, str(p), keep_corrupt=True)
+    jsonl.read_jsonl(spark, str(p), schema=custom, keep_corrupt=True)
+    assert len(jsonl.DOC_SCHEMA.fields) == before
+    assert len(custom.fields) == 1
+    # default read after a keep_corrupt call still has the pinned 5 columns
+    assert jsonl.read_jsonl(spark, str(p)).columns == [
+        "doc_id", "text", "lang", "source", "n_chars"
+    ]
