@@ -1403,6 +1403,67 @@ FROM events
 """
 
 
+def q_host_links(spark, sf_dir):
+    """Link-graph edge extraction (operators/links.py): deterministic
+    html pages synthesized from ``events`` -> JVM href regexp extraction
+    -> host-level (src_host, dst_host, n_links) rollup. The oracle
+    recomputes the expected edge list from the same generator arithmetic
+    in SQL, so Spark must recover it by actually parsing the html
+    (relative and self links dropped by host_edges)."""
+    from geocore_spark.operators import links
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d1 = ((F.col("user_id") * 7 + F.col("event_id")) % 20).cast("string")
+    d2 = ((F.col("user_id") + 3) % 20).cast("string")
+    pages = ev.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><a href="https://h'),
+            d1,
+            F.lit('.example.com/x">a</a> <p>t</p> <a href=\'https://h'),
+            d2,
+            F.lit(".example.com/y'>b</a> <a href=\"/rel\">r</a></html>"),
+        ).alias("html"),
+    )
+    return links.host_edges(pages)
+
+
+_SQL_HOST_LINKS = """
+WITH pages AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.example.com' AS src_host,
+         'h' || CAST((user_id * 7 + event_id) % 20 AS VARCHAR)
+             || '.example.com' AS dst1,
+         'h' || CAST((user_id + 3) % 20 AS VARCHAR) || '.example.com' AS dst2
+  FROM events
+), hrefs AS (
+  SELECT src_host, dst1 AS dst_host FROM pages
+  UNION ALL
+  SELECT src_host, dst2 AS dst_host FROM pages
+)
+SELECT src_host, dst_host, COUNT(*) AS n_links
+FROM hrefs
+WHERE dst_host <> src_host
+GROUP BY src_host, dst_host
+"""
+
+
+def q_pagerank(spark, sf_dir):
+    """Distributed PageRank over the synthetic host link graph
+    (rows-only: synchronous power iteration — one join + one groupBy per
+    step with dangling-mass redistribution, iterative and so not
+    single-query SQL-expressible; values are pinned against a numpy
+    power iteration in tests/test_links.py)."""
+    from geocore_spark.operators import links
+
+    pr = links.pagerank(q_host_links(spark, sf_dir), iters=8)
+    return pr.select("host", F.round("rank", 8).alias("rank"))
+
+
 def q_region_revenue(spark, sf_dir):
     """TPC-H Q5-shaped multi-join aggregate (join-reordering showcase)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2500,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        "host_links": q_host_links,
         "region_revenue": q_region_revenue,
         "inverted_index": q_inverted_index,
         "line_dedup": q_line_dedup,
@@ -2529,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learned": q_bpe_learned,
         "sketch_profile": q_sketch_profile,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "pagerank": q_pagerank,
     }
 
 
@@ -2581,6 +2644,7 @@ def oracle_sql() -> dict[str, str]:
         "intersect_except": _SQL_INTERSECT_EXCEPT,
         "rolling_avg": _SQL_ROLLING,
         "region_revenue": _SQL_REGION_REVENUE,
+        "host_links": _SQL_HOST_LINKS,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "inverted_index": _SQL_INVERTED_INDEX,
         "line_dedup": _SQL_LINE_DEDUP,

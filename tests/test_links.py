@@ -1,0 +1,82 @@
+"""Link graph + PageRank (operators/links.py) vs a numpy power iteration."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geocore_spark.operators import links
+
+
+def test_extract_links_and_host_edges(spark):
+    html = (
+        '<a href="https://b.com/x">b</a> <a href=\'https://c.com/\'>c</a>'
+        ' <a href="/relative">rel</a> <a href="https://a.com/self">self</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://a.com/p1", html), ("https://b.com/p1", '<a href="https://c.com/y">c</a>')],
+        "url string, html string",
+    )
+    got = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in links.host_edges(pages).collect()
+    }
+    # relative + self links dropped; binary html also accepted
+    assert got == {("a.com", "b.com"): 1, ("a.com", "c.com"): 1, ("b.com", "c.com"): 1}
+    binpages = pages.select("url", F.encode("html", "UTF-8").alias("html"))
+    assert {
+        (r.src_host, r.dst_host) for r in links.host_edges(binpages).collect()
+    } == set(got)
+
+
+def _np_pagerank(edge_list, iters, d=0.85):
+    hosts = sorted({h for e in edge_list for h in e[:2]})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    W = np.zeros((n, n))
+    for s, t, w in edge_list:
+        W[idx[t], idx[s]] += w
+    outsum = W.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        share = np.divide(W, outsum, out=np.zeros_like(W), where=outsum > 0)
+        dangling = r[outsum == 0].sum()
+        r = (1 - d) / n + d * (share @ r) + d * dangling / n
+    return {h: r[idx[h]] for h in hosts}
+
+
+@pytest.mark.parametrize("weighted", [True, False])
+def test_pagerank_matches_numpy(spark, weighted):
+    # cycle + a hub + a dangling sink, with a weighted multi-edge
+    raw = [
+        ("a", "b", 3), ("b", "c", 1), ("c", "a", 1),
+        ("a", "d", 1), ("b", "d", 1),  # d is dangling
+    ]
+    edges = spark.createDataFrame(raw, "src_host string, dst_host string, n_links long")
+    got = {
+        r.host: r.rank
+        for r in links.pagerank(edges, iters=12, weighted=weighted).collect()
+    }
+    ref = _np_pagerank(
+        [(s, t, (w if weighted else 1)) for s, t, w in raw], iters=12
+    )
+    assert set(got) == set(ref)
+    for h in ref:
+        assert got[h] == pytest.approx(ref[h], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_empty_edges(spark):
+    edges = spark.createDataFrame(
+        [], "src_host string, dst_host string, n_links long"
+    )
+    out = links.pagerank(edges, iters=3)
+    assert out.columns == ["host", "rank"] and out.count() == 0
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = [r.rank for r in links.pagerank(edges, iters=5).collect()]
+    assert all(r == pytest.approx(1 / 3, abs=1e-12) for r in got)
