@@ -1738,6 +1738,21 @@ FROM dg JOIN bg USING (gram) GROUP BY doc_id
 """
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination (operators/bloom.py): the
+    benchmark gram set travels as a ~KB bitmap broadcast instead of a
+    gram table; survivors (true hits + ~fpr of the stream) re-join the
+    exact grams, so the result is identical to q_decontaminate — same
+    oracle. The 100 TB shape when the eval-suite union reaches 10^7-10^8
+    grams and a string broadcast stops fitting."""
+    from geocore_spark.operators import bloom
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    docs = d.filter(F.col("doc_id") % 97 != 0)
+    return bloom.decontaminate_bloom(docs, bench, n=3, fpr=1e-2)
+
+
 def q_text_normalize(spark, sf_dir):
     """Unicode NFC canonicalization (cleaning.nfc_normalize_udf, Arrow
     batch) — the corpus is salted with decomposed sequences (e+combining
@@ -2562,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
         "host_links": q_host_links,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "region_revenue": q_region_revenue,
         "inverted_index": q_inverted_index,
         "line_dedup": q_line_dedup,
@@ -2645,6 +2661,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_avg": _SQL_ROLLING,
         "region_revenue": _SQL_REGION_REVENUE,
         "host_links": _SQL_HOST_LINKS,
+        "decontaminate_bloom": _SQL_DECONTAMINATE,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "inverted_index": _SQL_INVERTED_INDEX,
         "line_dedup": _SQL_LINE_DEDUP,
