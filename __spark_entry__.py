@@ -1452,6 +1452,59 @@ GROUP BY src_host, dst_host
 """
 
 
+def q_anchor_corpus(spark, sf_dir):
+    """Anchor-text corpus builder (operators/links.py): deterministic
+    pages -> (a-tag href, anchor text) pairs via JVM regexp -> per
+    (dst_host, anchor) reference counts. Oracle recomputes the expected
+    aggregation from the generator arithmetic; Spark must recover it by
+    parsing the html (relative hrefs and whitespace anchors dropped)."""
+    from geocore_spark.operators import links
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d1 = ((F.col("user_id") * 7 + F.col("event_id")) % 20).cast("string")
+    a1 = (F.col("event_id") % 5).cast("string")
+    pages = ev.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<p>x</p><a href="https://h'),
+            d1,
+            F.lit('.example.com/x">title '),
+            a1,
+            F.lit("</a> <a href='/rel'>skip</a><a href=\"https://h"),
+            d1,
+            F.lit('.example.com/y\'> </a>'),
+        ).alias("html"),
+    )
+    return links.anchor_corpus(pages)
+
+
+_SQL_ANCHOR_CORPUS = """
+SELECT 'h' || CAST((user_id * 7 + event_id) % 20 AS VARCHAR)
+           || '.example.com' AS dst_host,
+       'title ' || CAST(event_id % 5 AS VARCHAR) AS anchor,
+       COUNT(*) AS n_refs
+FROM events
+GROUP BY dst_host, anchor
+"""
+
+
+def q_host_centrality(spark, sf_dir):
+    """HyperBall neighborhood stats over the synthetic host graph
+    (rows-only: iterative HLL-sketch union along incoming links — Spark 4
+    native DataSketches aggregates, not single-query SQL-expressible;
+    exactness at small cardinality pinned vs BFS in tests/test_links.py).
+    Returns per-host truncated reachability + harmonic centrality."""
+    from geocore_spark.operators import links
+
+    stats = links.neighborhood_stats(q_host_links(spark, sf_dir), max_dist=3)
+    return stats.orderBy(F.desc("harmonic_centrality"), "host")
+
+
 def q_pagerank(spark, sf_dir):
     """Distributed PageRank over the synthetic host link graph
     (rows-only: synchronous power iteration — one join + one groupBy per
@@ -2577,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
         "host_links": q_host_links,
+        "anchor_corpus": q_anchor_corpus,
         "decontaminate_bloom": q_decontaminate_bloom,
         "region_revenue": q_region_revenue,
         "inverted_index": q_inverted_index,
@@ -2608,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_profile": q_sketch_profile,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "pagerank": q_pagerank,
+        "host_centrality": q_host_centrality,
     }
 
 
@@ -2661,6 +2716,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_avg": _SQL_ROLLING,
         "region_revenue": _SQL_REGION_REVENUE,
         "host_links": _SQL_HOST_LINKS,
+        "anchor_corpus": _SQL_ANCHOR_CORPUS,
         "decontaminate_bloom": _SQL_DECONTAMINATE,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "inverted_index": _SQL_INVERTED_INDEX,

@@ -23,6 +23,47 @@ from pyspark.sql import functions as F
 from geocore_spark.functions import urls
 
 _HREF = r'href\s*=\s*["\']([^"\']+)["\']'
+_A_TAG = r'<a\s[^>]*href\s*=\s*["\']([^"\']+)["\'][^>]*>(.*?)</a>'
+
+
+def anchor_texts(html: Column) -> Column:
+    """array<struct<href,anchor>> of (link target, anchor text) pairs.
+
+    Two passes of the same JVM regexp (group 1 = href, group 2 = inner
+    text, non-greedy so adjacent tags don't merge), zipped positionally —
+    still zero Python. Anchor text is the classic free supervision signal
+    for a page (query-document training pairs, alt titles)."""
+    s = html.cast("string")
+    return F.arrays_zip(
+        F.regexp_extract_all(s, F.lit(_A_TAG), 1).alias("href"),
+        F.regexp_extract_all(s, F.lit(_A_TAG), 2).alias("anchor"),
+    )
+
+
+def anchor_corpus(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(dst_host, anchor, n_refs) — anchor-text aggregation per target.
+
+    The anchor-text corpus builder: every page contributes the text it
+    uses to describe its link targets; aggregation is one shuffle keyed
+    by (dst_host, anchor). Empty/whitespace anchors and hostless (relative)
+    targets are dropped."""
+    pairs = pages.select(
+        F.explode(anchor_texts(F.col(html_col))).alias("a")
+    ).select(
+        urls.url_host(F.col("a.href")).alias("dst_host"),
+        F.trim(F.col("a.anchor")).alias("anchor"),
+    )
+    return (
+        pairs.filter(
+            F.col("dst_host").isNotNull()
+            & (F.col("dst_host") != "")
+            & (F.col("anchor") != "")
+        )
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
 
 
 def extract_links(html: Column) -> Column:
@@ -126,3 +167,86 @@ def pagerank(
     finally:
         ew.unpersist()
         nodes.unpersist()
+
+
+def neighborhood_stats(
+    edges: DataFrame, max_dist: int = 4, lgk: int = 12, transpose: bool = True
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, 2013): per-host reachable-set size and
+    harmonic centrality, estimated with mergeable HLL sketches.
+
+    The algorithm behind the Common Crawl host ranking: ball(v, r+1) =
+    {v} ∪ ⋃ ball(w, r) over out-neighbors w, with each ball held as a
+    fixed-size HLL sketch instead of a set. One iteration is one join
+    (sketches × edges on the *dst* host) plus one `hll_union_agg` groupBy
+    on the src host — all JVM-side via Spark 4's native DataSketches
+    functions, no Python in the loop. Per-host state is ~2^lgk bytes
+    regardless of graph size, so 10^8 hosts ≈ 400 GB cluster-wide at the
+    default lgk — executor-sized, key-partitioned, never driver-side.
+
+    Returns ``(host, reachable_est, harmonic_centrality)`` where
+    harmonic_centrality(v) = Σ_r (|ball(v,r)| − |ball(v,r−1)|) / r for
+    r = 1..max_dist (truncated harmonic centrality; at small
+    cardinalities the HLL operates exactly, pinned vs BFS in tests).
+
+    ``transpose=True`` (default) grows balls along *incoming* links, so
+    d(u, v) is the distance from u to v and the result is the classic
+    centrality ranking ("how easily is v reached") — what Common Crawl
+    ranks hosts by. ``transpose=False`` measures outgoing reach instead
+    ("how much can v reach"), the crawl-seed-selection view.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    if transpose:
+        edges = edges.select(
+            F.col("dst_host").alias("src_host"),
+            F.col("src_host").alias("dst_host"),
+        )
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select("dst_host"))
+        .distinct()
+    )
+    e = edges.select("src_host", "dst_host").persist()
+    # ball(v, 0) = {v}: a one-element sketch per host
+    state = (
+        nodes.groupBy("host")
+        .agg(F.hll_sketch_agg(F.col("host"), F.lit(lgk)).alias("ball"))
+        .withColumn("est", F.hll_sketch_estimate("ball"))
+        .withColumn("harmonic", F.lit(0.0))
+        .persist()
+    )
+    state.count()
+    try:
+        for r in range(1, max_dist + 1):
+            grown = (
+                e.join(state, e["dst_host"] == state["host"])
+                .select(F.col("src_host").alias("host"), "ball")
+                .unionByName(state.select("host", "ball"))
+                .groupBy("host")
+                .agg(F.hll_union_agg("ball").alias("ball"))
+            )
+            new_state = (
+                grown.withColumn("new_est", F.hll_sketch_estimate("ball"))
+                .join(state.select("host", "est", "harmonic"), "host")
+                .select(
+                    "host",
+                    "ball",
+                    F.col("new_est").alias("est"),
+                    (
+                        F.col("harmonic")
+                        + (F.col("new_est") - F.col("est")) / F.lit(float(r))
+                    ).alias("harmonic"),
+                )
+                .persist()
+            )
+            new_state.count()  # materialize before releasing the parent
+            state.unpersist()
+            state = new_state
+        return state.select(
+            "host",
+            F.col("est").cast("bigint").alias("reachable_est"),
+            F.round("harmonic", 6).alias("harmonic_centrality"),
+        )
+    finally:
+        e.unpersist()

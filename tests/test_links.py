@@ -28,6 +28,74 @@ def test_extract_links_and_host_edges(spark):
     } == set(got)
 
 
+def test_anchor_corpus(spark):
+    html = (
+        '<a href="https://b.com/x">Read this</a>'
+        '<a class="z" href=\'https://b.com/y\'>Read this</a>'
+        '<a href="https://c.com/">  </a>'  # whitespace anchor dropped
+        '<a href="/rel">relative dropped</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://a.com/1", html), ("https://d.com/1", html)],
+        "url string, html string",
+    )
+    got = {
+        (r.dst_host, r.anchor): r.n_refs
+        for r in links.anchor_corpus(pages).collect()
+    }
+    assert got == {("b.com", "Read this"): 4}
+
+
+def _bfs_stats(edge_list, max_dist):
+    """Exact truncated reachability + harmonic centrality over INCOMING
+    links (the transpose=True default)."""
+    hosts = sorted({h for e in edge_list for h in e})
+    radj = {h: set() for h in hosts}  # v -> {u : u links to v}
+    for s, t in edge_list:
+        radj[t].add(s)
+    out = {}
+    for v in hosts:
+        ball, frontier, harmonic = {v}, {v}, 0.0
+        for r in range(1, max_dist + 1):
+            frontier = {u for w in frontier for u in radj[w]} - ball
+            harmonic += len(frontier) / r
+            ball |= frontier
+        out[v] = (len(ball), harmonic)
+    return out
+
+
+def test_neighborhood_stats_matches_bfs(spark):
+    # chain a->b->c->d plus a hub e->{b,c}: distinct distances, a sink
+    raw = [("a", "b"), ("b", "c"), ("c", "d"), ("e", "b"), ("e", "c")]
+    edges = spark.createDataFrame(
+        [(s, t, 1) for s, t in raw], "src_host string, dst_host string, n_links long"
+    )
+    got = {
+        r.host: (r.reachable_est, r.harmonic_centrality)
+        for r in links.neighborhood_stats(edges, max_dist=3).collect()
+    }
+    ref = _bfs_stats(raw, max_dist=3)
+    assert set(got) == set(ref)
+    for h, (n, harm) in ref.items():
+        # tiny cardinalities: HLL sparse mode is exact
+        assert got[h][0] == n, h
+        assert got[h][1] == pytest.approx(harm, abs=1e-6), h
+
+
+def test_neighborhood_stats_outgoing(spark):
+    raw = [("a", "b"), ("b", "c")]
+    edges = spark.createDataFrame(
+        [(s, t, 1) for s, t in raw], "src_host string, dst_host string, n_links long"
+    )
+    got = {
+        r.host: r.reachable_est
+        for r in links.neighborhood_stats(
+            edges, max_dist=2, transpose=False
+        ).collect()
+    }
+    assert got == {"a": 3, "b": 2, "c": 1}
+
+
 def _np_pagerank(edge_list, iters, d=0.85):
     hosts = sorted({h for e in edge_list for h in e[:2]})
     idx = {h: i for i, h in enumerate(hosts)}
