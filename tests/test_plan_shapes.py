@@ -229,3 +229,22 @@ def test_inverted_index_single_shuffle(spark, sf_dir):
     # (term,doc) dedup exchange + term rollup exchange + output range sort;
     # anything more means the tf/postings sides stopped sharing the scan
     assert p.count("Exchange (") <= 3
+
+
+def test_host_links_single_shuffle_no_python(spark, sf_dir):
+    p = _formatted(em.q_host_links(spark, sf_dir))
+    # href extraction + host parsing are JVM regexps: no Python boundary
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # one exchange: the (src_host, dst_host) rollup; extraction is map-side
+    assert p.count("Exchange (") <= 1
+
+
+def test_host_centrality_iteration_reuses_state(spark, sf_dir):
+    p = _formatted(em.q_host_centrality(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # each HyperBall round reads the persisted previous state, not a
+    # recomputed lineage back to the edge build
+    assert "InMemoryTableScan" in p
+    # the whole loop is JVM DataSketches aggregates — no Python workers
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
