@@ -1452,6 +1452,29 @@ GROUP BY src_host, dst_host
 """
 
 
+def q_train_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle (operators/sampling.py):
+    Knuth-hash shuffle key -> balanced shard + dense in-shard position,
+    no RNG state — the corpus is re-buildable bit-identically. Oracle
+    replays the identical integer arithmetic + ROW_NUMBER in SQL."""
+    from geocore_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.train_shuffle(d, n_shards=8, salt=104729)
+
+
+def _sql_train_shuffle() -> str:
+    from geocore_spark.operators.sampling import hash_bucket_sql
+
+    key = hash_bucket_sql("doc_id", 104729)
+    return f"""
+WITH keyed AS (SELECT doc_id, {key} AS k FROM documents)
+SELECT doc_id, k % 8 AS shard,
+       ROW_NUMBER() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS pos
+FROM keyed
+"""
+
+
 def q_anchor_corpus(spark, sf_dir):
     """Anchor-text corpus builder (operators/links.py): deterministic
     pages -> (a-tag href, anchor text) pairs via JVM regexp -> per
@@ -2631,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-verified by tools/verify_local.py every session) ------------
         "host_links": q_host_links,
         "anchor_corpus": q_anchor_corpus,
+        "train_shuffle": q_train_shuffle,
         "decontaminate_bloom": q_decontaminate_bloom,
         "region_revenue": q_region_revenue,
         "inverted_index": q_inverted_index,
@@ -2717,6 +2741,7 @@ def oracle_sql() -> dict[str, str]:
         "region_revenue": _SQL_REGION_REVENUE,
         "host_links": _SQL_HOST_LINKS,
         "anchor_corpus": _SQL_ANCHOR_CORPUS,
+        "train_shuffle": _sql_train_shuffle(),
         "decontaminate_bloom": _SQL_DECONTAMINATE,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "inverted_index": _SQL_INVERTED_INDEX,

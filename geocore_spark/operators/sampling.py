@@ -106,6 +106,43 @@ def stratified_sample(
     return df.filter(_bucket_for(df, id_col, salt) < threshold)
 
 
+def train_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: int = 104729,
+) -> DataFrame:
+    """Deterministic training-order shuffle: add ``(shard, pos)`` giving
+    every row a stable pseudo-random position inside a balanced shard.
+
+    The step between packing and writing training shards: examples must
+    reach the trainer in an order uncorrelated with corpus order, yet
+    bit-reproducible from config — no RNG state, no ``ORDER BY rand()``.
+    The shuffle key is the Knuth-hash bucket of (id, salt): shard =
+    key mod n_shards (uniform, so shards balance), pos = row_number
+    within the shard ordered by (key, id) — the id tie-break keeps the
+    order total when buckets collide (10^6 buckets). Adding or removing
+    documents permutes positions but never moves a row across shards.
+
+    Scale shape: one exchange keyed on shard + one in-partition sort
+    (exactly the ``repartition(shard).sortWithinPartitions`` write
+    pattern); at 10^9 docs with n_shards in the thousands each sort is
+    executor-sized. Same arithmetic replays in ANSI SQL (driver oracle).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    key = hash_bucket(F.col(id_col), salt)
+    out = df.withColumn("__key", key).withColumn(
+        "shard", F.col("__key") % F.lit(n_shards)
+    )
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return out.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    ).drop("__key")
+
+
 def deterministic_split(
     df: DataFrame,
     eval_fraction: float = 0.1,

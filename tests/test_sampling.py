@@ -104,3 +104,37 @@ def test_null_ids_dropped_from_sample_and_train_in_split(spark):
     assert {r["doc_id"] for r in kept.collect()} == {1, 2}  # null dropped
     split = {r["doc_id"]: r["split"] for r in sampling.deterministic_split(df, 0.99).collect()}
     assert split[None] == "train"  # null never lands in eval
+
+
+def test_train_shuffle_shards_balanced_and_positions_dense(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = sampling.train_shuffle(df, n_shards=8).persist()
+    sizes = {r.shard: r.n for r in out.groupBy("shard").count().withColumnRenamed("count", "n").collect()}
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) / min(sizes.values()) < 1.2  # uniform-ish
+    # positions are dense 1..n per shard
+    per = out.groupBy("shard").agg(
+        F.min("pos").alias("lo"), F.max("pos").alias("hi"), F.count("*").alias("n")
+    )
+    for r in per.collect():
+        assert r.lo == 1 and r.hi == r.n
+    out.unpersist()
+
+
+def test_train_shuffle_deterministic_and_shard_stable(spark):
+    df = spark.range(5_000).withColumnRenamed("id", "doc_id")
+    a = sorted(map(tuple, sampling.train_shuffle(df, n_shards=4).collect()))
+    b = sorted(
+        map(tuple, sampling.train_shuffle(df.repartition(7), n_shards=4).collect())
+    )
+    assert a == b  # partitioning cannot change the result
+    # dropping docs permutes positions but never moves a doc across shards
+    shard_full = {r[0]: r[1] for r in a}
+    smaller = sampling.train_shuffle(
+        df.filter(F.col("doc_id") % 3 != 0), n_shards=4
+    ).collect()
+    for r in smaller:
+        assert shard_full[r.doc_id] == r.shard
+    # order is uncorrelated with corpus order: first rows of shard 0
+    first = [r[0] for r in sorted(a, key=lambda t: (t[1], t[2]))[:10]]
+    assert first != sorted(first)
