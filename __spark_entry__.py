@@ -1528,6 +1528,18 @@ def q_host_centrality(spark, sf_dir):
     return stats.orderBy(F.desc("harmonic_centrality"), "host")
 
 
+def q_trustrank(spark, sf_dir):
+    """TrustRank (Gyöngyi et al., VLDB'04) over the synthetic host graph:
+    personalized PageRank teleporting only to a 5-host whitelist — the
+    spam-demotion prior (rows-only; iterative, pinned vs numpy in
+    tests/test_links.py)."""
+    from geocore_spark.operators import links
+
+    seeds = spark.createDataFrame([(f"h{i}.example.com",) for i in range(5)], "host string")
+    pr = links.pagerank(q_host_links(spark, sf_dir), iters=8, seeds=seeds)
+    return pr.select("host", F.round("rank", 8).alias("trust"))
+
+
 def q_pagerank(spark, sf_dir):
     """Distributed PageRank over the synthetic host link graph
     (rows-only: synchronous power iteration — one join + one groupBy per
@@ -2686,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_profile": q_sketch_profile,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "pagerank": q_pagerank,
+        "trustrank": q_trustrank,
         "host_centrality": q_host_centrality,
     }
 

@@ -101,13 +101,30 @@ def pagerank(
     iters: int = 10,
     damping: float = 0.85,
     weighted: bool = True,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
-    """Synchronous PageRank over a host edge list -> (host, rank).
+    """Synchronous (optionally personalized) PageRank -> (host, rank).
 
-    Ranks sum to 1 (dangling mass redistributed uniformly each step —
-    without this, graphs with sinks leak mass and ranks are not
-    comparable across corpora). ``weighted=True`` splits a host's vote
-    by link counts; False gives every distinct out-neighbor equal share.
+    Ranks sum to 1 (dangling mass redistributed along the teleport
+    vector each step — without this, graphs with sinks leak mass and
+    ranks are not comparable across corpora). ``weighted=True`` splits a
+    host's vote by link counts; False gives every distinct out-neighbor
+    equal share.
+
+    ``seeds`` (a 1-column ``host`` frame, broadcast-small) switches the
+    teleport vector from uniform to uniform-over-seeds — TrustRank
+    (Gyöngyi et al., VLDB'04): trust flows out of a curated whitelist
+    and decays with link distance, so low-rank hosts under a seeded run
+    are the spam-demotion prior. Seed hosts absent from the graph are
+    ignored; raises if none remain.
+
+    Iteration state is ``localCheckpoint``-ed (lineage truncated each
+    step — mandatory for iterative plans, see the inline note). The
+    tradeoff: checkpointed partitions are not replayable, so losing an
+    executor mid-run fails the job and it restarts from the edge list —
+    the standard Spark iterative-graph posture (GraphX/GraphFrames do
+    the same); iterations are cheap relative to re-running the corpus
+    scan that produced the edges.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -134,39 +151,79 @@ def pagerank(
         ew.unpersist()
         nodes.unpersist()
         return nodes.select("host", F.lit(0.0).alias("rank"))
-    ranks = nodes.select("host", F.lit(1.0 / n).alias("rank")).persist()
+    # teleport vector p: uniform, or uniform over the seed whitelist
+    if seeds is None:
+        pnodes = nodes.select("host", F.lit(1.0 / n).alias("__p"))
+    else:
+        s = seeds.select("host").distinct()
+        flagged = nodes.join(
+            F.broadcast(s.withColumn("__seed", F.lit(1))), "host", "left"
+        ).persist()
+        n_seed = flagged.filter(F.col("__seed").isNotNull()).count()
+        if n_seed == 0:
+            flagged.unpersist()
+            ew.unpersist()
+            nodes.unpersist()
+            raise ValueError("no seed host appears in the edge list")
+        pnodes = flagged.select(
+            "host",
+            F.when(F.col("__seed").isNotNull(), F.lit(1.0 / n_seed))
+            .otherwise(F.lit(0.0))
+            .alias("__p"),
+        )
+    pnodes = pnodes.persist()
+    pnodes.count()
+    if seeds is not None:
+        flagged.unpersist()
+    # localCheckpoint (not persist) for the ITERATED state: each step's
+    # plan references the previous state twice, so without lineage
+    # truncation the logical tree doubles per iteration and plan
+    # rendering alone goes exponential (measured: a 15-iteration run
+    # spent >60 s of driver CPU inside explainString before any task
+    # ran). Checkpointing makes every iteration's plan O(1). Data lives
+    # in executor storage (memory+disk); superseded iterations are
+    # released by the ContextCleaner when their frame goes out of scope.
+    ranks = pnodes.select("host", F.col("__p").alias("rank")).localCheckpoint(
+        eager=True
+    )
     try:
         for _ in range(iters):
             contribs = (
                 ranks.join(ew, ranks["host"] == ew["src_host"])
                 .groupBy("dst_host")
                 .agg(F.sum(F.col("rank") * F.col("__share")).alias("__c"))
+                .persist()
             )
-            # mass sitting on hosts with no out-links, redistributed
-            dangling = (
-                ranks.join(out, ranks["host"] == out["src_host"], "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .collect()[0][0]
-            )
-            base = (1.0 - damping) / n + damping * dangling / n
-            new_ranks = (
-                nodes.join(contribs, nodes["host"] == contribs["dst_host"], "left")
+            # Dangling mass without touching the edges again: ranks sum
+            # to 1 every step and each host WITH out-links passes its
+            # whole rank on (its shares sum to 1), so the mass sitting on
+            # sinks is 1 - sum(contributions). The alternative — an
+            # anti-join against the out-degree table — reshuffles the
+            # full |edges| groupBy every iteration.
+            live = contribs.agg(
+                F.coalesce(F.sum("__c"), F.lit(0.0))
+            ).collect()[0][0]
+            dangling = max(0.0, 1.0 - live)
+            ranks = (
+                pnodes.join(
+                    contribs, pnodes["host"] == contribs["dst_host"], "left"
+                )
                 .select(
                     "host",
                     (
-                        F.lit(base)
+                        F.lit(1.0 - damping) * F.col("__p")
+                        + F.lit(damping * dangling) * F.col("__p")
                         + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
                     ).alias("rank"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)  # materializes + cuts lineage
             )
-            new_ranks.count()  # materialize before releasing the parent
-            ranks.unpersist()
-            ranks = new_ranks
+            contribs.unpersist()
         return ranks
     finally:
         ew.unpersist()
         nodes.unpersist()
+        pnodes.unpersist()
 
 
 def neighborhood_stats(
@@ -209,14 +266,17 @@ def neighborhood_stats(
     )
     e = edges.select("src_host", "dst_host").persist()
     # ball(v, 0) = {v}: a one-element sketch per host
+    # localCheckpoint, not persist: each round references the previous
+    # state TWICE (ball growth + est/harmonic join), so an untruncated
+    # lineage doubles per round and driver-side plan handling goes
+    # exponential (see the same note in pagerank).
     state = (
         nodes.groupBy("host")
         .agg(F.hll_sketch_agg(F.col("host"), F.lit(lgk)).alias("ball"))
         .withColumn("est", F.hll_sketch_estimate("ball"))
         .withColumn("harmonic", F.lit(0.0))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    state.count()
     try:
         for r in range(1, max_dist + 1):
             grown = (
@@ -226,7 +286,7 @@ def neighborhood_stats(
                 .groupBy("host")
                 .agg(F.hll_union_agg("ball").alias("ball"))
             )
-            new_state = (
+            state = (
                 grown.withColumn("new_est", F.hll_sketch_estimate("ball"))
                 .join(state.select("host", "est", "harmonic"), "host")
                 .select(
@@ -238,11 +298,8 @@ def neighborhood_stats(
                         + (F.col("new_est") - F.col("est")) / F.lit(float(r))
                     ).alias("harmonic"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)  # materializes + cuts lineage
             )
-            new_state.count()  # materialize before releasing the parent
-            state.unpersist()
-            state = new_state
         return state.select(
             "host",
             F.col("est").cast("bigint").alias("reachable_est"),

@@ -96,7 +96,7 @@ def test_neighborhood_stats_outgoing(spark):
     assert got == {"a": 3, "b": 2, "c": 1}
 
 
-def _np_pagerank(edge_list, iters, d=0.85):
+def _np_pagerank(edge_list, iters, d=0.85, seeds=None):
     hosts = sorted({h for e in edge_list for h in e[:2]})
     idx = {h: i for i, h in enumerate(hosts)}
     n = len(hosts)
@@ -104,11 +104,17 @@ def _np_pagerank(edge_list, iters, d=0.85):
     for s, t, w in edge_list:
         W[idx[t], idx[s]] += w
     outsum = W.sum(axis=0)
-    r = np.full(n, 1.0 / n)
+    if seeds is None:
+        p = np.full(n, 1.0 / n)
+    else:
+        p = np.zeros(n)
+        hit = [idx[h] for h in seeds if h in idx]
+        p[hit] = 1.0 / len(hit)
+    r = p.copy()
     for _ in range(iters):
         share = np.divide(W, outsum, out=np.zeros_like(W), where=outsum > 0)
         dangling = r[outsum == 0].sum()
-        r = (1 - d) / n + d * (share @ r) + d * dangling / n
+        r = (1 - d) * p + d * (share @ r) + d * dangling * p
     return {h: r[idx[h]] for h in hosts}
 
 
@@ -131,6 +137,34 @@ def test_pagerank_matches_numpy(spark, weighted):
     for h in ref:
         assert got[h] == pytest.approx(ref[h], abs=1e-9)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_trustrank_matches_numpy_and_biases_to_seeds(spark):
+    # honest cycle a<->b<->c plus a spam pocket d->e, e->d linking into c
+    raw = [
+        ("a", "b", 1), ("b", "c", 1), ("c", "a", 1),
+        ("d", "e", 1), ("e", "d", 1), ("d", "c", 1),
+    ]
+    edges = spark.createDataFrame(raw, "src_host string, dst_host string, n_links long")
+    seeds = spark.createDataFrame([("a",), ("zzz-not-in-graph",)], "host string")
+    got = {
+        r.host: r.rank
+        for r in links.pagerank(edges, iters=15, seeds=seeds).collect()
+    }
+    ref = _np_pagerank(raw, iters=15, seeds=["a"])
+    for h in ref:
+        assert got[h] == pytest.approx(ref[h], abs=1e-9), h
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # trust decays with distance from the whitelist: the spam pocket,
+    # unreachable from the seed, holds (near-)zero trust
+    assert got["d"] < 1e-9 and got["e"] < 1e-9
+    assert got["a"] > got["d"]
+    with pytest.raises(ValueError):
+        links.pagerank(
+            edges,
+            iters=2,
+            seeds=spark.createDataFrame([("nope",)], "host string"),
+        )
 
 
 def test_pagerank_empty_edges(spark):

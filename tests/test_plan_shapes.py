@@ -243,8 +243,9 @@ def test_host_links_single_shuffle_no_python(spark, sf_dir):
 def test_host_centrality_iteration_reuses_state(spark, sf_dir):
     p = _formatted(em.q_host_centrality(spark, sf_dir))
     assert "CartesianProduct" not in p
-    # each HyperBall round reads the persisted previous state, not a
-    # recomputed lineage back to the edge build
-    assert "InMemoryTableScan" in p
+    # each HyperBall round reads the previous state from its
+    # localCheckpoint (lineage TRUNCATED — an untruncated iterative plan
+    # doubles per round), never a recomputed lineage to the edge build
+    assert "Scan ExistingRDD" in p
     # the whole loop is JVM DataSketches aggregates — no Python workers
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
