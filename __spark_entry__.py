@@ -2587,6 +2587,157 @@ def q_sketch_profile(spark, sf_dir):
     return counts.join(hll, "source").orderBy("source")
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (operators/retrieval.py): explode filtered to
+    the query terms BEFORE the (doc, term) shuffle, query-term-sized df
+    aggregate broadcast back, corpus stats as a broadcast 1-row agg,
+    per-term contributions snapped to integer micro-points so the sum is
+    order-independent (exact oracle parity). Top-k compiles to
+    TakeOrderedAndProject."""
+    from geocore_spark.operators import retrieval as rtv
+
+    d = _t(spark, sf_dir, "documents")
+    return rtv.bm25_topk(d, ["vector", "hash", "stream", "dup"], k=25)
+
+
+_SQL_BM25 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x != '') AS w
+  FROM documents),
+dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+m AS (SELECT doc_id, unnest(w) AS term FROM toks),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM m
+       WHERE term IN ('vector', 'hash', 'stream', 'dup')
+       GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+          FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(CAST(1.0 AS DOUBLE)
+              + (CAST(n_docs AS DOUBLE) - CAST(doc_freq AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE))
+                / (CAST(doc_freq AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+           / (CAST(tf AS DOUBLE)
+              + CAST(1.2 AS DOUBLE)
+                * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+                     / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS s_micro
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_query_terms,
+       round(CAST(CAST(SUM(s_micro) AS BIGINT) AS DOUBLE)
+             / CAST(1000000.0 AS DOUBLE), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 25
+"""
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/selection.py): target slice =
+    every 7th document, raw = the rest; add-one-smoothed unigram
+    log-likelihood ratio per raw doc, micro-nat integer summation for
+    exact oracle parity. Top 100 most target-like docs."""
+    from geocore_spark.operators import selection as sel
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.filter(F.col("doc_id") % 7 != 0)
+    tgt = d.filter(F.col("doc_id") % 7 == 0)
+    return (
+        sel.dsir_logweights(raw, tgt)
+        .orderBy(F.desc("logw"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+_SQL_DSIR = """
+WITH rawd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+tgtd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+rt AS (SELECT doc_id,
+              unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '\\s+'),
+                                 x -> x != '')) AS w
+       FROM rawd),
+tt AS (SELECT doc_id,
+              unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '\\s+'),
+                                 x -> x != '')) AS w
+       FROM tgtd),
+rcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cr FROM rt GROUP BY w),
+tcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ct FROM tt GROUP BY w),
+tot AS (SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM rcnt) AS nr,
+               (SELECT CAST(SUM(ct) AS BIGINT) FROM tcnt) AS nt,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                  (SELECT w FROM rcnt UNION SELECT w FROM tcnt)) AS v),
+lp AS (
+  SELECT rt.doc_id,
+         CAST(round((ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                        / CAST(nt + v AS DOUBLE))
+                     - ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE)
+                          / CAST(nr + v AS DOUBLE)))
+                    * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lw_micro
+  FROM rt LEFT JOIN tcnt USING (w) LEFT JOIN rcnt USING (w) CROSS JOIN tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(CAST(CAST(SUM(lw_micro) AS BIGINT) AS DOUBLE)
+             / CAST(1000000.0 AS DOUBLE), 6) AS logw
+FROM lp GROUP BY doc_id ORDER BY logw DESC, doc_id ASC LIMIT 100
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup cluster-bounded semantic dedup (operators/similarity.py:
+    semdedup): broadcast-centroid assignment (O(N*C), the IVF shape) +
+    within-cluster-only cosine pruning — the scale path whose truth
+    oracle is the quadratic near_dup_pairs_exact. Duplicates planted
+    exactly as in q_embedding_dedup (+0.01 per component); deterministic
+    lowest-id centroids so the assignment is SQL-replayable."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    both = emb.unionByName(shifted)
+    return similarity.semdedup(both, n_clusters=8, threshold=0.99)
+
+
+_SQL_SEMDEDUP = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS d FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, [x + 0.01 for x in embedding::DOUBLE[]]
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, d AS cd FROM e ORDER BY vec_id LIMIT 8),
+a0 AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_dot_product(e.d, c.cd)
+                          / (sqrt(list_dot_product(e.d, e.d))
+                             * sqrt(list_dot_product(c.cd, c.cd))), 6) DESC,
+                    c.cid ASC) AS rk
+  FROM e CROSS JOIN c),
+a AS (SELECT vec_id, cid AS cluster_id FROM a0 WHERE rk = 1),
+p AS (
+  SELECT y.vec_id AS id_b
+  FROM a x JOIN a y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+  JOIN e ex ON ex.vec_id = x.vec_id
+  JOIN e ey ON ey.vec_id = y.vec_id
+  WHERE round(list_dot_product(ex.d, ey.d)
+              / (sqrt(list_dot_product(ex.d, ex.d))
+                 * sqrt(list_dot_product(ey.d, ey.d))), 6)
+        >= CAST(0.99 AS DOUBLE))
+SELECT a.vec_id, a.cluster_id,
+       CAST(CASE WHEN a.vec_id IN (SELECT id_b FROM p) THEN 1 ELSE 0 END
+            AS INT) AS is_dup
+FROM a
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -2664,6 +2815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        "bm25_topk": q_bm25_topk,
+        "dsir_weights": q_dsir_weights,
+        "semantic_dedup": q_semantic_dedup,
         "host_links": q_host_links,
         "anchor_corpus": q_anchor_corpus,
         "train_shuffle": q_train_shuffle,
@@ -2752,6 +2906,9 @@ def oracle_sql() -> dict[str, str]:
         "intersect_except": _SQL_INTERSECT_EXCEPT,
         "rolling_avg": _SQL_ROLLING,
         "region_revenue": _SQL_REGION_REVENUE,
+        "bm25_topk": _SQL_BM25,
+        "dsir_weights": _SQL_DSIR,
+        "semantic_dedup": _SQL_SEMDEDUP,
         "host_links": _SQL_HOST_LINKS,
         "anchor_corpus": _SQL_ANCHOR_CORPUS,
         "train_shuffle": _sql_train_shuffle(),

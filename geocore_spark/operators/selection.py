@@ -1,0 +1,129 @@
+"""Data selection via importance resampling (DSIR-style unigram weights).
+
+Given a small TARGET corpus (the distribution you want more of — e.g. a
+high-quality domain slice) and a huge RAW corpus, score every raw
+document by how much more likely its tokens are under the target's
+unigram language model than under the raw corpus's own — the published
+DSIR recipe (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling", arXiv:2302.03169) with add-one-smoothed unigram
+features:
+
+    logw(d) = sum over tokens w of  ln p_target(w) - ln p_raw(w)
+    p_X(w)  = (count_X(w) + 1) / (total_X + |V|)
+
+with a shared vocabulary V = distinct tokens of raw UNION target, so
+both models smooth over the same event space. High logw = looks like the
+target; select the top fraction (or Gumbel-resample) for training.
+
+Spark shape: two vocabulary-sized count aggregates (Zipf: tiny next to
+the corpus), LEFT-joined onto the raw token stream — AQE broadcasts them
+when they fit — then one per-document micro-nat sum. One explode + one
+doc-keyed shuffle over the raw corpus; the target corpus is read twice
+(once for counts, once for vocab) but is small by construction.
+
+Float parity (the :mod:`operators.lm` trick): per-token log-ratios snap
+to integer micro-nats, ``CAST(round((ln(pt) - ln(pr)) * 1e6) AS
+BIGINT)``, and sum as BIGINTs — order-independent, so partial-agg order
+can never drift a value-hash comparison against a SQL oracle.
+
+Beyond-reference capability (training-data pipeline set); the reference
+(woodgilber/GeoCore) has no corpus-selection surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000.0
+
+
+def _token_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    from geocore_spark.functions import cleaning
+
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(cleaning.tokens(F.col(text_col))).alias("w"),
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-raw-document DSIR log importance weight.
+
+    Returns ``(id_col, n_tokens, logw)`` for every raw document with at
+    least one token; ``logw`` is the summed log-ratio in nats rounded to
+    6 decimals. Higher = more target-like.
+    """
+    rtok = _token_stream(raw, text_col, id_col)
+    ttok = _token_stream(target, text_col, id_col)
+
+    rcnt = rtok.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
+    tcnt = ttok.groupBy("w").agg(F.count(F.lit(1)).alias("ct"))
+    # shared smoothing constants: |V| over the union vocabulary plus the
+    # two corpus token totals, folded into one broadcastable 1-row frame
+    vocab = (
+        rcnt.select("w")
+        .unionByName(tcnt.select("w"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    totals = (
+        rcnt.agg(F.sum("cr").alias("nr"))
+        .crossJoin(tcnt.agg(F.sum("ct").alias("nt")))
+        .crossJoin(vocab)
+    )
+
+    pt = (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double") / (
+        F.col("nt") + F.col("v")
+    ).cast("double")
+    pr = (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1)).cast("double") / (
+        F.col("nr") + F.col("v")
+    ).cast("double")
+
+    lp = (
+        rtok.join(tcnt, "w", "left")
+        .join(rcnt, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__id",
+            F.round((F.log(pt) - F.log(pr)) * F.lit(MICRO))
+            .cast("bigint")
+            .alias("lw_micro"),
+        )
+    )
+    return lp.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("lw_micro").cast("double") / F.lit(MICRO), 6).alias(
+            "logw"
+        ),
+    ).select(F.col("__id").alias(id_col), "n_tokens", "logw")
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    frac: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``frac`` of raw documents by DSIR log-weight (ties by id asc).
+
+    Deterministic hard top-k selection (the paper's Gumbel-noise variant
+    trades determinism for diversity; at pipeline scale the hard cut is
+    the reproducible default). The rank is a single global
+    TakeOrderedAndProject when frac*N fits the driver's limit, else a
+    one-pass row_number over the ordered frame.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError("frac must be in (0, 1]")
+    w = dsir_logweights(raw, target, text_col, id_col)
+    n = raw.count()
+    keep = max(1, int(n * frac))
+    return (
+        w.orderBy(F.desc("logw"), F.asc(id_col)).limit(keep)
+    )

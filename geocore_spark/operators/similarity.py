@@ -442,3 +442,95 @@ def quantized_dot(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
 def dequantize(qv: Column, scale: Column) -> Column:
     """array<double> reconstruction (for refine stages / debugging)."""
     return F.transform(qv, lambda x: x.cast("double") * scale.cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bounded semantic deduplication (the 100 TB scale path)
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic dedup via cluster-bounded cosine pruning (SemDeDup,
+    Abbas et al. 2023, arXiv:2303.09540 — public recipe): assign every
+    embedding to its nearest centroid, then compare pairs ONLY within a
+    cluster and mark every vector that has an earlier (lower-id) cluster
+    neighbor at ``round(cosine, 6) >= threshold`` as a duplicate.
+
+    This is the scale path :func:`near_dup_pairs_exact` is the truth
+    oracle for: the exact variant is |N|^2/2 and stops being runnable
+    around 100k vectors, while this one is O(N * C) broadcast assignment
+    plus sum-of-cluster-size-squared verification — the quadratic term is
+    bounded by the largest cluster, which the caller controls via
+    ``n_clusters`` (SemDeDup's published setting: C ~ sqrt(N) keeps the
+    expected cluster quadratic at N^1.5 total work, embarrassingly
+    parallel per cluster).
+
+    ``centroids``: a ``(cid, cvec)`` frame — pass
+    :func:`_kmeans_centroids` output for real runs. Default: the
+    ``n_clusters`` lowest-id input rows, a deterministic, SQL-replayable
+    choice (quality of the partition only affects recall ACROSS clusters,
+    never correctness within one; the dedup rule itself is exact given
+    the assignment).
+
+    Returns ``(id_col, cluster_id, is_dup)``, is_dup as 0/1. Assignment
+    ties (equal rounded cosine to two centroids) break by cid ascending —
+    rank-after-round so any SQL twin agrees at float boundaries. At real
+    scale, checkpoint the assignment before the self-join (it is
+    recomputed on both sides otherwise); the sf-scale query keeps the
+    plan pure so the oracle sees one deterministic expression tree.
+    """
+    if n_clusters < 1:
+        raise ValueError("n_clusters must be >= 1")
+    if centroids is None:
+        centroids = (
+            df.orderBy(F.asc(id_col))
+            .limit(n_clusters)
+            .select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+            )
+        )
+    rk = Window.partitionBy("__id").orderBy(F.desc("__cos"), F.asc("cid"))
+    assign = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "__cos", F.round(cosine(F.col("__v"), F.col("cvec")), 6)
+        )
+        .withColumn("__rk", F.row_number().over(rk))
+        .filter(F.col("__rk") == 1)
+        .select("__id", F.col("cid").alias("cluster_id"), "__v")
+    )
+    a = assign.select(
+        F.col("__id").alias("id_a"),
+        F.col("cluster_id").alias("ca"),
+        F.col("__v").alias("va"),
+    )
+    b = assign.select(
+        F.col("__id").alias("id_b"),
+        F.col("cluster_id").alias("cb"),
+        F.col("__v").alias("vb"),
+    )
+    dup_ids = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(
+            F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("__id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        assign.join(dup_ids, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster_id",
+            F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup"),
+        )
+    )

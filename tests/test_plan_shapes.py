@@ -249,3 +249,35 @@ def test_host_centrality_iteration_reuses_state(spark, sf_dir):
     assert "Scan ExistingRDD" in p
     # the whole loop is JVM DataSketches aggregates — no Python workers
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    p = _formatted(em.q_bm25_topk(spark, sf_dir))
+    # top-k is a bounded heap, never a full sort of the match set
+    assert "TakeOrderedAndProject" in p
+    # scoring is pure Column (micro-point snap included): no Python workers
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # lang/source/n_chars pruned from every documents scan
+    for ln in p.splitlines():
+        if "ReadSchema" in ln:
+            assert "lang" not in ln and "n_chars" not in ln
+
+
+def test_dsir_plan_shape(spark, sf_dir):
+    p = _formatted(em.q_dsir_weights(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the totals/vocab scalars ride 1-row broadcasts, never a real product
+    assert "CartesianProduct" not in p
+    # the vocabulary-sized count tables broadcast onto the token stream
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_semdedup_plan_shape(spark, sf_dir):
+    p = _formatted(em.q_semantic_dedup(spark, sf_dir))
+    # centroid assignment is a broadcast of C rows, cluster-bounded pairs
+    # join hash-partitions on cluster_id — never an unbounded product
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
