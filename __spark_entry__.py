@@ -2738,6 +2738,47 @@ FROM a
 """
 
 
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-space decontamination (similarity.semantic_decontam):
+    every 50th vector, nudged +0.005 per component, plays the benchmark
+    eval set; the corpus row it was derived from must flag contaminated
+    (cos ~0.9998) while everything else stays clean. One corpus pass
+    against an E-row broadcast — the n-gram decontaminate's semantic
+    sibling for paraphrased leakage."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    evalset = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.005)).alias(
+            "embedding"
+        ),
+    )
+    return similarity.semantic_decontam(emb, evalset, threshold=0.99)
+
+
+_SQL_SEMANTIC_DECONTAM = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS d FROM embeddings),
+e AS (SELECT vec_id + 2000000 AS eid,
+             [x + 0.005 for x in embedding::DOUBLE[]] AS d
+      FROM embeddings WHERE vec_id % 50 = 0),
+x AS (
+  SELECT c.vec_id, e.eid AS closest_eval_id,
+         round(list_dot_product(c.d, e.d)
+               / (sqrt(list_dot_product(c.d, c.d))
+                  * sqrt(list_dot_product(e.d, e.d))), 6) AS max_cos,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY round(list_dot_product(c.d, e.d)
+                          / (sqrt(list_dot_product(c.d, c.d))
+                             * sqrt(list_dot_product(e.d, e.d))), 6) DESC,
+                    e.eid ASC) AS rk
+  FROM c CROSS JOIN e)
+SELECT vec_id, closest_eval_id, max_cos,
+       CAST(CASE WHEN max_cos >= CAST(0.99 AS DOUBLE) THEN 1 ELSE 0 END
+            AS INT) AS contaminated
+FROM x WHERE rk = 1
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -2818,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_decontam": q_semantic_decontam,
         "host_links": q_host_links,
         "anchor_corpus": q_anchor_corpus,
         "train_shuffle": q_train_shuffle,
@@ -2909,6 +2951,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _SQL_BM25,
         "dsir_weights": _SQL_DSIR,
         "semantic_dedup": _SQL_SEMDEDUP,
+        "semantic_decontam": _SQL_SEMANTIC_DECONTAM,
         "host_links": _SQL_HOST_LINKS,
         "anchor_corpus": _SQL_ANCHOR_CORPUS,
         "train_shuffle": _sql_train_shuffle(),

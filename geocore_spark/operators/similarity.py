@@ -534,3 +534,72 @@ def semdedup(
             F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup"),
         )
     )
+
+
+def semantic_decontam(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus item
+    whose embedding is within ``round(cosine, 6) >= threshold`` of ANY
+    eval-set embedding — the semantic complement of the n-gram
+    ``operators.bloom`` / ``decontaminate`` path (catches paraphrased and
+    reformatted leakage that token overlap misses; the public recipe in
+    e.g. the Llama/GPT eval-decontamination reports).
+
+    Returns ``(id_col, closest_eval_id, max_cos, contaminated)`` for every
+    corpus row, contaminated as 0/1; nearest-eval ties break by eval id
+    ascending AFTER rounding (the float-rank parity rule).
+
+    Scale shape: eval sets are small by construction (1e3-1e5 rows), so
+    the comparison is a broadcast nested-loop against the corpus —
+    O(N * E) codegen'd dot products — and the per-corpus-row max is a
+    ``max(struct(cos, -eval_id))`` HASH AGGREGATE, not a window: partial
+    aggregation collapses the N*E product back to N rows map-side, so
+    the only shuffle carries one row per corpus item (a window's rank
+    would shuffle the full product — an E-fold blowup). The corpus is
+    never collected, never self-joined; at 100 TB this is one pass over
+    the corpus with an E-row broadcast.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    e = evalset.select(
+        F.col(id_col).alias("__eid"), F.col(vec_col).alias("__e")
+    )
+    # max_by over the (cos, -eval_id) struct: highest cosine wins, equal
+    # cosines resolve to the SMALLEST eval id — identical to a rank
+    # ordered by (cos DESC, eval_id ASC). The order key is unique per
+    # (corpus row, eval row), so max_by is deterministic. Struct order
+    # keys fall back to SortAggregate, but the PARTIAL stage still
+    # collapses the N*E product to N rows before the exchange (the whole
+    # point — a window rank would shuffle the full product), and the
+    # pre-agg sort sees input already grouped by __id (the broadcast
+    # join emits each corpus row's E candidates consecutively), so it is
+    # a near-free pass.
+    best = (
+        c.join(F.broadcast(e))
+        .select(
+            "__id",
+            "__eid",
+            F.round(cosine(F.col("__v"), F.col("__e")), 6).alias("__cos"),
+        )
+        .groupBy("__id")
+        .agg(
+            F.max("__cos").alias("max_cos"),
+            F.max_by(
+                "__eid", F.struct(F.col("__cos"), (-F.col("__eid")))
+            ).alias("closest_eval_id"),
+        )
+    )
+    return best.select(
+        F.col("__id").alias(id_col),
+        "closest_eval_id",
+        "max_cos",
+        F.when(F.col("max_cos") >= F.lit(threshold), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("contaminated"),
+    )

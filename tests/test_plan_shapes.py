@@ -281,3 +281,15 @@ def test_semdedup_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_semantic_decontam_partial_agg_not_window(spark, sf_dir):
+    p = _formatted(em.q_semantic_decontam(spark, sf_dir))
+    # the per-corpus-row max collapses map-side: partial agg before ONE
+    # exchange (plus the eval-set broadcast), never a window over the
+    # N*E product and never a Python worker
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # one shuffle exchange + the eval-set BroadcastExchange, nothing more
+    assert p.count("Exchange (") <= 2
+    assert "BroadcastExchange" in p

@@ -159,3 +159,17 @@ def test_semdedup_cluster_count_bounded(spark):
     assert out.agg(F.sum("is_dup")).collect()[0][0] == 0  # random vecs: no dups
     with pytest.raises(ValueError):
         similarity.semdedup(df, n_clusters=0)
+
+
+def test_semantic_decontam_flags_planted_leakage(spark):
+    corpus = [(i, _vec(i)) for i in range(1, 31)]
+    evalset = [(500 + i, [x + 0.0005 for x in v]) for i, v in corpus[:4]]
+    c = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    e = spark.createDataFrame(evalset, ["vec_id", "embedding"])
+    out = similarity.semantic_decontam(c, e, threshold=0.999).collect()
+    assert len(out) == 30  # one row per corpus item, always
+    flags = {r["vec_id"]: (r["contaminated"], r["closest_eval_id"]) for r in out}
+    for i in range(1, 5):
+        assert flags[i] == (1, 500 + i)  # each source doc flags its leak
+    assert sum(f for f, _ in flags.values()) == 4
+    assert all(r["max_cos"] <= 1.0 for r in out)
