@@ -2779,6 +2779,43 @@ FROM x WHERE rk = 1
 """
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix (dedup.cross_source_overlap): a
+    deterministic mirror slice (every 25th doc re-labeled 'mirror:<src>')
+    plays the re-crawled dump; each (source, mirror) pair must report its
+    shared distinct texts. Fingerprint-bucketed self-join with text
+    equality re-checked inside the bucket — never all-pairs."""
+    from geocore_spark.operators import dedup as dd
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    mirrored = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.concat(F.lit("mirror:"), F.col("source")).alias("source"),
+            "text",
+        )
+    )
+    return (
+        dd.cross_source_overlap(d.unionByName(mirrored))
+        .orderBy("source_a", "source_b")
+    )
+
+
+_SQL_SOURCE_OVERLAP = """
+WITH allrows AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror:' || source AS source, text FROM documents
+  WHERE doc_id % 25 = 0),
+d AS (SELECT DISTINCT source, text FROM allrows)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.text = b.text AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -2860,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
         "semantic_decontam": q_semantic_decontam,
+        "source_overlap": q_source_overlap,
         "host_links": q_host_links,
         "anchor_corpus": q_anchor_corpus,
         "train_shuffle": q_train_shuffle,
@@ -2952,6 +2990,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _SQL_DSIR,
         "semantic_dedup": _SQL_SEMDEDUP,
         "semantic_decontam": _SQL_SEMANTIC_DECONTAM,
+        "source_overlap": _SQL_SOURCE_OVERLAP,
         "host_links": _SQL_HOST_LINKS,
         "anchor_corpus": _SQL_ANCHOR_CORPUS,
         "train_shuffle": _sql_train_shuffle(),

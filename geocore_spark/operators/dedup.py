@@ -513,3 +513,54 @@ def filter_new_against_fingerprint_index(
         fp.join(idx.withColumnRenamed("fp", "__fp"), "__fp", "left_anti")
         .drop("__fp")
     )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise duplication matrix between corpus slices: for every pair
+    of sources (a < b), how many distinct texts appear verbatim in BOTH.
+
+    The curation diagnostic behind mixing decisions — a mirror site or a
+    re-crawled dump shows up as a hot (a, b) cell, telling you which
+    source to drop BEFORE paying for corpus-wide near-dup passes.
+
+    Shape: distinct (source, text) once, then a self-equi-join keyed on
+    the 64-bit fingerprint with the text equality re-checked on the
+    collision-free survivors (the standard hash-join prune: the shuffle
+    key is 8 bytes, the full text comparison only runs inside a bucket),
+    then one (a, b) rollup. Never all-pairs across sources: the join is
+    fingerprint-bucketed, so cost is bounded by actual duplication. Skew
+    guard: a text duplicated across many sources fans out quadratically
+    within its bucket — cap with an upstream df-cap filter if a corpus
+    has boilerplate shared by ALL sources (same policy as
+    ngram_jaccard_pairs' df_cap).
+    """
+    d = (
+        df.select(
+            F.col(group_col).alias("__src"), F.col(text_col).alias("__txt")
+        )
+        .distinct()
+        .withColumn("__fp", F.xxhash64("__txt"))
+    )
+    a = d.select(
+        F.col("__src").alias("source_a"),
+        F.col("__fp"),
+        F.col("__txt").alias("__ta"),
+    )
+    b = d.select(
+        F.col("__src").alias("source_b"),
+        F.col("__fp"),
+        F.col("__txt").alias("__tb"),
+    )
+    return (
+        a.join(b, "__fp")
+        .filter(
+            (F.col("source_a") < F.col("source_b"))
+            & (F.col("__ta") == F.col("__tb"))
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -173,3 +173,23 @@ def test_semantic_decontam_flags_planted_leakage(spark):
         assert flags[i] == (1, 500 + i)  # each source doc flags its leak
     assert sum(f for f, _ in flags.values()) == 4
     assert all(r["max_cos"] <= 1.0 for r in out)
+
+
+def test_cross_source_overlap_counts_distinct_shared_texts(spark):
+    from geocore_spark.operators import dedup as dd
+
+    rows = [
+        ("a", "shared one"),
+        ("a", "shared one"),      # intra-source dup: counts once
+        ("a", "only in a"),
+        ("b", "shared one"),
+        ("b", "shared two"),
+        ("c", "shared two"),
+        ("c", "only in c"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in dd.cross_source_overlap(df).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "c"): 1}  # no (a,c), dups deduped
