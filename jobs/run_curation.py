@@ -16,6 +16,11 @@ Stages (each a checkpointed snapshot; --resume skips committed stages):
                    self-trained bigram-LM xent, drop docs above the
                    corpus q-quantile (threshold via a KLL sketch, no
                    driver-side percentile collect)
+  4c. dsir       : optional (--dsir-frac f) DSIR importance selection —
+                   the top-2%-by-quality slice seeds the target unigram
+                   LM; the rest of the corpus is scored by target/raw
+                   log-likelihood ratio and only the top f fraction (plus
+                   the seed itself) continues downstream
   5. mix         : stratified source rates + deterministic train/eval split
   6. chunks      : overlapping passage chunking
   7. pack        : FFD sequence packing to the token budget
@@ -38,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from geocore_spark.functions import cleaning as cl, text as tx
-from geocore_spark.operators import decontam, dedup, lm, packing, sampling
+from geocore_spark.operators import decontam, dedup, lm, packing, sampling, selection
 from geocore_spark.operators import sketches as sk
 from geocore_spark.plans.checkpoint import StageCheckpoint
 from geocore_spark.plans.lineage import LineageLog, observed
@@ -62,6 +67,15 @@ def main(argv: list[str] | None = None) -> None:
         help="optional CCNet-style LM filter: drop docs whose bigram-LM "
         "cross-entropy exceeds this corpus quantile (e.g. 0.9); off by "
         "default so the pinned 7-stage shape is unchanged",
+    )
+    ap.add_argument(
+        "--dsir-frac",
+        type=float,
+        default=None,
+        help="optional DSIR selection: keep this fraction of the corpus "
+        "by target/raw unigram log-likelihood ratio, seeded by the "
+        "top-2%%-quality slice; off by default so the pinned 7-stage "
+        "shape is unchanged",
     )
     args = ap.parse_args(argv)
 
@@ -168,6 +182,31 @@ def main(argv: list[str] | None = None) -> None:
         clean = staged("lmfilter", build_lmfilter)
         if "scored" in lm_cache:
             lm_cache["scored"].unpersist()
+
+    if args.dsir_frac is not None:
+
+        def build_dsir():
+            # seed target = top 2% by the heuristic quality signal (KLL
+            # threshold, no driver percentile); DSIR then expands that
+            # seed distribution over the remaining corpus — the published
+            # bootstrap when no external target corpus exists
+            thr = sk.quantile_estimates(
+                sk.sketch_quantiles(clean, "quality"), [0.98]
+            ).select(F.col("q_0_98").alias("__thr"))
+            flagged = clean.crossJoin(F.broadcast(thr))
+            target = flagged.filter(F.col("quality") >= F.col("__thr")).drop(
+                "__thr"
+            )
+            raw = flagged.filter(F.col("quality") < F.col("__thr")).drop(
+                "__thr"
+            )
+            picked = selection.dsir_select(raw, target, frac=args.dsir_frac)
+            keep_ids = picked.select("doc_id").unionByName(
+                target.select("doc_id")
+            )
+            return clean.join(keep_ids, "doc_id", "left_semi")
+
+        clean = staged("dsir", build_dsir)
 
     def build_mix():
         mixed = sampling.stratified_sample(

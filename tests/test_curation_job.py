@@ -79,3 +79,22 @@ def test_lm_filter_stage_optional(tmp_path):
     kept, before = stages["lmfilter"]["rows"], stages["decontam"]["rows"]
     assert kept < before                     # the tail was dropped
     assert kept >= int(before * 0.85)        # ~quantile-sized cut, not a purge
+
+
+def test_dsir_stage_optional(tmp_path):
+    """--dsir-frac adds the dsir stage; output = seed slice + top fraction
+    of the rest, strictly smaller than the decontam output but never
+    empty."""
+    ckpt = str(tmp_path / "ckpt_dsir")
+    summary, stages = _run(ckpt, ["--dsir-frac", "0.5"])
+    assert any("[stage dsir]" in s for s in stages)
+    assert 0 < summary["docs_mixed"] <= summary["docs_after_decontam"]
+    dsir_rows = next(
+        int(s.split("rows=")[1].split()[0]) for s in stages if "stage dsir" in s
+    )
+    decon_rows = next(
+        int(s.split("rows=")[1].split()[0])
+        for s in stages
+        if "stage decontam" in s
+    )
+    assert 0 < dsir_rows < decon_rows
