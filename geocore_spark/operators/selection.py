@@ -110,20 +110,43 @@ def dsir_select(
     frac: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    mode: str = "threshold",
 ) -> DataFrame:
-    """Top-``frac`` of raw documents by DSIR log-weight (ties by id asc).
+    """Keep the most target-like ``frac`` of raw documents by DSIR
+    log-weight (the paper's Gumbel-noise variant trades determinism for
+    diversity; the hard cut is the reproducible default).
 
-    Deterministic hard top-k selection (the paper's Gumbel-noise variant
-    trades determinism for diversity; at pipeline scale the hard cut is
-    the reproducible default). The rank is a single global
-    TakeOrderedAndProject when frac*N fits the driver's limit, else a
-    one-pass row_number over the ordered frame.
+    ``mode="threshold"`` (default, the 100 TB shape): estimate the
+    (1-frac) quantile of ``logw`` with a mergeable KLL sketch and keep
+    everything at or above it — one extra aggregate, NO global sort, no
+    driver-sized limit. The cut count is approximate within the sketch's
+    rank-error bound (~0.6% at k=200), which is the right trade for a
+    corpus selector; at small N the sketch stores every value and the
+    cut is exact.
+
+    ``mode="exact"``: exact top-``ceil(frac*N)`` rows via a global
+    TakeOrderedAndProject (ties by id asc) — bit-reproducible, but the
+    limit materializes frac*N rows through the driver-side take, so use
+    it only when that count is bounded (evals, tests, small corpora).
     """
     if not 0.0 < frac <= 1.0:
         raise ValueError("frac must be in (0, 1]")
+    if mode not in ("threshold", "exact"):
+        raise ValueError("mode must be 'threshold' or 'exact'")
     w = dsir_logweights(raw, target, text_col, id_col)
-    n = raw.count()
-    keep = max(1, int(n * frac))
+    if mode == "exact":
+        n = raw.count()
+        keep = max(1, int(n * frac))
+        return w.orderBy(F.desc("logw"), F.asc(id_col)).limit(keep)
+    from geocore_spark.operators import sketches as sk
+
+    p = round(1.0 - frac, 9)
+    qcol = f"q_{str(p).replace('.', '_')}"
+    thr = sk.quantile_estimates(
+        sk.sketch_quantiles(w, "logw"), [p]
+    ).select(F.col(qcol).alias("__thr"))
     return (
-        w.orderBy(F.desc("logw"), F.asc(id_col)).limit(keep)
+        w.crossJoin(F.broadcast(thr))
+        .filter(F.col("logw") >= F.col("__thr"))
+        .drop("__thr")
     )

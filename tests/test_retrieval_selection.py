@@ -110,11 +110,30 @@ def test_dsir_matches_reference_formula(spark):
 def test_dsir_target_like_docs_rank_first(spark):
     raw = spark.createDataFrame(RAW, ["doc_id", "text"])
     tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
-    picked = selection.dsir_select(raw, tgt, frac=0.5).collect()
+    picked = selection.dsir_select(raw, tgt, frac=0.5, mode="exact").collect()
     assert sorted(r["doc_id"] for r in picked) == [1, 3]  # the code-y docs
     assert all(r["logw"] > 0 for r in picked)
     with pytest.raises(ValueError):
         selection.dsir_select(raw, tgt, frac=0.0)
+    with pytest.raises(ValueError):
+        selection.dsir_select(raw, tgt, frac=0.5, mode="bogus")
+
+
+def test_dsir_threshold_mode_matches_exact_at_small_n(spark):
+    """The KLL sketch stores every value at small N, so the threshold cut
+    keeps a superset of the exact top-frac that still excludes the
+    bottom; the code-y docs always survive, the off-domain ones never
+    outrank them."""
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    picked = {
+        r["doc_id"]
+        for r in selection.dsir_select(raw, tgt, frac=0.5).collect()
+    }
+    assert {1, 3} <= picked  # exact winners survive the threshold cut
+    assert 4 not in picked  # pure rain never makes the cut
+    # threshold mode never shrinks below the exact cut's floor
+    assert len(picked) >= 2
 
 
 def _vec(seed, dim=8):
