@@ -228,6 +228,39 @@ def main():
         }
         nd_rows.append(row)
         print(json.dumps(row))
+
+    # --- SemDeDup: cluster-bounded dedup vs the same exact pair truth --
+    # recall = flagged dup ids / true dup ids (ids appearing as id_b in a
+    # true pair); precision is 1.0 by construction (within-cluster pairs
+    # use the identical exact-cosine predicate). The second number is the
+    # work bound: sum of n_c*(n_c-1)/2 within-cluster comparisons as a
+    # fraction of the exact N*(N-1)/2 — the quantity that makes the
+    # operator runnable where brute force is not.
+    truth_dups = {b for _, b in truth_nd}
+    n_both = both.count()
+    exact_cmp = n_both * (n_both - 1) / 2
+    sd_rows = []
+    for n_clusters in (1, 8, 32):
+        out = similarity.semdedup(
+            both, n_clusters=n_clusters, threshold=0.99
+        ).persist()
+        flagged = {r["vec_id"] for r in out.collect() if r["is_dup"]}
+        sizes = [
+            r["n"]
+            for r in out.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        out.unpersist()
+        cmp_frac = sum(n * (n - 1) / 2 for n in sizes) / exact_cmp
+        row = {
+            "detector": f"semdedup C={n_clusters}",
+            "flagged": len(flagged),
+            "recall": round(len(flagged & truth_dups) / len(truth_dups), 4),
+            "cmp_frac": round(cmp_frac, 4),
+        }
+        sd_rows.append(row)
+        print(json.dumps(row))
     both.unpersist()
 
     with open(os.path.join(REPO, "EVAL.md"), "w") as f:
@@ -292,6 +325,31 @@ def main():
             "\nPrecision is 1.0 by construction (every LSH candidate is\n"
             "verified with the exact cosine before emission); tables trade\n"
             "recall for candidate volume.\n"
+        )
+        f.write(
+            "\n## SemDeDup: cluster-bounded dedup vs the same exact truth\n\n"
+            "Same planted corpus; flagged = ids marked is_dup. cmp_frac =\n"
+            "within-cluster pair comparisons / exact all-pairs comparisons\n"
+            "(the work bound that makes the operator runnable at scale).\n"
+            "Precision is 1.0 by construction (within-cluster pairs use\n"
+            "the identical exact-cosine predicate).\n\n"
+            "| detector | flagged | recall | cmp_frac |\n|---|---|---|---|\n"
+        )
+        for r in sd_rows:
+            f.write(
+                f"| {r['detector']} | {r['flagged']} | {r['recall']} "
+                f"| {r['cmp_frac']} |\n"
+            )
+        f.write(
+            "\nC=1 degenerates to the exact operator (recall 1.0 at full\n"
+            "cost). As C grows the comparison bound collapses ~linearly\n"
+            "while recall decays slowly: a twin whose original sits near a\n"
+            "cluster boundary can be assigned to the neighboring centroid\n"
+            "and the pair is never compared — the published SemDeDup\n"
+            "trade. Raise C only as far as the largest-cluster work bound\n"
+            "requires; recover boundary pairs with a second pass under a\n"
+            "different centroid set (the multi-table trick) if the last\n"
+            "few points of recall matter.\n"
         )
     print("wrote EVAL.md")
     spark.stop()
