@@ -2816,6 +2816,38 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_geohash(spark, sf_dir):
+    """Geohash encode (functions/geohash.py): precision-7 hash per event
+    point plus the precision-4 prefix (the parent-cell relation — pinned
+    in tests as exactly the coarser encoding) and per-prefix counts via a
+    window. Pure Column shift/mask arithmetic in one codegen span; the
+    oracle runs the token-for-token SQL mirror, so the comparison is on
+    exact strings, not rounded floats."""
+    from geocore_spark.functions import geohash as gsh
+
+    pts = _event_points(spark, sf_dir)
+    enc = pts.select(
+        "id",
+        gsh.encode(F.col("lat"), F.col("lon"), 7).alias("gh7"),
+    ).withColumn("gh4", F.substring(F.col("gh7"), 1, 4))
+    w = Window.partitionBy("gh4")
+    return enc.withColumn("n_in_gh4", F.count(F.lit(1)).over(w))
+
+
+def _sql_geohash():
+    from geocore_spark.functions import geohash as gsh
+
+    enc = gsh.encode_sql("lat", "lon", 7)
+    return f"""
+WITH pts AS (SELECT id, lat, lon FROM {_EVENT_POINTS_SQL} p),
+enc AS (SELECT id, {enc} AS gh7 FROM pts),
+pre AS (SELECT id, gh7, substr(gh7, 1, 4) AS gh4 FROM enc)
+SELECT id, gh7, gh4,
+       CAST(COUNT(*) OVER (PARTITION BY gh4) AS BIGINT) AS n_in_gh4
+FROM pre
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -2898,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "semantic_decontam": q_semantic_decontam,
         "source_overlap": q_source_overlap,
+        "geohash": q_geohash,
         "host_links": q_host_links,
         "anchor_corpus": q_anchor_corpus,
         "train_shuffle": q_train_shuffle,
@@ -2991,6 +3024,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _SQL_SEMDEDUP,
         "semantic_decontam": _SQL_SEMANTIC_DECONTAM,
         "source_overlap": _SQL_SOURCE_OVERLAP,
+        "geohash": _sql_geohash(),
         "host_links": _SQL_HOST_LINKS,
         "anchor_corpus": _SQL_ANCHOR_CORPUS,
         "train_shuffle": _sql_train_shuffle(),

@@ -1,0 +1,140 @@
+"""Geohash codec: published vectors, reference agreement, roundtrip,
+hierarchy, and edge clamping."""
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from geocore_spark.functions import geohash as gh
+
+ALPH = gh.ALPHABET
+
+
+def _ref_encode(lat, lon, p):
+    """Independent truth: the classic interval-halving construction from
+    the public spec (bit-for-bit the Wikipedia algorithm)."""
+    lat_i, lon_i = [-90.0, 90.0], [-180.0, 180.0]
+    bits, even, out, ch = 0, True, "", 0
+    while len(out) < p:
+        iv, v = (lon_i, lon) if even else (lat_i, lat)
+        mid = (iv[0] + iv[1]) / 2
+        if v >= mid:
+            ch = ch * 2 + 1
+            iv[0] = mid
+        else:
+            ch = ch * 2
+            iv[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out += ALPH[ch]
+            bits = 0
+            ch = 0
+    return out
+
+
+def test_published_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, 42.605, -5.603), (2, 57.64911, 10.40744)], ["id", "lat", "lon"]
+    )
+    got = {
+        r["id"]: (r["g5"], r["g11"])
+        for r in df.select(
+            "id",
+            gh.encode(F.col("lat"), F.col("lon"), 5).alias("g5"),
+            gh.encode(F.col("lat"), F.col("lon"), 11).alias("g11"),
+        ).collect()
+    }
+    assert got[1][0] == "ezs42"  # Wikipedia example
+    assert got[2][1] == "u4pruydqqvj"  # Wikipedia example
+
+
+def test_agrees_with_interval_halving_reference(spark):
+    rng = random.Random(13)
+    pts = [
+        (i, rng.uniform(-90, 90), rng.uniform(-180, 180)) for i in range(300)
+    ]
+    pts += [(900, 90.0, 180.0), (901, -90.0, -180.0), (902, 0.0, 0.0)]
+    df = spark.createDataFrame(pts, ["id", "lat", "lon"])
+    # two precisions (odd + even bit split, incl. the max): each distinct
+    # precision pays its own Janino codegen of the unrolled term sum, so
+    # the matrix stays small; the pure-Python bit logic is cross-checked
+    # at ALL precisions in the module's development harness
+    for p in (7, 12):
+        got = {
+            r["id"]: r["g"]
+            for r in df.select(
+                "id", gh.encode(F.col("lat"), F.col("lon"), p).alias("g")
+            ).collect()
+        }
+        for i, la, lo in pts:
+            assert got[i] == _ref_encode(la, lo, p), (i, la, lo, p)
+
+
+def test_decode_centroid_roundtrips(spark):
+    rng = random.Random(29)
+    pts = [(i, rng.uniform(-90, 90), rng.uniform(-180, 180)) for i in range(200)]
+    df = spark.createDataFrame(pts, ["id", "lat", "lon"])
+    enc = df.select("id", gh.encode(F.col("lat"), F.col("lon"), 8).alias("g"))
+    c = gh.decode(F.col("g"), 8)
+    # materialize the decoded centroid before re-encoding: feeding the
+    # struct fields straight into encode() would inline the whole decode
+    # expression into every one of encode's ~40 shift terms (minutes of
+    # Janino codegen for a 200-row test) — the same staging rule the
+    # text operators follow for array columns
+    dec = enc.select(
+        "id", "g", c["lat"].alias("clat"), c["lon"].alias("clon")
+    ).localCheckpoint()
+    back = dec.select(
+        "id",
+        "g",
+        "clat",
+        "clon",
+        gh.encode(F.col("clat"), F.col("clon"), 8).alias("g2"),
+    )
+    for r in back.collect():
+        assert r["g"] == r["g2"]  # centroid re-encodes to the same cell
+        assert -90 <= r["clat"] <= 90 and -180 <= r["clon"] <= 180
+
+
+def test_prefix_hierarchy(spark):
+    """Truncating a geohash IS the coarser encoding (the parent-cell
+    relation the grouping queries rely on)."""
+    rng = random.Random(43)
+    pts = [(i, rng.uniform(-90, 90), rng.uniform(-180, 180)) for i in range(200)]
+    df = spark.createDataFrame(pts, ["id", "lat", "lon"])
+    out = df.select(
+        gh.encode(F.col("lat"), F.col("lon"), 9).alias("g9"),
+        gh.encode(F.col("lat"), F.col("lon"), 4).alias("g4"),
+    ).collect()
+    for r in out:
+        assert r["g9"][:4] == r["g4"]
+
+
+def test_sql_mirror_matches_column_expr(spark):
+    import duckdb
+
+    rng = random.Random(57)
+    pts = [(i, rng.uniform(-90, 90), rng.uniform(-180, 180)) for i in range(500)]
+    df = spark.createDataFrame(pts, ["id", "lat", "lon"])
+    got = {
+        r["id"]: r["g"]
+        for r in df.select(
+            "id", gh.encode(F.col("lat"), F.col("lon"), 9).alias("g")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(id BIGINT, lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?, ?)", pts)
+    sql = gh.encode_sql("lat", "lon", 9)
+    want = dict(con.execute(f"SELECT id, {sql} FROM pts").fetchall())
+    assert got == want
+
+
+def test_precision_validation():
+    with pytest.raises(ValueError):
+        gh.encode(F.lit(0.0), F.lit(0.0), 0)
+    with pytest.raises(ValueError):
+        gh.encode(F.lit(0.0), F.lit(0.0), 13)
