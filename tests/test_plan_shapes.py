@@ -293,3 +293,12 @@ def test_semantic_decontam_partial_agg_not_window(spark, sf_dir):
     # one shuffle exchange + the eval-set BroadcastExchange, nothing more
     assert p.count("Exchange (") <= 2
     assert "BroadcastExchange" in p
+
+
+def test_geohash_pure_column_no_python(spark, sf_dir):
+    p = _formatted(em.q_geohash(spark, sf_dir))
+    # unrolled shift/mask + base32 lookup is all JVM codegen
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # exactly one shuffle: the gh4 prefix-count window
+    assert p.count("Exchange (") <= 1
