@@ -59,23 +59,38 @@ def _lat_positions(precision: int) -> list[int]:
     return [total - 1 - k for k in range(1, total, 2)][::-1]
 
 
+def _quant(v: Column, offset: float, extent: float, bits: int) -> Column:
+    """Exact boundary-consistent quantizer: which cell's [b(x), b(x+1))
+    interval holds ``v``, where b(x) = -offset + x * extent/2^bits.
+
+    The naive floor((v+offset)/e) suffers double rounding — a value one
+    ULP below a cell boundary can land in the upper cell, diverging from
+    the spec's interval-halving (whose midpoints are EXACT doubles:
+    e = 45 * 2^(3-bits) has an exact product with any x < 2^bits here,
+    and the sum with -offset stays on the same dyadic grid). So: floor
+    quantize, then correct against the two exact neighboring boundaries
+    — the drift is at most one cell, and at most one correction fires.
+    Verified identical to interval-halving on 36k ULP-adjacent boundary
+    probes + 20k random points at every precision (test_geohash.py).
+    """
+    n = 1 << bits
+    e = extent / n
+    x0 = F.floor((v + F.lit(offset)) / F.lit(e)).cast("long")
+    up = F.when(
+        v >= F.lit(-offset) + (x0 + F.lit(1)).cast("double") * F.lit(e),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    down = F.when(
+        v < F.lit(-offset) + x0.cast("double") * F.lit(e), F.lit(1)
+    ).otherwise(F.lit(0))
+    return F.least(F.greatest(x0 + up - down, F.lit(0)), F.lit(n - 1))
+
+
 def encode(lat: Column, lon: Column, precision: int = 9) -> Column:
     """lat/lon -> geohash string of ``precision`` base32 characters."""
     lonbits, latbits = _bits(precision)
-    ex = 360.0 / (1 << lonbits)
-    ey = 180.0 / (1 << latbits)
-    x = F.least(
-        F.greatest(
-            F.floor((lon + F.lit(180.0)) / F.lit(ex)).cast("long"), F.lit(0)
-        ),
-        F.lit((1 << lonbits) - 1),
-    )
-    y = F.least(
-        F.greatest(
-            F.floor((lat + F.lit(90.0)) / F.lit(ey)).cast("long"), F.lit(0)
-        ),
-        F.lit((1 << latbits) - 1),
-    )
+    x = _quant(lon, 180.0, 360.0, lonbits)
+    y = _quant(lat, 90.0, 180.0, latbits)
     z = F.lit(0).cast("long")
     for i, pos in enumerate(_lon_positions(precision)):
         z = z + F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << pos)
@@ -132,19 +147,32 @@ def decode(gh: Column, precision: int) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _quant_sql(v: str, offset: str, e: str, nmax: int) -> str:
+    """SQL mirror of :func:`_quant` (same sub-expression shapes)."""
+    x0 = (
+        f"CAST(floor(({v} + CAST({offset} AS DOUBLE))"
+        f" / CAST({e} AS DOUBLE)) AS BIGINT)"
+    )
+    up = (
+        f"(CASE WHEN {v} >= CAST(-{offset} AS DOUBLE)"
+        f" + CAST({x0} + 1 AS DOUBLE) * CAST({e} AS DOUBLE)"
+        f" THEN 1 ELSE 0 END)"
+    )
+    down = (
+        f"(CASE WHEN {v} < CAST(-{offset} AS DOUBLE)"
+        f" + CAST({x0} AS DOUBLE) * CAST({e} AS DOUBLE)"
+        f" THEN 1 ELSE 0 END)"
+    )
+    return f"least(greatest({x0} + {up} - {down}, 0), {nmax})"
+
+
 def encode_sql(lat_expr: str, lon_expr: str, precision: int = 9) -> str:
     """DuckDB SQL expression computing the identical geohash string."""
     lonbits, latbits = _bits(precision)
     ex = repr(360.0 / (1 << lonbits))
     ey = repr(180.0 / (1 << latbits))
-    x = (
-        f"least(greatest(CAST(floor(({lon_expr} + CAST(180.0 AS DOUBLE))"
-        f" / CAST({ex} AS DOUBLE)) AS BIGINT), 0), {(1 << lonbits) - 1})"
-    )
-    y = (
-        f"least(greatest(CAST(floor(({lat_expr} + CAST(90.0 AS DOUBLE))"
-        f" / CAST({ey} AS DOUBLE)) AS BIGINT), 0), {(1 << latbits) - 1})"
-    )
+    x = _quant_sql(f"({lon_expr})", "180.0", ex, (1 << lonbits) - 1)
+    y = _quant_sql(f"({lat_expr})", "90.0", ey, (1 << latbits) - 1)
     terms = [
         f"((({x} >> {i}) & 1) * {1 << pos})"
         for i, pos in enumerate(_lon_positions(precision))

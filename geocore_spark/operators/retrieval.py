@@ -44,7 +44,9 @@ from pyspark.sql import functions as F
 
 from geocore_spark.functions import cleaning
 
-MICRO = 1_000_000.0
+# the one micro-unit constant of the integer-accumulation trick —
+# shared with operators.lm so the snap precision can never desync
+from geocore_spark.operators.lm import MICRO  # noqa: E402
 
 
 def bm25_topk(

@@ -35,7 +35,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MICRO = 1_000_000.0
+# the one micro-unit constant of the integer-accumulation trick —
+# shared with operators.lm so the snap precision can never desync
+from geocore_spark.operators.lm import MICRO  # noqa: E402
 
 
 def _token_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -135,8 +137,13 @@ def dsir_select(
         raise ValueError("mode must be 'threshold' or 'exact'")
     w = dsir_logweights(raw, target, text_col, id_col)
     if mode == "exact":
+        import math
+
         n = raw.count()
-        keep = max(1, int(n * frac))
+        # ceil per the contract, with an epsilon guard so exact decimal
+        # fractions don't gain a row to float noise (0.3*10 -> 3, not 4)
+        # or lose one to truncation (0.29*100 -> 29, not 28)
+        keep = max(1, math.ceil(n * frac - 1e-9))
         return w.orderBy(F.desc("logw"), F.asc(id_col)).limit(keep)
     from geocore_spark.operators import sketches as sk
 

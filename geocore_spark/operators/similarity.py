@@ -472,8 +472,16 @@ def semdedup(
     expected cluster quadratic at N^1.5 total work, embarrassingly
     parallel per cluster).
 
-    ``centroids``: a ``(cid, cvec)`` frame — pass
-    :func:`_kmeans_centroids` output for real runs. Default: the
+    ``centroids``: a ``(cid, cvec)`` frame. For real runs build it from
+    the k-means codebook (an ndarray)::
+
+        c = _kmeans_centroids(sample, n_clusters)
+        cdf = spark.createDataFrame(
+            [(i, list(map(float, v))) for i, v in enumerate(c)],
+            ["cid", "cvec"],
+        )
+
+    Default: the
     ``n_clusters`` lowest-id input rows, a deterministic, SQL-replayable
     choice (quality of the partition only affects recall ACROSS clusters,
     never correctness within one; the dedup rule itself is exact given

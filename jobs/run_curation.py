@@ -201,8 +201,14 @@ def main(argv: list[str] | None = None) -> None:
                 "__thr"
             )
             picked = selection.dsir_select(raw, target, frac=args.dsir_frac)
-            keep_ids = picked.select("doc_id").unionByName(
-                target.select("doc_id")
+            # token-less docs are unscorable (absent from the weight
+            # frame) — pass them through instead of silently dropping,
+            # the same invariant the lmfilter stage keeps
+            unscorable = raw.filter(F.col("n_tokens") == 0)
+            keep_ids = (
+                picked.select("doc_id")
+                .unionByName(target.select("doc_id"))
+                .unionByName(unscorable.select("doc_id"))
             )
             return clean.join(keep_ids, "doc_id", "left_semi")
 

@@ -52,11 +52,26 @@ def test_published_vectors(spark):
 
 
 def test_agrees_with_interval_halving_reference(spark):
+    import math
+
     rng = random.Random(13)
     pts = [
         (i, rng.uniform(-90, 90), rng.uniform(-180, 180)) for i in range(300)
     ]
     pts += [(900, 90.0, 180.0), (901, -90.0, -180.0), (902, 0.0, 0.0)]
+    # ULP-adjacent boundary probes: the naive floor quantizer diverges
+    # from interval-halving exactly here (double rounding pushes a value
+    # one ULP below a dyadic cell boundary into the upper cell) — the
+    # boundary-exact correction in _quant must hold on both sides of
+    # every probed boundary. Includes the review counterexample.
+    pts += [(903, 0.0, 24.91339366883039)]
+    nid = 910
+    for bx in (1, 7, 1234, 99999):
+        for p12bits in (31,):  # precision-12 lonbits=30 grid
+            b = -180.0 + bx * (360.0 / (1 << 30))
+            for lo in (math.nextafter(b, -400), b, math.nextafter(b, 400)):
+                pts.append((nid, rng.uniform(-89, 89), lo))
+                nid += 1
     df = spark.createDataFrame(pts, ["id", "lat", "lon"])
     # two precisions (odd + even bit split, incl. the max): each distinct
     # precision pays its own Janino codegen of the unrolled term sum, so
