@@ -2848,6 +2848,38 @@ FROM pre
 """
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature mixing weights (sampling.temperature_weights, the
+    XLM-R alpha=0.7 rebalancing recipe): per-source n^alpha weights,
+    micro-unit snapped before the total so the normalization never
+    depends on partial-agg order, plus the planned per-source allocation
+    for a 10k-doc budget."""
+    from geocore_spark.operators import sampling as smp
+
+    d = _t(spark, sf_dir, "documents")
+    return smp.temperature_weights(
+        d, group_col="source", alpha=0.7, budget=10_000
+    ).orderBy("source")
+
+
+_SQL_TEMPERATURE_MIX = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM documents GROUP BY source),
+powed AS (
+  SELECT source, n_rows,
+         CAST(round(pow(CAST(n_rows AS DOUBLE), CAST(0.7 AS DOUBLE))
+                    * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS p
+  FROM counts),
+tot AS (SELECT CAST(SUM(p) AS BIGINT) AS t FROM powed)
+SELECT source, n_rows,
+       round(CAST(p AS DOUBLE) / CAST(t AS DOUBLE), 6) AS weight,
+       CAST(round(round(CAST(p AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                  * CAST(10000.0 AS DOUBLE), 0) AS BIGINT) AS planned
+FROM powed CROSS JOIN tot ORDER BY source
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -2931,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": q_semantic_decontam,
         "source_overlap": q_source_overlap,
         "geohash": q_geohash,
+        "temperature_mix": q_temperature_mix,
         "host_links": q_host_links,
         "anchor_corpus": q_anchor_corpus,
         "train_shuffle": q_train_shuffle,
@@ -3025,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_decontam": _SQL_SEMANTIC_DECONTAM,
         "source_overlap": _SQL_SOURCE_OVERLAP,
         "geohash": _sql_geohash(),
+        "temperature_mix": _SQL_TEMPERATURE_MIX,
         "host_links": _SQL_HOST_LINKS,
         "anchor_corpus": _SQL_ANCHOR_CORPUS,
         "train_shuffle": _sql_train_shuffle(),

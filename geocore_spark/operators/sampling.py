@@ -158,3 +158,56 @@ def deterministic_split(
         "split",
         F.when(_bucket_for(df, id_col, salt) < cut, "eval").otherwise("train"),
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.7,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixing weights per corpus slice: w_s proportional
+    to n_s^alpha — the multilingual/multi-source rebalancing recipe
+    (XLM-R, Conneau et al. 2020, arXiv:1911.02116; alpha < 1 upsamples
+    small slices, alpha = 1 is proportional, alpha -> 0 is uniform).
+
+    Returns ``(group_col, n_rows, weight)`` with weight rounded to 6
+    decimals; with ``budget`` also ``planned`` = round(weight * budget),
+    the per-slice document allocation to feed
+    :func:`stratified_sample` (rate_s = planned / n_rows).
+
+    One group-sized aggregate + a 1-row total broadcast — the output is
+    slice-cardinality-sized (tiny), so this is a planning query, not a
+    data pass: the expensive part stays in the sampler it parameterizes.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    # n^alpha snapped to integer micro-units BEFORE the total: summing the
+    # raw doubles would make `weight` depend on partial-agg order (the
+    # operators.lm trick, same micro constant class); fits BIGINT up to
+    # n ~ 1e17 at alpha=0.7
+    powed = counts.withColumn(
+        "__p",
+        F.round(
+            F.pow(F.col("n_rows").cast("double"), F.lit(alpha))
+            * F.lit(1_000_000.0)
+        ).cast("bigint"),
+    )
+    tot = powed.agg(F.sum("__p").alias("__t"))
+    out = (
+        powed.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "weight",
+            F.round(
+                F.col("__p").cast("double") / F.col("__t").cast("double"), 6
+            ),
+        )
+        .drop("__p", "__t")
+    )
+    if budget is not None:
+        out = out.withColumn(
+            "planned",
+            F.round(F.col("weight") * F.lit(float(budget)), 0).cast("bigint"),
+        )
+    return out

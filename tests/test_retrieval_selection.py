@@ -212,3 +212,32 @@ def test_cross_source_overlap_counts_distinct_shared_texts(spark):
         for r in dd.cross_source_overlap(df).collect()
     }
     assert got == {("a", "b"): 1, ("b", "c"): 1}  # no (a,c), dups deduped
+
+
+def test_temperature_weights_rebalance(spark):
+    from geocore_spark.operators import sampling as smp
+
+    rows = [("big", i) for i in range(900)] + [("small", i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["source", "doc_id"])
+    out = {
+        r["source"]: r
+        for r in smp.temperature_weights(
+            df, alpha=0.7, budget=1000
+        ).collect()
+    }
+    w_big, w_small = out["big"]["weight"], out["small"]["weight"]
+    assert abs(w_big + w_small - 1.0) < 2e-6
+    # alpha=0.7 upsamples the small slice above its 10% natural share
+    assert 0.10 < w_small < 0.5
+    # planned allocation follows the weights at the stated budget
+    assert out["small"]["planned"] == round(w_small * 1000)
+    # alpha=1 is proportional
+    prop = {
+        r["source"]: r["weight"]
+        for r in smp.temperature_weights(df, alpha=1.0).collect()
+    }
+    assert abs(prop["big"] - 0.9) < 2e-6 and abs(prop["small"] - 0.1) < 2e-6
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        smp.temperature_weights(df, alpha=0.0)

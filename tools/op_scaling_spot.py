@@ -1,0 +1,149 @@
+"""Pinned 2-vs-8-core scaling spot checks for the retrieval / selection /
+semantic-dedup operator family (the session's additions — the established
+legs in scaling_bench.py cover flagship/text/curation/graph).
+
+Same methodology as tools/scaling_bench.py: each level runs in a FRESH
+subprocess whose whole tree (JVM + Python workers) is `taskset`-pinned to
+exactly N cores, one warm pass (JIT/codegen/Arrow spin-up) then best-of-2
+timed passes. 2->8 is the predictive pair on this box (8->32 saturates
+the single memory bus — see CLAUDE.md).
+
+Inputs are materialized once under /tmp and reused across levels, SIZED
+so a 2-core pass lands at ~1-2 min (measured: the cosine ops run on
+interpreted higher-order-function lambdas — CLAUDE.md — so embedding
+inputs must stay ~20k rows; the token ops tokenize the corpus 3-7x per
+pass, so 200k docs is the 2-core sweet spot):
+  - 200k generator documents (~16M tokens) for BM25, 100k for DSIR
+    (its plan scans the corpus 7x)
+  - 20k deterministic 64-dim embeddings for SemDeDup / decontam
+
+Appends one JSON line per run to BENCH/op_spots.jsonl and prints the
+markdown rows for SCALE.md's spot-check table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS = "/tmp/geocore_spot_docs200k.parquet"
+VECS = "/tmp/geocore_spot_vecs20k.parquet"
+
+
+def _pinned(cpus: int) -> list[str]:
+    return ["taskset", "-c", f"0-{cpus - 1}"]
+
+
+_MATERIALIZE = f"""
+import os
+import numpy as np, pandas as pd
+from geocore_spark.session import get_spark
+from geocore_spark.sources import documents as docsrc
+spark = get_spark("spot-mat", master="local[8]", shuffle_partitions=8)
+if not os.path.exists("{DOCS}"):
+    docsrc.documents(spark, 200_000).write.parquet("{DOCS}")
+if not os.path.exists("{VECS}"):
+    rng = np.random.default_rng(17)
+    m = rng.standard_normal((20_000, 64)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {{"vec_id": np.arange(20_000, dtype=np.int64), "embedding": list(map(list, m))}}
+    )
+    spark.createDataFrame(pdf).repartition(16).write.parquet("{VECS}")
+print("materialized")
+"""
+
+_OPS = {
+    "bm25": f"""
+d = spark.read.parquet("{DOCS}")
+from geocore_spark.operators import retrieval
+def pipe():
+    return retrieval.bm25_topk(
+        d, ["vector", "hash", "stream", "dup"], k=100
+    ).collect()
+""",
+    "dsir": f"""
+d = spark.read.parquet("{DOCS}")
+from pyspark.sql import functions as F
+from geocore_spark.operators import selection
+d = d.filter(F.col("doc_id") < 100_000)
+raw = d.filter(F.col("doc_id") % 50 != 0)
+tgt = d.filter(F.col("doc_id") % 50 == 0)
+def pipe():
+    w = selection.dsir_logweights(raw, tgt)
+    return w.agg(F.count(F.lit(1)), F.sum("n_tokens"), F.sum("logw")).collect()
+""",
+    "semdedup": f"""
+e = spark.read.parquet("{VECS}")
+from pyspark.sql import functions as F
+from geocore_spark.operators import similarity
+def pipe():
+    out = similarity.semdedup(e, n_clusters=141, threshold=0.97)
+    return out.agg(F.count(F.lit(1)), F.sum("is_dup")).collect()
+""",
+    "decontam_emb": f"""
+e = spark.read.parquet("{VECS}")
+from pyspark.sql import functions as F
+from geocore_spark.operators import similarity
+ev = e.filter(F.col("vec_id") % 100 == 0).select(
+    (F.col("vec_id") + 1_000_000).alias("vec_id"),
+    F.transform("embedding", lambda x: x + F.lit(0.005)).alias("embedding"),
+)
+def pipe():
+    out = similarity.semantic_decontam(e, ev, threshold=0.99)
+    return out.agg(F.count(F.lit(1)), F.sum("contaminated")).collect()
+""",
+}
+
+
+def _run(op: str, cpus: int) -> float:
+    code = f"""
+import json, time
+from geocore_spark.session import get_spark
+spark = get_spark("spot-{op}", master="local[{cpus}]", shuffle_partitions={max(cpus * 2, 8)})
+{_OPS[op]}
+pipe()  # warm: JIT, codegen, Python workers, parquet footer cache
+ts = []
+for _ in range(2):
+    t0 = time.time(); pipe(); ts.append(time.time() - t0)
+print(json.dumps({{"t": min(ts)}}))
+"""
+    out = subprocess.run(
+        _pinned(cpus) + [sys.executable, "-c", code],
+        env=dict(os.environ, PYTHONPATH=REPO),
+        capture_output=True,
+        text=True,
+        timeout=2400,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])["t"]
+
+
+def main() -> None:
+    ops = sys.argv[1:] or list(_OPS)
+    subprocess.run(
+        [sys.executable, "-c", _MATERIALIZE],
+        env=dict(os.environ, PYTHONPATH=REPO),
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    entry = {"ts": time.time(), "pinned": True, "ops": {}}
+    print("| operator | t(2) s | t(8) s | eff(2->8) |")
+    print("|---|---|---|---|")
+    for op in ops:
+        t2 = _run(op, 2)
+        t8 = _run(op, 8)
+        eff = t2 / (4 * t8)
+        entry["ops"][op] = {"2": round(t2, 2), "8": round(t8, 2)}
+        print(f"| {op} | {t2:.2f} | {t8:.2f} | {eff:.2f} |", flush=True)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "op_spots.jsonl"), "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
+if __name__ == "__main__":
+    main()
