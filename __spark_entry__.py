@@ -2880,6 +2880,109 @@ FROM powed CROSS JOIN tot ORDER BY source
 """
 
 
+_CLS_VOCAB = [
+    ("fast", 1.2),
+    ("data", 0.8),
+    ("query", 0.5),
+    ("spark", 0.9),
+    ("slow", -1.3),
+    ("scan", -0.4),
+    ("small", -0.2),
+]
+
+
+def q_classifier_score(spark, sf_dir):
+    """FastText-style linear quality-classifier apply
+    (classify.classifier_score): explicit-vocab bag-of-words dot product
+    in integer micro-units (order-independent), label = logit > 0. The
+    corpus-scale APPLY half of the curation classifier loop."""
+    from geocore_spark.operators import classify as cls
+
+    d = _t(spark, sf_dir, "documents")
+    return cls.classifier_score(d, _CLS_VOCAB, bias=-0.05).orderBy("doc_id")
+
+
+_SQL_CLASSIFIER_SCORE = """
+WITH vocab(term, w_micro) AS (
+  VALUES ('fast', 1200000), ('data', 800000), ('query', 500000),
+         ('spark', 900000), ('slow', -1300000), ('scan', -400000),
+         ('small', -200000)),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, CAST(COALESCE(len(t), 0) AS INT) AS n_tokens FROM toks),
+hits AS (
+  SELECT doc_id, CAST(SUM(v.w_micro) AS BIGINT) AS dot_micro
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) u
+  JOIN vocab v USING (term)
+  GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(h.dot_micro, 0) - 50000 AS BIGINT) AS logit_micro,
+       round(CAST(COALESCE(h.dot_micro, 0) - 50000 AS DOUBLE)
+             / CAST(1000000.0 AS DOUBLE), 6) AS logit,
+       CAST(CASE WHEN COALESCE(h.dot_micro, 0) - 50000 > 0
+                 THEN 1 ELSE 0 END AS INT) AS label
+FROM base b LEFT JOIN hits h USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated token-window profile
+    (dedup.duplicate_spans, Lee et al. 2022): per-doc counts of 3-token
+    windows shared verbatim with >= 2 distinct docs, floor-micro dup
+    ratio, and the longest consecutive duplicated run. Fully integer
+    output — value-exact by construction."""
+    from geocore_spark.operators import dedup as dd
+
+    d = _t(spark, sf_dir, "documents")
+    return dd.duplicate_spans(d, w=3).orderBy("doc_id")
+
+
+_SQL_DUPLICATE_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(greatest(COALESCE(len(t), 0) - 2, 0) AS BIGINT) AS n_windows
+  FROM toks),
+wins AS (
+  SELECT doc_id,
+         unnest(range(1, len(t) - 1)) AS pos,
+         unnest([array_to_string(t[i:i+2], ' ')
+                 for i in range(1, len(t) - 1)]) AS gram
+  FROM toks WHERE len(t) >= 3),
+dupg AS (
+  SELECT gram FROM wins GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+numbered AS (
+  SELECT w.doc_id, w.pos,
+         w.pos - row_number() OVER (PARTITION BY w.doc_id ORDER BY w.pos)
+           AS grp
+  FROM wins w JOIN dupg USING (gram)),
+runs AS (
+  SELECT doc_id, grp, COUNT(*) AS run_len
+  FROM numbered GROUP BY doc_id, grp),
+perdoc AS (
+  SELECT doc_id, CAST(SUM(run_len) AS BIGINT) AS dup_windows,
+         CAST(MAX(run_len) AS BIGINT) AS max_run
+  FROM runs GROUP BY doc_id)
+SELECT b.doc_id, b.n_windows,
+       CAST(COALESCE(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+       CAST(CASE WHEN b.n_windows > 0
+                 THEN (COALESCE(p.dup_windows, 0) * 1000000) // b.n_windows
+                 ELSE 0 END AS BIGINT) AS dup_ratio_micro,
+       CAST(COALESCE(p.max_run, 0) AS BIGINT) AS max_run
+FROM base b LEFT JOIN perdoc p USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -2957,6 +3060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        "classifier_score": q_classifier_score,
+        "duplicate_spans": q_duplicate_spans,
         "bm25_topk": q_bm25_topk,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
@@ -3059,6 +3164,8 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _SQL_SOURCE_OVERLAP,
         "geohash": _sql_geohash(),
         "temperature_mix": _SQL_TEMPERATURE_MIX,
+        "classifier_score": _SQL_CLASSIFIER_SCORE,
+        "duplicate_spans": _SQL_DUPLICATE_SPANS,
         "host_links": _SQL_HOST_LINKS,
         "anchor_corpus": _SQL_ANCHOR_CORPUS,
         "train_shuffle": _sql_train_shuffle(),

@@ -1,0 +1,117 @@
+"""Linear text-classifier scoring: fastText-style quality/topic model
+apply over the corpus.
+
+The workhorse of web-corpus curation (CCNet, fastText lid.176, the
+GPT-3/LLaMA "quality classifier" filters): a linear model over
+bag-of-words features, trained offline on a small labeled set, applied
+at corpus scale. This module implements the APPLY side — the part that
+has to run over 100 TB — as pure DataFrame algebra; training a linear
+model on a bounded labeled sample is a driver-side scikit-style step by
+design (same division of labor as the reference's modeling split,
+woodgilber/GeoCore modeling/train.py: the warehouse assembles features
+at scale, the model fits on the extracted frame).
+
+Score: ``logit(d) = bias + sum_t count(t, d) * w(t)`` over the model's
+vocabulary, ``label = logit > 0`` (binary) — the fastText linear layer
+with explicit-vocabulary features instead of hashed buckets, so the
+computation is exactly replayable in ANSI SQL.
+
+Float parity: weights are snapped to integer micro-units
+(``round(w * 1e6)``) once, per-doc accumulation is
+``SUM(count * w_micro)`` over BIGINTs — order-independent, the
+:mod:`operators.lm` trick — so Spark's partial-agg order can never
+drift a value-hash comparison. The double ``logit`` is derived from the
+integer at the end (one deterministic division).
+
+At 100 TB: the token stream is inner-joined to the broadcast vocabulary
+BEFORE any shuffle — out-of-vocabulary tokens (the vast majority) never
+leave the map side; the only shuffle is the per-doc partial-agg
+collapse, one row per (doc) after map-side combine. Docs with zero
+vocabulary hits are recovered by a left join from the id+length
+projection (no second scan of ``text`` — Catalyst prunes the scan to
+the id column on that side of the self-join... in practice the two
+branches share one cached/columnar scan; n_tokens rides the explode
+branch to keep it single-scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geocore_spark.functions import cleaning
+from geocore_spark.operators.lm import MICRO
+
+
+def classifier_score(
+    docs: DataFrame,
+    vocab_weights: list[tuple[str, float]],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document under an explicit-vocabulary linear model.
+
+    ``vocab_weights``: ``[(term, weight), ...]`` — the trained model
+    (typically 10^3-10^5 terms; broadcast). Terms must be distinct and
+    already in the canonical token form (:func:`cleaning.tokens`:
+    lowercase, whitespace-delimited).
+
+    Returns one row per input document:
+    ``(id_col, n_tokens, logit_micro BIGINT, logit DOUBLE, label INT)``
+    where ``logit_micro = round(bias*1e6) + sum count*round(w*1e6)``,
+    ``logit = logit_micro / 1e6`` and ``label = 1 iff logit_micro > 0``.
+    Null/empty text scores ``bias`` alone (0 tokens, like an empty doc).
+    """
+    terms = [t for t, _ in vocab_weights]
+    if len(set(terms)) != len(terms):
+        raise ValueError("vocab_weights terms must be distinct")
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(t, int(round(w * MICRO))) for t, w in vocab_weights],
+        ["__term", "__w_micro"],
+    )
+    bias_micro = int(round(bias * MICRO))
+
+    toks = docs.select(
+        F.col(id_col), cleaning.tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("__n_tokens", F.size("__toks"))
+    # size() is -1 for a null array (null text) — an empty doc has 0 tokens
+    toks = toks.withColumn(
+        "__n_tokens", F.greatest(F.col("__n_tokens"), F.lit(0))
+    )
+    base = toks.select(id_col, F.col("__n_tokens").alias("n_tokens"))
+
+    hits = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("__term"))
+        .join(F.broadcast(wdf), "__term")  # inner: OOV dies map-side
+        .groupBy(id_col)
+        .agg(F.sum("__w_micro").alias("__dot_micro"))
+    )
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (
+                F.coalesce(F.col("__dot_micro"), F.lit(0)).cast("bigint")
+                + F.lit(bias_micro)
+            ).alias("logit_micro"),
+        )
+        .withColumn(
+            "logit", F.round(F.col("logit_micro") / F.lit(MICRO), 6)
+        )
+        .withColumn(
+            "label", (F.col("logit_micro") > 0).cast("int")
+        )
+    )
+
+
+def probability(logit) -> Column:
+    """Sigmoid of a logit column — the calibrated-probability view.
+    Kept OUT of :func:`classifier_score`'s exact output on purpose:
+    ``exp()`` is libm-dependent across engines, so oracle-checked
+    pipelines should threshold on ``logit_micro`` and only materialize
+    probabilities at the consumption edge."""
+    c = F.col(logit) if isinstance(logit, str) else logit
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-c))

@@ -564,3 +564,111 @@ def cross_source_overlap(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    spans: bool = False,
+    hash_key: bool = False,
+) -> DataFrame:
+    """Exact duplicated-substring profile at token-window grain — the
+    ExactSubstr recipe (Lee et al. 2022, arXiv:2107.06499: dedup the
+    training set at the 50-token span level, not the whole-doc level).
+
+    A window = ``w`` consecutive canonical tokens (:func:`cleaning.tokens`
+    grain). A window string occurring in >= ``min_docs`` DISTINCT docs is
+    a duplicated span: boilerplate, licence headers, syndicated
+    paragraphs — exactly the verbatim-memorization surface whole-doc
+    MinHash misses. Complements :func:`substring_dup_pairs` (winnowing,
+    char grain, pair output): this one is exact at its grain, per-doc,
+    and yields the positions a scrubber needs.
+
+    Output, default (per-doc profile; fully integer, oracle-exact):
+    ``(id_col, n_windows, dup_windows, dup_ratio_micro, max_run)`` where
+    ``dup_ratio_micro = dup_windows * 1e6 div n_windows`` (floor) and
+    ``max_run`` is the longest run of consecutive duplicated windows —
+    a run of r windows covers a shared span of r + w - 1 tokens.
+    With ``spans=True``: ``(id_col, start_pos, run_len)`` — 1-based token
+    window positions of each maximal duplicated run, the scrub list.
+
+    Plan: one scan -> JVM window build (higher-order fns, no Python) ->
+    posexplode -> (a) gram-keyed agg for the >= min_docs distinct-doc
+    filter, (b) equi-join flagged grams back, (c) run-length via the
+    pos - row_number trick, per-doc partial-agg rollups. The window
+    stream is persisted (read by (a) and (b)). Shuffle key is the gram
+    STRING by default (exact, SQL-replayable); ``hash_key=True`` keys
+    both passes on ``xxhash64(gram)`` instead — 8-byte shuffle rows, the
+    100 TB lever, exact modulo 64-bit collisions. Skew: a gram in f docs
+    costs f rows in one bucket (linear, never pairwise) — no cap needed.
+    """
+    from geocore_spark.functions import cleaning
+    from geocore_spark.operators import ensure_parallelism
+
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), cleaning.tokens(F.col(text_col)).alias("__t")
+    )
+    base = toks.select(
+        F.col(id_col),
+        F.greatest(F.size("__t") - (w - 1), F.lit(0))
+        .cast("bigint")
+        .alias("n_windows"),
+    )
+    wins = (
+        toks.select(
+            F.col(id_col),
+            F.posexplode(cleaning.word_ngrams(F.col("__t"), w)).alias(
+                "__p0", "gram"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__p0") + 1).alias("pos"),
+            (F.xxhash64("gram") if hash_key else F.col("gram")).alias(
+                "__key"
+            ),
+        )
+        .persist()
+    )
+    dup_keys = (
+        wins.groupBy("__key")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__key")
+    )
+    flagged = wins.join(dup_keys, "__key").select(id_col, "pos")
+    rn = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        flagged.withColumn("__grp", F.col("pos") - F.row_number().over(rn))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+        )
+    )
+    if spans:
+        return runs.select(id_col, "start_pos", "run_len")
+    perdoc = runs.groupBy(id_col).agg(
+        F.sum("run_len").cast("bigint").alias("dup_windows"),
+        F.max("run_len").cast("bigint").alias("max_run"),
+    )
+    return base.join(perdoc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_windows"),
+        F.coalesce(F.col("dup_windows"), F.lit(0)).cast("bigint").alias(
+            "dup_windows"
+        ),
+        F.when(
+            F.col("n_windows") > 0,
+            F.expr("coalesce(dup_windows, 0L) * 1000000L div n_windows"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("dup_ratio_micro"),
+        F.coalesce(F.col("max_run"), F.lit(0)).cast("bigint").alias("max_run"),
+    )

@@ -1,0 +1,124 @@
+"""Tests for the linear classifier scorer (operators/classify.py) and the
+ExactSubstr token-window duplicate-span profile (dedup.duplicate_spans)."""
+
+import pytest
+
+from geocore_spark.operators import classify as cls
+from geocore_spark.operators import dedup as dd
+
+
+def test_classifier_score_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "fast data fast query"),   # 2*1.2 + 0.8 + 0.5 = 3.7
+            (2, "slow slow scan"),         # 2*-1.3 + -0.4 = -3.0
+            (3, "unknown words only"),     # bias only
+            (4, ""),                       # empty -> bias only, 0 tokens
+            (5, None),                     # null -> bias only, 0 tokens
+        ],
+        ["doc_id", "text"],
+    )
+    w = [("fast", 1.2), ("data", 0.8), ("query", 0.5), ("slow", -1.3), ("scan", -0.4)]
+    out = {
+        r["doc_id"]: r
+        for r in cls.classifier_score(docs, w, bias=-0.05).collect()
+    }
+    assert out[1]["logit_micro"] == 3_700_000 - 50_000
+    assert out[1]["label"] == 1 and out[1]["n_tokens"] == 4
+    assert out[2]["logit_micro"] == -3_000_000 - 50_000
+    assert out[2]["label"] == 0
+    for i in (3, 4, 5):
+        assert out[i]["logit_micro"] == -50_000 and out[i]["label"] == 0
+    assert out[4]["n_tokens"] == 0 and out[5]["n_tokens"] == 0
+    assert out[1]["logit"] == pytest.approx(3.65)
+    # duplicate vocab terms refused
+    with pytest.raises(ValueError):
+        cls.classifier_score(docs, [("a", 1.0), ("a", 2.0)])
+
+
+def test_classifier_case_and_count_sensitivity(spark):
+    # canonical tokenizer lowercases; term frequency multiplies the weight
+    docs = spark.createDataFrame([(1, "Fast FAST fast")], ["doc_id", "text"])
+    r = cls.classifier_score(docs, [("fast", 0.5)]).collect()[0]
+    assert r["logit_micro"] == 1_500_000 and r["n_tokens"] == 3
+
+
+def test_probability_is_sigmoid(spark):
+    import math
+
+    docs = spark.createDataFrame([(1, "fast")], ["doc_id", "text"])
+    out = (
+        cls.classifier_score(docs, [("fast", 2.0)])
+        .withColumn("p", cls.probability("logit"))
+        .collect()[0]
+    )
+    assert out["p"] == pytest.approx(1 / (1 + math.exp(-2.0)))
+
+
+def _span_docs(spark):
+    # docs 1 and 2 share the 5-token run "a b c d e" (=> 3 shared 3-gram
+    # windows, consecutive); doc 3 shares nothing; doc 4 repeats ITS OWN
+    # phrase (within-doc, must NOT count at min_docs=2)
+    return spark.createDataFrame(
+        [
+            (1, "x a b c d e y z"),
+            (2, "q a b c d e"),
+            (3, "one two three four five"),
+            (4, "p p p p p p"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_duplicate_spans_profile(spark):
+    out = {
+        r["doc_id"]: r
+        for r in dd.duplicate_spans(_span_docs(spark), w=3).collect()
+    }
+    # doc1: 8 tokens -> 6 windows; windows at pos 2,3,4 duplicated
+    assert out[1]["n_windows"] == 6
+    assert out[1]["dup_windows"] == 3 and out[1]["max_run"] == 3
+    assert out[1]["dup_ratio_micro"] == 3 * 1_000_000 // 6
+    # doc2: 6 tokens -> 4 windows; pos 2,3,4 duplicated
+    assert out[2]["n_windows"] == 4
+    assert out[2]["dup_windows"] == 3 and out[2]["max_run"] == 3
+    # doc3 clean; doc4 self-repeats only -> not cross-doc duplicated
+    assert out[3]["dup_windows"] == 0 and out[3]["max_run"] == 0
+    assert out[4]["dup_windows"] == 0
+    assert out[4]["n_windows"] == 4  # still profiled
+
+
+def test_duplicate_spans_spans_mode_and_run_math(spark):
+    spans = {
+        (r["doc_id"], r["start_pos"]): r["run_len"]
+        for r in dd.duplicate_spans(_span_docs(spark), w=3, spans=True).collect()
+    }
+    # doc1's run starts at window pos 2 ('a b c'), 3 windows long
+    assert spans[(1, 2)] == 3
+    assert spans[(2, 2)] == 3
+    # run of r windows covers r + w - 1 = 5 tokens = the shared phrase
+    assert 3 + 3 - 1 == 5
+
+
+def test_duplicate_spans_hash_key_matches_string_key(spark):
+    docs = _span_docs(spark)
+    a = sorted(
+        tuple(r) for r in dd.duplicate_spans(docs, w=3).collect()
+    )
+    b = sorted(
+        tuple(r) for r in dd.duplicate_spans(docs, w=3, hash_key=True).collect()
+    )
+    assert a == b
+
+
+def test_duplicate_spans_short_and_null_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r for r in dd.duplicate_spans(docs, w=3).collect()
+    }
+    for i in (1, 2, 3):
+        assert out[i]["n_windows"] == 0 and out[i]["dup_ratio_micro"] == 0
+    with pytest.raises(ValueError):
+        dd.duplicate_spans(docs, w=0)
