@@ -2880,6 +2880,63 @@ FROM powed CROSS JOIN tot ORDER BY source
 """
 
 
+def q_wet_ingest(spark, sf_dir):
+    """Common Crawl WET connector (rows-only): write two extracted-text
+    segments — one plain, one gzip, each led by the warcinfo record a
+    real segment starts with — read back via sources/warc.read_wet, and
+    compose with the canonical tokenizer (token count + md5 of url+text).
+    Deterministic content, hermetic fixed temp dir (same policy as
+    warc_roundtrip)."""
+    import hashlib
+    import tempfile
+
+    from geocore_spark.functions import cleaning
+    from geocore_spark.sources import warc as wc
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"wet_rt_{spark.sparkContext.applicationId}"
+    )
+    os.makedirs(d, exist_ok=True)
+    for shard, compress in (("a", False), ("b", True)):
+        records = []
+        for i in range(100):
+            idx = i if shard == "a" else 100 + i
+            url = f"https://example.org/{shard}/{idx}"
+            ts = f"2024-01-01T{idx // 60:02d}:{idx % 60:02d}:00Z"
+            words = " ".join(
+                hashlib.md5(f"{idx}:{j}".encode()).hexdigest()[:6]
+                for j in range(idx % 7 + 1)
+            )
+            records.append((url, ts, f"doc {idx} {words}"))
+        path = f"{d}/{shard}.warc.wet" + (".gz" if compress else "")
+        wc.write_wet(records, path, compress=compress)
+        # prepend the warcinfo header record (type-filtered by the reader)
+        info = b"software: geocore-test\r\n"
+        head = (
+            "WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            f"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: {len(info)}\r\n"
+        ).encode()
+        blob = head + b"\r\n" + info + b"\r\n\r\n"
+        with open(path, "rb") as f:
+            body = f.read()
+        if compress:
+            import gzip as _gz
+
+            blob = _gz.compress(blob) + body  # concatenated gzip members
+        else:
+            blob = blob + body
+        with open(path, "wb") as f:
+            f.write(blob)
+    df = wc.read_wet(spark, f"{d}/*.warc.wet*")
+    return df.select(
+        "url",
+        F.size(cleaning.tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(
+            F.concat(F.col("url").cast("binary"), F.col("text").cast("binary"))
+        ).alias("fingerprint"),
+    ).orderBy("url")
+
+
 _CLS_VOCAB = [
     ("fast", 1.2),
     ("data", 0.8),
@@ -3102,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learned": q_bpe_learned,
         "sketch_profile": q_sketch_profile,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "wet_ingest": q_wet_ingest,
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
         "host_centrality": q_host_centrality,

@@ -63,6 +63,8 @@ def classifier_score(
     ``logit = logit_micro / 1e6`` and ``label = 1 iff logit_micro > 0``.
     Null/empty text scores ``bias`` alone (0 tokens, like an empty doc).
     """
+    if not vocab_weights:
+        raise ValueError("vocab_weights must be non-empty")
     terms = [t for t, _ in vocab_weights]
     if len(set(terms)) != len(terms):
         raise ValueError("vocab_weights terms must be distinct")

@@ -138,3 +138,80 @@ def write_warc(records: list[tuple[str, str, bytes]], path: str, compress: bool 
         blob = gzip.compress(blob)
     with open(path, "wb") as f:
         f.write(blob)
+
+
+# --- WET / WAT: the Common Crawl derived formats --------------------------
+# WET = extracted plain text (WARC-Type: conversion, UTF-8 payload),
+# WAT = per-page metadata (WARC-Type: metadata, JSON payload). Both reuse
+# the WARC record framing above; the only difference is record type and
+# payload decoding — which stays JVM-side (F.decode), no extra Python.
+
+WET_SCHEMA = "url string, warc_ts timestamp, text string"
+WAT_SCHEMA = "url string, warc_ts timestamp, meta string"
+
+
+def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WET (extracted-text) archives -> documents-shaped DataFrame
+    (url, warc_ts, text). 'conversion' records only; the warcinfo header
+    record every CC segment starts with is dropped by the type filter.
+    Feed straight into the text operators (dedup, lang, quality)."""
+    from pyspark.sql import functions as F
+
+    df = read_warc(spark, path_glob, responses_only=False)
+    return (
+        df.filter(df["warc_type"] == "conversion")
+        .select("url", "warc_ts", F.decode("html", "UTF-8").alias("text"))
+    )
+
+
+def read_wat(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WAT (metadata) archives -> (url, warc_ts, meta) with ``meta`` the
+    raw JSON envelope string — pair with get_json_object /
+    from_json (the json_extract query's machinery) to project fields."""
+    from pyspark.sql import functions as F
+
+    df = read_warc(spark, path_glob, responses_only=False)
+    return (
+        df.filter(df["warc_type"] == "metadata")
+        .select("url", "warc_ts", F.decode("html", "UTF-8").alias("meta"))
+    )
+
+
+def _write_derived(
+    records: list[tuple[str, str, str]],
+    path: str,
+    warc_type: str,
+    content_type: str,
+    compress: bool = False,
+) -> None:
+    chunks = []
+    for url, ts, text in records:
+        payload = text.encode("utf-8")
+        head = (
+            f"WARC/1.0\r\nWARC-Type: {warc_type}\r\nWARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts}\r\nContent-Type: {content_type}\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+        ).encode()
+        chunks.append(head + b"\r\n" + payload + b"\r\n\r\n")
+    blob = b"".join(chunks)
+    if compress:
+        blob = gzip.compress(blob)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def write_wet(
+    records: list[tuple[str, str, str]], path: str, compress: bool = False
+) -> None:
+    """(url, iso_ts, text) -> WET file (fixture writer, round-trips
+    through read_wet)."""
+    _write_derived(records, path, "conversion", "text/plain", compress)
+
+
+def write_wat(
+    records: list[tuple[str, str, str]], path: str, compress: bool = False
+) -> None:
+    """(url, iso_ts, json_str) -> WAT file (fixture writer)."""
+    _write_derived(
+        records, path, "metadata", "application/json", compress
+    )

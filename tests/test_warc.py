@@ -63,3 +63,51 @@ def test_per_record_gzip_members(tmp_path):
     got = warc.parse_warc_bytes(blob)
     assert [r["url"] for r in got] == [u for u, _, _ in RECS]
     assert got[0]["html"] == RECS[0][2]
+
+
+WET_RECS = [
+    ("https://a.example/p/1", "2025-03-01T12:00:00Z", "hello extracted text"),
+    ("https://b.example/p/2", "2025-03-01T12:05:00Z", "unicode 日本語 body"),
+]
+
+
+def test_wet_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "seg.warc.wet")
+    warc.write_wet(WET_RECS, p)
+    # a real WET segment starts with a warcinfo record — the reader must
+    # drop it via the type filter
+    info = 'software: test\r\n'.encode("utf-8")
+    head = (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        f"WARC-Date: 2025-03-01T00:00:00Z\r\nContent-Length: {len(info)}\r\n"
+    ).encode()
+    with open(p, "rb") as f:
+        body = f.read()
+    with open(p, "wb") as f:
+        f.write(head + b"\r\n" + info + b"\r\n\r\n" + body)
+    got = {r["url"]: r for r in warc.read_wet(spark, p).collect()}
+    assert set(got) == {u for u, _, _ in WET_RECS}
+    assert got["https://b.example/p/2"]["text"] == "unicode 日本語 body"
+    assert got["https://a.example/p/1"]["warc_ts"] is not None
+
+
+def test_wet_gzip(spark, tmp_path):
+    p = str(tmp_path / "seg.warc.wet.gz")
+    warc.write_wet(WET_RECS, p, compress=True)
+    assert warc.read_wet(spark, p).count() == 2
+
+
+def test_wat_json_extraction(spark, tmp_path):
+    p = str(tmp_path / "seg.warc.wat")
+    warc.write_wat(
+        [
+            ("https://a.example/p/1", "2025-03-01T12:00:00Z",
+             '{"Envelope": {"status": 200, "links": 3}}'),
+        ],
+        p,
+    )
+    df = warc.read_wat(spark, p)
+    row = df.select(
+        "url", F.get_json_object("meta", "$.Envelope.status").alias("status")
+    ).collect()[0]
+    assert row["status"] == "200"
