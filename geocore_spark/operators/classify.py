@@ -23,15 +23,13 @@ Float parity: weights are snapped to integer micro-units
 drift a value-hash comparison. The double ``logit`` is derived from the
 integer at the end (one deterministic division).
 
-At 100 TB: the token stream is inner-joined to the broadcast vocabulary
-BEFORE any shuffle — out-of-vocabulary tokens (the vast majority) never
-leave the map side; the only shuffle is the per-doc partial-agg
-collapse, one row per (doc) after map-side combine. Docs with zero
-vocabulary hits are recovered by a left join from the id+length
-projection (no second scan of ``text`` — Catalyst prunes the scan to
-the id column on that side of the self-join... in practice the two
-branches share one cached/columnar scan; n_tokens rides the explode
-branch to keep it single-scan).
+At 100 TB: ONE corpus scan — the token stream is left-joined to the
+broadcast vocabulary and a single per-doc hash aggregate computes both
+the token count and the weighted sum; out-of-vocabulary tokens carry a
+null weight that the partial agg collapses map-side, so the only
+shuffle is one row per doc. (An inner join + re-join-to-base variant
+reads the text column twice and adds a sort-merge join — strictly
+worse; verified via .explain.)
 """
 
 from __future__ import annotations
@@ -75,23 +73,21 @@ def classifier_score(
     )
     bias_micro = int(round(bias * MICRO))
 
-    toks = docs.select(
-        F.col(id_col), cleaning.tokens(F.col(text_col)).alias("__toks")
-    ).withColumn("__n_tokens", F.size("__toks"))
-    # size() is -1 for a null array (null text) — an empty doc has 0 tokens
-    toks = toks.withColumn(
-        "__n_tokens", F.greatest(F.col("__n_tokens"), F.lit(0))
-    )
-    base = toks.select(id_col, F.col("__n_tokens").alias("n_tokens"))
-
-    hits = (
-        toks.select(F.col(id_col), F.explode("__toks").alias("__term"))
-        .join(F.broadcast(wdf), "__term")  # inner: OOV dies map-side
-        .groupBy(id_col)
-        .agg(F.sum("__w_micro").alias("__dot_micro"))
+    # explode_outer keeps empty/null docs as one null-term row, so every
+    # input doc survives to the aggregate (n_tokens = count of non-null
+    # terms = 0 for them); OOV terms get a null weight from the left
+    # join, which sum() skips and the map-side partial agg collapses
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode_outer(cleaning.tokens(F.col(text_col))).alias("__term"),
     )
     return (
-        base.join(hits, id_col, "left")
+        exploded.join(F.broadcast(wdf), "__term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("__term").cast("int").alias("n_tokens"),
+            F.sum("__w_micro").alias("__dot_micro"),
+        )
         .select(
             F.col(id_col),
             F.col("n_tokens"),

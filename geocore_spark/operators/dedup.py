@@ -595,11 +595,14 @@ def duplicate_spans(
     With ``spans=True``: ``(id_col, start_pos, run_len)`` — 1-based token
     window positions of each maximal duplicated run, the scrub list.
 
-    Plan: one scan -> JVM window build (higher-order fns, no Python) ->
-    posexplode -> (a) gram-keyed agg for the >= min_docs distinct-doc
-    filter, (b) equi-join flagged grams back, (c) run-length via the
-    pos - row_number trick, per-doc partial-agg rollups. The window
-    stream is persisted (read by (a) and (b)). Shuffle key is the gram
+    Plan: one scan -> tokenize -> persist the TOKEN frame (~input-sized;
+    never the w-times-expanded window stream, which at 100 TB would be a
+    multi-hundred-TB cache) -> JVM window build (higher-order fns, no
+    Python; recomputed per consumer, cheap codegen) -> (a) gram-keyed
+    agg for the >= min_docs distinct-doc filter, (b) equi-join flagged
+    grams back, (c) run-length via the pos - row_number trick, per-doc
+    partial-agg rollups; the per-doc window count also reads the cached
+    tokens, so ``text`` is scanned exactly once. Shuffle key is the gram
     STRING by default (exact, SQL-replayable); ``hash_key=True`` keys
     both passes on ``xxhash64(gram)`` instead — 8-byte shuffle rows, the
     100 TB lever, exact modulo 64-bit collisions. Skew: a gram in f docs
@@ -610,8 +613,10 @@ def duplicate_spans(
 
     if w < 1:
         raise ValueError("w must be >= 1")
-    toks = ensure_parallelism(df).select(
-        F.col(id_col), cleaning.tokens(F.col(text_col)).alias("__t")
+    toks = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), cleaning.tokens(F.col(text_col)).alias("__t"))
+        .persist()  # read 3x (base + both window passes); ~input-sized
     )
     base = toks.select(
         F.col(id_col),
@@ -619,21 +624,15 @@ def duplicate_spans(
         .cast("bigint")
         .alias("n_windows"),
     )
-    wins = (
-        toks.select(
-            F.col(id_col),
-            F.posexplode(cleaning.word_ngrams(F.col("__t"), w)).alias(
-                "__p0", "gram"
-            ),
-        )
-        .select(
-            F.col(id_col),
-            (F.col("__p0") + 1).alias("pos"),
-            (F.xxhash64("gram") if hash_key else F.col("gram")).alias(
-                "__key"
-            ),
-        )
-        .persist()
+    wins = toks.select(
+        F.col(id_col),
+        F.posexplode(cleaning.word_ngrams(F.col("__t"), w)).alias(
+            "__p0", "gram"
+        ),
+    ).select(
+        F.col(id_col),
+        (F.col("__p0") + 1).alias("pos"),
+        (F.xxhash64("gram") if hash_key else F.col("gram")).alias("__key"),
     )
     dup_keys = (
         wins.groupBy("__key")
