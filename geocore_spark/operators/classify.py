@@ -113,3 +113,82 @@ def probability(logit) -> Column:
     probabilities at the consumption edge."""
     c = F.col(logit) if isinstance(logit, str) else logit
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-c))
+
+
+def fit_linear(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    vocab_size: int = 500,
+    max_samples: int = 10_000,
+    l2: float = 1e-3,
+    epochs: int = 200,
+    lr: float = 0.5,
+) -> tuple[list[tuple[str, float]], float]:
+    """Fit the linear model :func:`classifier_score` applies: logistic
+    regression over bag-of-words counts, trained on a BOUNDED labeled
+    sample — the CCNet/fastText division of labor (the labeled set is
+    small by definition: wiki-vs-crawl, human quality labels), so the
+    fit is a deterministic driver-side numpy step while featurization
+    and scoring stay distributed.
+
+    Distributed: vocabulary selection = top ``vocab_size`` terms by
+    document frequency over the sample (explode -> distinct-doc agg ->
+    top-k, ties broken by term so the vocab is deterministic).
+    Driver-side: full-batch gradient descent with L2 (no stochastic
+    order-dependence — same data -> same model, bit-for-bit).
+
+    Returns ``(vocab_weights, bias)`` ready for :func:`classifier_score`.
+    ``labeled`` needs ``label_col`` in {0, 1}; rows beyond
+    ``max_samples`` are ignored (deterministically: ordered by a
+    fingerprint of the text, not storage order).
+    """
+    import numpy as np
+
+    sample = (
+        labeled.select(
+            F.col(text_col).alias("__text"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .orderBy(F.xxhash64("__text"), "__text")
+        .limit(max_samples)
+    ).persist()
+
+    vocab_rows = (
+        sample.select(
+            F.xxhash64("__text").alias("__doc"),
+            F.explode(cleaning.tokens(F.col("__text"))).alias("__term"),
+        )
+        .groupBy("__term")
+        .agg(F.countDistinct("__doc").alias("__df"))
+        .orderBy(F.desc("__df"), "__term")
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = [r["__term"] for r in vocab_rows]
+    if not vocab:
+        raise ValueError("no tokens in the labeled sample")
+    index = {t: i for i, t in enumerate(vocab)}
+
+    pdf = sample.toPandas()
+    sample.unpersist()
+    n, v = len(pdf), len(vocab)
+    X = np.zeros((n, v), dtype=np.float64)
+    for row_i, text in enumerate(pdf["__text"]):
+        if text is None:
+            continue
+        for tok in str(text).lower().split():
+            j = index.get(tok)
+            if j is not None:
+                X[row_i, j] += 1.0
+    y = pdf["__y"].to_numpy(dtype=np.float64)
+
+    w = np.zeros(v)
+    b = 0.0
+    for _ in range(epochs):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+        g = p - y
+        w -= lr * ((X.T @ g) / n + l2 * w)
+        b -= lr * float(g.mean())
+    return list(zip(vocab, w.tolist())), b

@@ -122,3 +122,43 @@ def test_duplicate_spans_short_and_null_docs(spark):
         assert out[i]["n_windows"] == 0 and out[i]["dup_ratio_micro"] == 0
     with pytest.raises(ValueError):
         dd.duplicate_spans(docs, w=0)
+
+
+def test_fit_linear_end_to_end(spark):
+    # separable corpus: positives talk about good/fast/clean, negatives
+    # about spam/slow/junk, with shared filler words
+    import random
+
+    rng = random.Random(7)
+    pos_w, neg_w = ["good", "fast", "clean"], ["spam", "slow", "junk"]
+    filler = ["the", "a", "data", "row", "table"]
+    rows = []
+    for i in range(400):
+        y = i % 2
+        src = pos_w if y else neg_w
+        words = [rng.choice(src) for _ in range(5)] + [
+            rng.choice(filler) for _ in range(8)
+        ]
+        rng.shuffle(words)
+        rows.append((i, " ".join(words), y))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+    weights, bias = cls.fit_linear(df, vocab_size=20, max_samples=400)
+    terms = dict(weights)
+    # signal words got signed weights in the right direction
+    assert all(terms[t] > 0 for t in pos_w)
+    assert all(terms[t] < 0 for t in neg_w)
+
+    scored = cls.classifier_score(df, weights, bias=bias).withColumnRenamed(
+        "label", "pred"
+    )
+    acc = (
+        scored.join(df.select("doc_id", "label"), "doc_id")
+        .selectExpr("avg(cast(pred = label as int)) as acc")
+        .collect()[0]["acc"]
+    )
+    assert acc > 0.95
+
+    # determinism: same input -> identical model
+    weights2, bias2 = cls.fit_linear(df, vocab_size=20, max_samples=400)
+    assert weights2 == weights and bias2 == bias
