@@ -21,6 +21,12 @@ Stages (each a checkpointed snapshot; --resume skips committed stages):
                    LM; the rest of the corpus is scored by target/raw
                    log-likelihood ratio and only the top f fraction (plus
                    the seed itself) continues downstream
+  4d. clsfilter  : optional (--classifier-filter) fastText-style gate —
+                   bootstrap labels from the heuristic quality signal
+                   (top/bottom-20% KLL slices), fit the linear model on a
+                   bounded sample driver-side, apply distributed and keep
+                   label=1 docs (every doc is scorable: empty text scores
+                   the bias, so nothing vanishes silently)
   5. mix         : stratified source rates + deterministic train/eval split
   6. chunks      : overlapping passage chunking
   7. pack        : FFD sequence packing to the token budget
@@ -43,7 +49,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from geocore_spark.functions import cleaning as cl, text as tx
-from geocore_spark.operators import decontam, dedup, lm, packing, sampling, selection
+from geocore_spark.operators import classify, decontam, dedup, lm, packing, sampling, selection
 from geocore_spark.operators import sketches as sk
 from geocore_spark.plans.checkpoint import StageCheckpoint
 from geocore_spark.plans.lineage import LineageLog, observed
@@ -67,6 +73,13 @@ def main(argv: list[str] | None = None) -> None:
         help="optional CCNet-style LM filter: drop docs whose bigram-LM "
         "cross-entropy exceeds this corpus quantile (e.g. 0.9); off by "
         "default so the pinned 7-stage shape is unchanged",
+    )
+    ap.add_argument(
+        "--classifier-filter",
+        action="store_true",
+        help="add the clsfilter stage: quality-bootstrapped linear "
+        "classifier gate; off by default so the pinned 7-stage shape "
+        "is unchanged",
     )
     ap.add_argument(
         "--dsir-frac",
@@ -213,6 +226,40 @@ def main(argv: list[str] | None = None) -> None:
             return clean.join(keep_ids, "doc_id", "left_semi")
 
         clean = staged("dsir", build_dsir)
+
+    if args.classifier_filter:
+
+        def build_clsfilter():
+            # bootstrap labels from the heuristic quality signal: the
+            # top-20% slice is the positive class, the bottom-20% the
+            # negative (same no-external-labels bootstrap as the dsir
+            # stage); the middle 60% is what the model actually decides
+            qs = sk.quantile_estimates(
+                sk.sketch_quantiles(clean, "quality"), [0.2, 0.8]
+            ).select(
+                F.col("q_0_2").alias("__lo"), F.col("q_0_8").alias("__hi")
+            )
+            flagged = clean.crossJoin(F.broadcast(qs))
+            labeled = flagged.filter(
+                (F.col("quality") <= F.col("__lo"))
+                | (F.col("quality") >= F.col("__hi"))
+            ).select(
+                "text",
+                (F.col("quality") >= F.col("__hi")).cast("int").alias(
+                    "label"
+                ),
+            )
+            weights, bias = classify.fit_linear(
+                labeled, vocab_size=256, max_samples=5_000
+            )
+            keep = (
+                classify.classifier_score(clean, weights, bias=bias)
+                .filter(F.col("label") == 1)
+                .select("doc_id")
+            )
+            return clean.join(keep, "doc_id", "left_semi")
+
+        clean = staged("clsfilter", build_clsfilter)
 
     def build_mix():
         mixed = sampling.stratified_sample(

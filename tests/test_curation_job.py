@@ -98,3 +98,23 @@ def test_dsir_stage_optional(tmp_path):
         if "stage decontam" in s
     )
     assert 0 < dsir_rows < decon_rows
+
+
+def test_classifier_filter_stage_optional(tmp_path):
+    """--classifier-filter adds the clsfilter stage: a quality-
+    bootstrapped linear gate that keeps a non-empty strict subset."""
+    ckpt = str(tmp_path / "ckpt_cls")
+    summary, stages = _run(ckpt, ["--classifier-filter"])
+    assert any("[stage clsfilter]" in s for s in stages)
+    cls_rows = next(
+        int(s.split("rows=")[1].split()[0])
+        for s in stages
+        if "stage clsfilter" in s
+    )
+    decon_rows = next(
+        int(s.split("rows=")[1].split()[0])
+        for s in stages
+        if "stage decontam" in s
+    )
+    assert 0 < cls_rows < decon_rows
+    assert 0 < summary["docs_mixed"] <= cls_rows
