@@ -96,6 +96,33 @@ def pipe():
     out = similarity.semantic_decontam(e, ev, threshold=0.99)
     return out.agg(F.count(F.lit(1)), F.sum("contaminated")).collect()
 """,
+    "classifier": f"""
+d = spark.read.parquet("{DOCS}")
+from pyspark.sql import functions as F
+from geocore_spark.operators import classify
+VOCAB = [
+    (w, (0.7 if i % 2 else -0.9) + i * 1e-4)
+    for i, w in enumerate(
+        ["vector", "hash", "stream", "dup", "table",
+         "row", "scan", "fast", "slow", "data"]
+    )
+]
+def pipe():
+    s = classify.classifier_score(d, VOCAB, bias=-0.05)
+    return s.agg(
+        F.count(F.lit(1)), F.sum("logit_micro"), F.sum("label")
+    ).collect()
+""",
+    "dup_spans": f"""
+d = spark.read.parquet("{DOCS}")
+from pyspark.sql import functions as F
+from geocore_spark.operators import dedup
+def pipe():
+    out = dedup.duplicate_spans(d, w=8, hash_key=True)
+    return out.agg(
+        F.count(F.lit(1)), F.sum("dup_windows"), F.max("max_run")
+    ).collect()
+""",
 }
 
 
