@@ -302,3 +302,37 @@ def test_geohash_pure_column_no_python(spark, sf_dir):
     assert "CartesianProduct" not in p
     # exactly one shuffle: the gh4 prefix-count window
     assert p.count("Exchange (") <= 1
+
+
+def test_classifier_score_single_scan_single_shuffle(spark, sf_dir):
+    """One corpus scan, vocab broadcast (LEFT, never sort-merge), and the
+    only shuffle is the per-doc partial-agg collapse — the plan the
+    module docstring promises. A regression to the two-scan inner-join +
+    re-join shape doubles the 100 TB read and adds an SMJ."""
+    import re as _re
+
+    p = _formatted(em.q_classifier_score(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    # exactly one HASH shuffle (the per-doc agg collapse); the range
+    # exchange is the query wrapper's output orderBy, not the operator
+    hash_shuffles = _re.findall(r"Arguments: hashpartitioning", p)
+    assert len(hash_shuffles) == 1, p
+
+
+def test_duplicate_spans_caches_tokens_not_windows(spark, sf_dir):
+    """The persisted frame is the token array (~input-sized), never the
+    w-times-expanded window stream; text is read from parquet exactly
+    once (every consumer derives from the cache)."""
+    import re as _re
+
+    p = _formatted(em.q_duplicate_spans(spark, sf_dir))
+    assert "InMemoryRelation" in p
+    assert len(set(_re.findall(r"\((\d+)\) Scan parquet", p))) == 1
+    # the cached relation holds the token array, pre-posexplode
+    cache_args = _re.findall(
+        r"\(\d+\) InMemoryRelation\nArguments: ([^\n]*)", p
+    )
+    assert cache_args and all("__t" in a for a in cache_args), cache_args
+    assert not any("gram" in a for a in cache_args), cache_args
