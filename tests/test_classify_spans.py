@@ -162,3 +162,57 @@ def test_fit_linear_end_to_end(spark):
     # determinism: same input -> identical model
     weights2, bias2 = cls.fit_linear(df, vocab_size=20, max_samples=400)
     assert weights2 == weights and bias2 == bias
+
+
+def test_duplicate_spans_agrees_with_bruteforce(spark):
+    """Randomized agreement with an independent driver-side reference:
+    windows, cross-doc duplicate flags, totals and max runs computed in
+    plain Python over small random corpora (3 seeds)."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "d"]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+            for i in range(25)
+        ]
+        w = 3
+        wins = {
+            i: [
+                " ".join(t.split()[p : p + w])
+                for p in range(len(t.split()) - w + 1)
+            ]
+            for i, t in docs
+        }
+        docs_of = {}
+        for i, gs in wins.items():
+            for g in set(gs):
+                docs_of.setdefault(g, set()).add(i)
+        expect = {}
+        for i, gs in wins.items():
+            flags = [len(docs_of[g]) >= 2 for g in gs]
+            runs, cur = [], 0
+            for fl in flags:
+                cur = cur + 1 if fl else 0
+                if cur:
+                    runs.append(cur)
+            expect[i] = (
+                len(gs),
+                sum(flags),
+                (sum(flags) * 1_000_000) // len(gs) if gs else 0,
+                max(runs) if runs else 0,
+            )
+        from geocore_spark.operators import dedup as dd2
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (
+                r["n_windows"],
+                r["dup_windows"],
+                r["dup_ratio_micro"],
+                r["max_run"],
+            )
+            for r in dd2.duplicate_spans(df, w=w).collect()
+        }
+        assert got == expect, f"seed={seed}"
