@@ -2937,6 +2937,35 @@ def q_wet_ingest(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_classifier_loop(spark, sf_dir):
+    """Full classifier loop under the gate (rows-only — training is not
+    SQL-expressible): bootstrap labels from a fixed length threshold
+    (n_chars >= 306, the corpus median), fit the linear model
+    (classify.fit_linear: distributed vocab, deterministic driver-side
+    full-batch logreg — same data, same model bit-for-bit), apply it
+    distributed and roll up predictions per source. Deterministic end to
+    end, so repeated gate runs hash identically."""
+    from geocore_spark.operators import classify as cls
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = d.select(
+        "text", (F.col("n_chars") >= 306).cast("int").alias("label")
+    )
+    weights, bias = cls.fit_linear(
+        labeled, vocab_size=64, max_samples=2_000
+    )
+    scored = cls.classifier_score(d, weights, bias=bias)
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("logit_micro").alias("sum_logit_micro"),
+        )
+        .orderBy("label")
+    )
+
+
 _CLS_VOCAB = [
     ("fast", 1.2),
     ("data", 0.8),
@@ -3160,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_profile": q_sketch_profile,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "wet_ingest": q_wet_ingest,
+        "classifier_loop": q_classifier_loop,
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
         "host_centrality": q_host_centrality,
