@@ -671,3 +671,62 @@ def duplicate_spans(
         .alias("dup_ratio_micro"),
         F.coalesce(F.col("max_run"), F.lit(0)).cast("bigint").alias("max_run"),
     )
+
+
+def scrub_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    w: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove duplicated token ranges from documents — the scrub half of
+    the ExactSubstr recipe (Lee et al. 2022: cut the duplicated span,
+    keep the rest of the doc, rather than dropping whole documents).
+
+    ``spans`` is :func:`duplicate_spans`' ``spans=True`` output
+    ``(id_col, start_pos, run_len)`` — 1-based WINDOW positions at the
+    same ``w`` — filtered by the caller's keep policy (e.g. anti-join
+    the canonical keeper per duplicate group so one copy survives
+    corpus-wide). A run of r windows starting at window p covers tokens
+    ``[p, p + r + w - 2]``; those tokens are dropped and the remainder
+    re-joined with single spaces (canonical token form — the engine's
+    text operators re-tokenize identically downstream).
+
+    Plan: one group-sized ``collect_list`` of (start, end) ranges per
+    doc (bounded by runs-per-doc, never corpus-sized), an id-keyed join
+    back, and a pure-Column positional ``F.filter`` with an
+    ``exists``-over-ranges predicate — no Python, no extra shuffle
+    beyond the range rollup. Docs without spans pass through verbatim
+    (left join), including null text.
+    """
+    from geocore_spark.functions import cleaning
+
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    ranges = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_pos").alias("s"),
+                (F.col("start_pos") + F.col("run_len") + (w - 2)).alias("e"),
+            )
+        ).alias("__ranges")
+    )
+    toks = cleaning.tokens(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("__ranges"),
+            lambda r: (i + 1 >= r["s"]) & (i + 1 <= r["e"]),
+        ),
+    )
+    return (
+        df.join(ranges, id_col, "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("__ranges").isNull(), F.col(text_col)).otherwise(
+                F.concat_ws(" ", kept)
+            ),
+        )
+        .drop("__ranges")
+    )

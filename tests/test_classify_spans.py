@@ -216,3 +216,41 @@ def test_duplicate_spans_agrees_with_bruteforce(spark):
             for r in dd2.duplicate_spans(df, w=w).collect()
         }
         assert got == expect, f"seed={seed}"
+
+
+def test_scrub_spans_removes_duplicated_ranges(spark):
+    docs = _span_docs(spark)
+    spans = dd.duplicate_spans(docs, w=3, spans=True)
+    # keep policy: doc 1 is the canonical keeper — scrub only doc 2
+    scrubbed = {
+        r["doc_id"]: r["text"]
+        for r in dd.scrub_spans(
+            docs, spans.filter("doc_id != 1"), w=3
+        ).collect()
+    }
+    # doc2's run covers window pos 2..4 -> tokens 2..6 ('a b c d e')
+    assert scrubbed[2] == "q"
+    # keeper and untouched docs pass through verbatim
+    assert scrubbed[1] == "x a b c d e y z"
+    assert scrubbed[3] == "one two three four five"
+    assert scrubbed[4] == "p p p p p p"
+
+
+def test_scrub_spans_null_and_multi_range(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, None)], ["doc_id", "text"]
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 1), (1, 6, 1)], ["doc_id", "start_pos", "run_len"]
+    )
+    # w=2: ranges cover tokens 1-2 and 6-7 -> keep 'c d e' and 'h'
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dd.scrub_spans(docs, spans, w=2).collect()
+    }
+    assert out[1] == "c d e h"
+    assert out[2] is None  # null text passes through
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dd.scrub_spans(docs, spans, w=0)
