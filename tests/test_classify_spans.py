@@ -254,3 +254,34 @@ def test_scrub_spans_null_and_multi_range(spark):
 
     with _pt.raises(ValueError):
         dd.scrub_spans(docs, spans, w=0)
+
+
+def test_classifier_agrees_with_bruteforce(spark):
+    """Randomized agreement with a plain-Python reference over random
+    corpora and random micro-snapped weights (3 seeds)."""
+    import random
+
+    for seed in (11, 12, 13):
+        rng = random.Random(seed)
+        vocab_all = ["a", "b", "c", "d", "e", "oov1", "oov2"]
+        docs = [
+            (i, " ".join(rng.choice(vocab_all) for _ in range(rng.randint(0, 9))))
+            for i in range(30)
+        ]
+        weights = [
+            (t, round(rng.uniform(-2, 2), 3)) for t in ["a", "b", "c", "d", "e"]
+        ]
+        bias = round(rng.uniform(-1, 1), 3)
+        wm = {t: round(w * 1_000_000) for t, w in weights}
+        bm = round(bias * 1_000_000)
+        expect = {}
+        for i, t in docs:
+            toks = t.split()
+            lm = bm + sum(wm.get(x, 0) for x in toks)
+            expect[i] = (len(toks), lm, 1 if lm > 0 else 0)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["logit_micro"], r["label"])
+            for r in cls.classifier_score(df, weights, bias=bias).collect()
+        }
+        assert got == expect, f"seed={seed}"
