@@ -145,9 +145,14 @@ def fit_linear(
     """
     import numpy as np
 
+    # the sample carries the CANONICAL token arrays computed by Spark
+    # (cleaning.tokens), never a driver-side re-tokenization — Java's
+    # \s+ is ASCII-only while Python's str.split() eats all Unicode
+    # whitespace, and any disagreement here is train/apply feature skew
     sample = (
         labeled.select(
             F.col(text_col).alias("__text"),
+            cleaning.tokens(F.col(text_col)).alias("__toks"),
             F.col(label_col).cast("double").alias("__y"),
         )
         .orderBy(F.xxhash64("__text"), "__text")
@@ -157,7 +162,7 @@ def fit_linear(
     vocab_rows = (
         sample.select(
             F.xxhash64("__text").alias("__doc"),
-            F.explode(cleaning.tokens(F.col("__text"))).alias("__term"),
+            F.explode("__toks").alias("__term"),
         )
         .groupBy("__term")
         .agg(F.countDistinct("__doc").alias("__df"))
@@ -170,14 +175,14 @@ def fit_linear(
         raise ValueError("no tokens in the labeled sample")
     index = {t: i for i, t in enumerate(vocab)}
 
-    pdf = sample.toPandas()
+    pdf = sample.select("__toks", "__y").toPandas()
     sample.unpersist()
     n, v = len(pdf), len(vocab)
     X = np.zeros((n, v), dtype=np.float64)
-    for row_i, text in enumerate(pdf["__text"]):
-        if text is None:
+    for row_i, toks in enumerate(pdf["__toks"]):
+        if toks is None:
             continue
-        for tok in str(text).lower().split():
+        for tok in toks:
             j = index.get(tok)
             if j is not None:
                 X[row_i, j] += 1.0

@@ -179,6 +179,13 @@ def temperature_weights(
     One group-sized aggregate + a 1-row total broadcast — the output is
     slice-cardinality-sized (tiny), so this is a planning query, not a
     data pass: the expensive part stays in the sampler it parameterizes.
+
+    Oracle-parity caveat: ``pow`` is 1-ulp libm-dependent across engines
+    (Java Math.pow vs DuckDB's std::pow); the micro-snap removes
+    partial-agg drift but a value landing within 1 ulp of a .5 snap
+    boundary (~1e-6 probability per slice) could still flip p by 1
+    between engines. Accepted flake class — same policy as keeping
+    exp() out of classify's exact output.
     """
     if alpha <= 0:
         raise ValueError("alpha must be > 0")

@@ -146,10 +146,6 @@ def write_warc(records: list[tuple[str, str, bytes]], path: str, compress: bool 
 # the WARC record framing above; the only difference is record type and
 # payload decoding — which stays JVM-side (F.decode), no extra Python.
 
-WET_SCHEMA = "url string, warc_ts timestamp, text string"
-WAT_SCHEMA = "url string, warc_ts timestamp, meta string"
-
-
 def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
     """WET (extracted-text) archives -> documents-shaped DataFrame
     (url, warc_ts, text). 'conversion' records only; the warcinfo header

@@ -1,15 +1,19 @@
 """ExactSubstr span detect+scrub quality vs planted ground truth.
 
-Plants a fixed 12-token boilerplate sentence into a deterministic 30% of
+Plants a fixed 11-token boilerplate sentence into a deterministic 30% of
 the sf0.01 documents (position seeded by doc_id), runs
 dedup.duplicate_spans(w=6) + dedup.scrub_spans with a keep-the-lowest-id
 policy, and scores token-level detection against the known insertions:
 
-- recall   = planted tokens removed / planted tokens in scrubbed docs
-- precision = planted tokens removed / all tokens removed (the
+- token recall, measured (not assumed): boilerplate words ABSENT from
+  the base corpus vocabulary are exact markers — counting them before
+  vs after the scrub measures planted-token removal directly, so a
+  partial-span removal would show up here even though it also breaks
+  the contiguous phrase
+- planted share of removals: planted tokens / all tokens removed, valid
+  only when marker recall is 1.0 (then the full spans were cut); the
   complement is ORGANIC duplication in the word-soup corpus — real
-  shared 6-grams, not errors; reported so the reader can see how much
-  legitimate-but-duplicated text the scrub also cut)
+  shared 6-grams, not errors
 - reduction = total token reduction across the corpus
 
 Appends the markdown rows printed at the end to EVAL.md by hand (same
@@ -62,6 +66,30 @@ def main() -> None:
     ).select("doc_id", F.trim("text").alias("text")).persist()
 
     n_boiler = len(BOILER.split())
+    # marker tokens: boilerplate words that never occur in the BASE
+    # corpus — their before/after counts measure planted-token removal
+    # exactly (bounded collect: at most |BOILER| distinct tokens)
+    present = {
+        r[0]
+        for r in base.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")
+        )
+        .filter(F.col("t").isin(list(set(BOILER.split()))))
+        .distinct()
+        .collect()
+    }
+    markers = [t for t in set(BOILER.split()) if t not in present]
+    marker_mult = sum(1 for t in BOILER.split() if t in markers)
+    assert markers, "boilerplate shares every word with the corpus"
+
+    def marker_count(col):
+        return F.size(
+            F.filter(
+                F.split(F.lower(F.trim(col)), r"\s+"),
+                lambda x: x.isin(markers),
+            )
+        )
+
     spans = dd.duplicate_spans(planted, w=W, spans=True).persist()
     # keep policy: the lowest planted doc_id keeps its copy
     keeper = (
@@ -81,6 +109,8 @@ def main() -> None:
             F.size(
                 F.filter(F.split("after", r"\s+"), lambda x: x != "")
             ).alias("na"),
+            marker_count(F.col("before")).alias("mb"),
+            marker_count(F.col("after")).alias("ma"),
             (F.col("doc_id") % 10 < 3).alias("is_planted"),
             F.col("after").contains(BOILER).alias("still_has"),
         )
@@ -102,25 +132,33 @@ def main() -> None:
             F.sum(
                 F.when(
                     F.col("is_planted") & (F.col("doc_id") != keeper),
-                    F.col("nb") - F.col("na"),
+                    F.col("mb") - F.col("ma"),
                 ).otherwise(0)
-            ).alias("removed_in_targets"),
+            ).alias("markers_removed"),
             F.sum(F.col("nb") - F.col("na")).alias("removed_total"),
         )
         .collect()[0]
     )
     targets = stats["n_scrub_targets"]
-    planted_tokens = targets * n_boiler
     recall = stats["n_cleaned"] / targets
-    precision = min(planted_tokens, stats["removed_in_targets"]) / max(
-        stats["removed_total"], 1
+    # measured per-token recall via corpus-absent marker words
+    token_recall = stats["markers_removed"] / (targets * marker_mult)
+    # share is only meaningful when the full spans were provably cut
+    planted_share = (
+        targets * n_boiler / max(stats["removed_total"], 1)
+        if token_recall == 1.0
+        else float("nan")
     )
     print()
     print("| metric | value |")
     print("|---|---|")
     print(f"| planted docs scrubbed clean | {stats['n_cleaned']}/{targets} |")
     print(f"| boilerplate recall (doc level) | {recall:.4f} |")
-    print(f"| planted share of removed tokens | {precision:.4f} |")
+    print(
+        f"| marker-token recall (measured over {marker_mult} "
+        f"corpus-absent marker tokens per plant) | {token_recall:.4f} |"
+    )
+    print(f"| planted share of removed tokens | {planted_share:.4f} |")
     print(
         f"| corpus token reduction | {stats['tok_before']} -> "
         f"{stats['tok_after']} "
