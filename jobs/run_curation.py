@@ -21,6 +21,10 @@ Stages (each a checkpointed snapshot; --resume skips committed stages):
                    LM; the rest of the corpus is scored by target/raw
                    log-likelihood ratio and only the top f fraction (plus
                    the seed itself) continues downstream
+  3b. spanscrub  : optional (--span-scrub-w N) ExactSubstr boilerplate
+                   removal — every N-token span shared verbatim by >= 2
+                   docs is cut from all docs (doc count unchanged, token
+                   count shrinks; signals recomputed post-scrub)
   4d. clsfilter  : optional (--classifier-filter) fastText-style gate —
                    bootstrap labels from the heuristic quality signal
                    (top/bottom-20% KLL slices), fit the linear model on a
@@ -73,6 +77,15 @@ def main(argv: list[str] | None = None) -> None:
         help="optional CCNet-style LM filter: drop docs whose bigram-LM "
         "cross-entropy exceeds this corpus quantile (e.g. 0.9); off by "
         "default so the pinned 7-stage shape is unchanged",
+    )
+    ap.add_argument(
+        "--span-scrub-w",
+        type=int,
+        default=None,
+        help="add the spanscrub stage: remove EVERY w-token span shared "
+        "verbatim by >= 2 docs (ExactSubstr aggressive boilerplate "
+        "removal; doc count unchanged, tokens shrink); off by default "
+        "so the pinned 7-stage shape is unchanged",
     )
     ap.add_argument(
         "--classifier-filter",
@@ -157,6 +170,29 @@ def main(argv: list[str] | None = None) -> None:
         return kept.join(losers, "doc_id", "left_anti")
 
     deduped = staged("dedup", build_dedup)
+
+    if args.span_scrub_w is not None:
+
+        def build_spanscrub():
+            w = args.span_scrub_w
+            spans = dedup.duplicate_spans(
+                deduped.select("doc_id", "text"), w=w, spans=True
+            )
+            out = dedup.scrub_spans(deduped, spans, w=w)
+            # text changed -> the derived signal columns are stale for
+            # scrubbed docs; recompute them from the scrubbed text (same
+            # exprs as build_scrub) so downstream quality gates see the
+            # post-scrub document
+            return out.select(
+                "doc_id",
+                "source",
+                "text",
+                tx.lang_guess(F.col("text")).alias("lang"),
+                tx.quality_score(F.col("text")).alias("quality"),
+                tx.token_count(F.col("text")).alias("n_tokens"),
+            )
+
+        deduped = staged("spanscrub", build_spanscrub)
 
     def build_decontam():
         bench = deduped.filter(F.col("doc_id") % 1013 == 0)

@@ -118,3 +118,17 @@ def test_classifier_filter_stage_optional(tmp_path):
     )
     assert 0 < cls_rows < decon_rows
     assert 0 < summary["docs_mixed"] <= cls_rows
+
+
+def test_span_scrub_stage_optional(tmp_path):
+    """--span-scrub-w adds the spanscrub stage: doc count unchanged vs
+    dedup, but shared spans were cut (summary still self-consistent)."""
+    ckpt = str(tmp_path / "ckpt_span")
+    summary, stages = _run(ckpt, ["--span-scrub-w", "6"])
+    rows = {
+        s.split("]")[0].split()[-1]: int(s.split("rows=")[1].split()[0])
+        for s in stages
+    }
+    assert rows["spanscrub"] == rows["dedup"]  # scrub never drops docs
+    assert 0 < summary["docs_mixed"] <= rows["spanscrub"]
+    assert summary["packs"] > 0
