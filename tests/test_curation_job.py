@@ -132,3 +132,30 @@ def test_span_scrub_stage_optional(tmp_path):
     assert rows["spanscrub"] == rows["dedup"]  # scrub never drops docs
     assert 0 < summary["docs_mixed"] <= rows["spanscrub"]
     assert summary["packs"] > 0
+
+
+def test_all_optional_stages_compose(tmp_path):
+    """All four optional stages in one run: each appears, the funnel
+    stays monotone through the drop stages, spanscrub conserves docs."""
+    ckpt = str(tmp_path / "ckpt_all")
+    summary, stages = _run(
+        ckpt,
+        ["--span-scrub-w", "6", "--lm-filter-quantile", "0.9",
+         "--dsir-frac", "0.5", "--classifier-filter"],
+    )
+    rows = {
+        s.split("]")[0].split()[-1]: int(s.split("rows=")[1].split()[0])
+        for s in stages
+    }
+    for st in ("spanscrub", "lmfilter", "dsir", "clsfilter"):
+        assert st in rows, stages
+    assert rows["spanscrub"] == rows["dedup"]
+    assert (
+        rows["decontam"]
+        >= rows["lmfilter"]
+        >= rows["dsir"]
+        >= rows["clsfilter"]
+        > 0
+    )
+    assert 0 < summary["docs_mixed"] <= rows["clsfilter"]
+    assert summary["packs"] > 0
