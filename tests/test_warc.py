@@ -111,3 +111,22 @@ def test_wat_json_extraction(spark, tmp_path):
         "url", F.get_json_object("meta", "$.Envelope.status").alias("status")
     ).collect()[0]
     assert row["status"] == "200"
+
+
+def test_parse_never_raises_on_truncation(tmp_path):
+    """Crash-safety contract: ANY byte-level truncation of a valid
+    archive parses to a prefix of the full record list (never raises) —
+    both plain and gzip framings."""
+    p = str(tmp_path / "t.warc")
+    warc.write_warc(RECS, p)
+    blob = open(p, "rb").read()
+    full = [r["url"] for r in warc.parse_warc_bytes(blob)]
+    for cut in range(0, len(blob), 7):
+        got = [r["url"] for r in warc.parse_warc_bytes(blob[:cut])]
+        assert got == full[: len(got)]  # always a prefix
+    gz = str(tmp_path / "t.warc.gz")
+    warc.write_warc(RECS, gz, compress=True)
+    gblob = open(gz, "rb").read()
+    for cut in range(0, len(gblob), 5):
+        got = [r["url"] for r in warc.parse_warc_bytes(gblob[:cut])]
+        assert got == full[: len(got)]
