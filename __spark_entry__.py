@@ -2937,6 +2937,89 @@ def q_wet_ingest(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_c4_filter(spark, sf_dir):
+    """C4 cleaning rules (cleaning.c4_signals, Raffel et al. 2020 §2.2)
+    over a deterministically diversified text column (the raw word-soup
+    corpus has no punctuation/newlines, so the rules would be vacuous):
+    doc_id mod 7 routes each doc into lorem-ipsum / curly-brace /
+    javascript-line / multi-sentence variants built identically in both
+    engines. All-INT output — value-exact."""
+    from geocore_spark.functions import cleaning
+
+    d = _t(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    good_tail = (
+        "another full sentence here.\nthird sentence goes here.\n"
+        "fourth sentence right here.\nfifth sentence ends here."
+    )
+    t2 = (
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" lorem ipsum")))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.col("text"), F.lit(" {x}")))
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(
+                F.col("text"),
+                nl,
+                F.lit("javascript required"),
+                nl,
+                F.lit("first sentence here.\nsecond good sentence."),
+            ),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit("."), nl, F.lit(good_tail)))
+    )
+    s = cleaning.c4_signals(t2)
+    return d.select("doc_id", s.alias("s")).select(
+        "doc_id",
+        F.col("s.n_lines").alias("n_lines"),
+        F.col("s.n_kept").alias("n_kept"),
+        F.col("s.has_lorem").alias("has_lorem"),
+        F.col("s.has_brace").alias("has_brace"),
+        F.col("s.has_javascript").alias("has_javascript"),
+        F.col("s.keep").alias("keep"),
+    ).orderBy("doc_id")
+
+
+_SQL_C4_FILTER = """
+WITH derived AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 7 = 0 THEN text || ' lorem ipsum'
+           WHEN doc_id % 7 = 1 THEN text || ' {x}'
+           WHEN doc_id % 7 = 2 THEN text || chr(10) || 'javascript required'
+                || chr(10) || 'first sentence here.' || chr(10)
+                || 'second good sentence.'
+           ELSE text || '.' || chr(10) || 'another full sentence here.'
+                || chr(10) || 'third sentence goes here.' || chr(10)
+                || 'fourth sentence right here.' || chr(10)
+                || 'fifth sentence ends here.'
+         END AS t2
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+         list_filter(string_split(COALESCE(t2, ''), chr(10)),
+                     x -> trim(x) <> '') AS lines,
+         lower(COALESCE(t2, '')) AS low
+  FROM derived),
+scored AS (
+  SELECT doc_id,
+         CAST(len(lines) AS INT) AS n_lines,
+         CAST(len(list_filter(lines, x ->
+              regexp_matches(trim(x), '[.!?"]$')
+              AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
+                                  w -> w <> '')) >= 3)) AS INT) AS n_kept,
+         CAST(contains(low, 'lorem ipsum') AS INT) AS has_lorem,
+         CAST(contains(low, '{') OR contains(low, '}') AS INT) AS has_brace,
+         CAST(len(list_filter(lines, x ->
+              regexp_matches(lower(x), '\\bjavascript\\b'))) > 0 AS INT)
+           AS has_javascript
+  FROM sig)
+SELECT doc_id, n_lines, n_kept, has_lorem, has_brace, has_javascript,
+       CAST(n_kept >= 5 AND has_lorem = 0 AND has_brace = 0
+            AND has_javascript = 0 AS INT) AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
 def q_classifier_loop(spark, sf_dir):
     """Full classifier loop under the gate (rows-only — training is not
     SQL-expressible): bootstrap labels from a fixed length threshold
@@ -3148,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-verified by tools/verify_local.py every session) ------------
         "classifier_score": q_classifier_score,
         "duplicate_spans": q_duplicate_spans,
+        "c4_filter": q_c4_filter,
         "bm25_topk": q_bm25_topk,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
@@ -3254,6 +3338,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _SQL_TEMPERATURE_MIX,
         "classifier_score": _SQL_CLASSIFIER_SCORE,
         "duplicate_spans": _SQL_DUPLICATE_SPANS,
+        "c4_filter": _SQL_C4_FILTER,
         "host_links": _SQL_HOST_LINKS,
         "anchor_corpus": _SQL_ANCHOR_CORPUS,
         "train_shuffle": _sql_train_shuffle(),

@@ -217,3 +217,56 @@ def word_ngrams(toks: Column, n: int) -> Column:
     return F.when(toks.isNull() | (sz < n), F.array().cast("array<string>")).otherwise(
         grams
     )
+
+
+def c4_signals(
+    text: Column, min_words: int = 3, min_kept_lines: int = 5
+) -> Column:
+    """C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2) as
+    one pure-Column struct — the canonical rule-based web filter:
+
+    - a line is KEPT iff it ends in terminal punctuation (. ! ? ")
+      and has >= ``min_words`` whitespace words;
+    - the page is dropped if it has fewer than ``min_kept_lines`` kept
+      lines (the paper's "fewer than 5 sentences" gate, at line grain),
+      contains "lorem ipsum" (case-insensitive), a curly brace, or a
+      line with the word "javascript".
+
+    Returns ``struct(n_lines, n_kept, has_lorem, has_brace,
+    has_javascript, keep)`` — all INT, so downstream aggregation and the
+    SQL oracle are value-exact. Null text yields (0, 0, 0, 0, 0, 0).
+    Whole-stage-codegen'd; no UDF, no shuffle.
+    """
+    lines = F.filter(
+        F.split(F.coalesce(text, F.lit("")), r"\n"),
+        lambda x: F.trim(x) != "",
+    )
+    kept = F.filter(
+        lines,
+        lambda x: F.trim(x).rlike(r'[.!?"]$')
+        & (
+            F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda t: t != ""))
+            >= F.lit(min_words)
+        ),
+    )
+    low = F.lower(F.coalesce(text, F.lit("")))
+    has_lorem = low.contains("lorem ipsum").cast("int")
+    has_brace = (low.contains("{") | low.contains("}")).cast("int")
+    has_js = F.exists(
+        lines, lambda x: F.lower(x).rlike(r"\bjavascript\b")
+    ).cast("int")
+    n_kept = F.size(kept)
+    keep = (
+        (n_kept >= F.lit(min_kept_lines))
+        & (has_lorem == 0)
+        & (has_brace == 0)
+        & (has_js == 0)
+    ).cast("int")
+    return F.struct(
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_js.alias("has_javascript"),
+        keep.alias("keep"),
+    )

@@ -2,6 +2,7 @@
 ExactSubstr token-window duplicate-span profile (dedup.duplicate_spans)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from geocore_spark.operators import classify as cls
 from geocore_spark.operators import dedup as dd
@@ -285,3 +286,35 @@ def test_classifier_agrees_with_bruteforce(spark):
             for r in cls.classifier_score(df, weights, bias=bias).collect()
         }
         assert got == expect, f"seed={seed}"
+
+
+def test_c4_signals_rules(spark):
+    from geocore_spark.functions import cleaning as cl
+
+    good = "\n".join(f"this is sentence number {i}." for i in range(5))
+    rows = [
+        (1, good),                                    # keeps
+        (2, good + "\nlorem ipsum dolor."),           # lorem -> drop
+        (3, good + "\nvar x = {a: 1};"),              # brace -> drop
+        (4, good + "\nenable JavaScript to view."),   # js line -> drop
+        (5, "short one.\nno punct line here\n" + good),  # extra junk lines
+        (6, "one good sentence here."),               # < 5 kept -> drop
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", cl.c4_signals(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert out[1]["keep"] == 1 and out[1]["n_kept"] == 5
+    assert out[2]["keep"] == 0 and out[2]["has_lorem"] == 1
+    assert out[3]["keep"] == 0 and out[3]["has_brace"] == 1
+    assert out[4]["keep"] == 0 and out[4]["has_javascript"] == 1
+    # doc5: 'short one.' has only 2 words, 'no punct...' lacks terminal
+    # punctuation — both rejected from kept; the 5 good lines remain
+    assert out[5]["n_lines"] == 7 and out[5]["n_kept"] == 5
+    assert out[5]["keep"] == 1
+    assert out[6]["keep"] == 0 and out[6]["n_kept"] == 1
+    assert out[7] == (0, 0, 0, 0, 0, 0)
