@@ -3020,6 +3020,76 @@ FROM scored ORDER BY doc_id
 """
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher quality rules (cleaning.gopher_signals, Rae et al. 2021
+    Table A1): every ratio threshold is an integer cross-multiplication,
+    so the whole struct is value-exact. Even doc_ids get four extra stop
+    words appended (identically in both engines) so the stop-word rule
+    fires both ways on the word-soup corpus."""
+    from geocore_spark.functions import cleaning
+
+    d = _t(spark, sf_dir, "documents")
+    t2 = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.col("text"), F.lit(" the to of and")),
+    ).otherwise(F.col("text"))
+    s = cleaning.gopher_signals(t2)
+    return d.select("doc_id", s.alias("s")).select(
+        "doc_id", "s.*"
+    ).orderBy("doc_id")
+
+
+_SQL_GOPHER_FILTER = """
+WITH derived AS (
+  SELECT doc_id,
+         lower(COALESCE(CASE WHEN doc_id % 2 = 0
+                             THEN text || ' the to of and'
+                             ELSE text END, '')) AS t
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(t)), '\\s+'),
+                     x -> x <> '') AS toks,
+         CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS BIGINT) AS c,
+         CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+         CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT)
+           AS n_ell,
+         list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS lines
+  FROM derived),
+counts AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS w, c, n_hash, n_ell,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, x ->
+              regexp_matches(trim(x), '^[-•*]'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, x ->
+              regexp_matches(trim(x), '\\.\\.\\.$'))) AS BIGINT)
+           AS n_ell_lines,
+         CAST(len(list_filter(toks, x ->
+              regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(list_distinct(toks), x ->
+              list_contains(['the','be','to','of','and','that','have',
+                             'with'], x))) AS BIGINT) AS n_stops
+  FROM feat),
+rules AS (
+  SELECT doc_id, CAST(w AS INT) AS n_words,
+         CAST(w >= 50 AND w <= 100000 AS INT) AS r_words,
+         CAST(3 * w <= c AND c <= 10 * w AND w > 0 AS INT) AS r_meanlen,
+         CAST(10 * (n_hash + n_ell) <= w AS INT) AS r_symbols,
+         CAST(10 * n_bullet < 9 * n_lines AS INT) AS r_bullets,
+         CAST(10 * n_ell_lines < 3 * n_lines AS INT) AS r_ellipsis,
+         CAST(5 * n_alpha >= 4 * w AND w > 0 AS INT) AS r_alpha,
+         CAST(n_stops >= 2 AS INT) AS r_stops
+  FROM counts)
+SELECT doc_id, n_words, r_words, r_meanlen, r_symbols, r_bullets,
+       r_ellipsis, r_alpha, r_stops,
+       CAST(r_words = 1 AND r_meanlen = 1 AND r_symbols = 1
+            AND r_bullets = 1 AND r_ellipsis = 1 AND r_alpha = 1
+            AND r_stops = 1 AS INT) AS keep
+FROM rules ORDER BY doc_id
+"""
+
+
 def q_classifier_loop(spark, sf_dir):
     """Full classifier loop under the gate (rows-only — training is not
     SQL-expressible): bootstrap labels from a fixed length threshold
@@ -3232,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "duplicate_spans": q_duplicate_spans,
         "c4_filter": q_c4_filter,
+        "gopher_filter": q_gopher_filter,
         "bm25_topk": q_bm25_topk,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
@@ -3339,6 +3410,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score": _SQL_CLASSIFIER_SCORE,
         "duplicate_spans": _SQL_DUPLICATE_SPANS,
         "c4_filter": _SQL_C4_FILTER,
+        "gopher_filter": _SQL_GOPHER_FILTER,
         "host_links": _SQL_HOST_LINKS,
         "anchor_corpus": _SQL_ANCHOR_CORPUS,
         "train_shuffle": _sql_train_shuffle(),

@@ -270,3 +270,83 @@ def c4_signals(
         has_js.alias("has_javascript"),
         keep.alias("keep"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(
+    text: Column, min_words: int = 50, max_words: int = 100_000
+) -> Column:
+    """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Table A1)
+    as one pure-Column struct — the other canonical rule-based web
+    filter next to :func:`c4_signals`. Every ratio threshold is encoded
+    as an integer cross-multiplication, so the struct is value-exact
+    with no float in sight:
+
+    - r_words:    min_words <= word count <= max_words
+    - r_meanlen:  mean word length in [3, 10]  (3W <= C <= 10W, where
+                  C = non-whitespace chars — exactly the summed word
+                  lengths under the canonical tokenizer)
+    - r_symbols:  (hash + ellipsis) to word ratio <= 0.1 (10S <= W)
+    - r_bullets:  < 90% of lines start with a bullet (10B < 9L)
+    - r_ellipsis: < 30% of lines end with "..." (10E < 3L)
+    - r_alpha:    >= 80% of words contain a letter (5A >= 4W)
+    - r_stops:    >= 2 distinct stop words present
+
+    Returns ``struct(n_words, r_words, r_meanlen, r_symbols, r_bullets,
+    r_ellipsis, r_alpha, r_stops, keep)``, all INT; null/empty text has
+    0 words, fails r_words/r_meanlen/r_alpha and thus keep=0.
+    Whole-stage codegen; no UDF, no shuffle.
+    """
+    t = F.lower(F.coalesce(text, F.lit("")))
+    toks = tokens(t)
+    w = F.size(toks).cast("bigint")
+    c = F.length(F.regexp_replace(t, r"\s+", "")).cast("bigint")
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#")))).cast("bigint")
+    n_ell = (
+        (F.length(t) - F.length(F.replace(t, F.lit("...")))) / 3
+    ).cast("bigint")
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"^[-•*]"))
+    ).cast("bigint")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"\.\.\.$"))
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike(r"[a-z]"))
+    ).cast("bigint")
+    n_stops = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    ).cast("bigint")
+    r_words = ((w >= min_words) & (w <= max_words)).cast("int")
+    r_meanlen = ((3 * w <= c) & (c <= 10 * w) & (w > 0)).cast("int")
+    r_symbols = (10 * (n_hash + n_ell) <= w).cast("int")
+    r_bullets = (10 * n_bullet < 9 * n_lines).cast("int")
+    r_ellipsis = (10 * n_ell_lines < 3 * n_lines).cast("int")
+    r_alpha = ((5 * n_alpha >= 4 * w) & (w > 0)).cast("int")
+    r_stops = (n_stops >= 2).cast("int")
+    keep = (
+        (r_words == 1)
+        & (r_meanlen == 1)
+        & (r_symbols == 1)
+        & (r_bullets == 1)
+        & (r_ellipsis == 1)
+        & (r_alpha == 1)
+        & (r_stops == 1)
+    ).cast("int")
+    return F.struct(
+        w.cast("int").alias("n_words"),
+        r_words.alias("r_words"),
+        r_meanlen.alias("r_meanlen"),
+        r_symbols.alias("r_symbols"),
+        r_bullets.alias("r_bullets"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_alpha.alias("r_alpha"),
+        r_stops.alias("r_stops"),
+        keep.alias("keep"),
+    )

@@ -318,3 +318,36 @@ def test_c4_signals_rules(spark):
     assert out[5]["keep"] == 1
     assert out[6]["keep"] == 0 and out[6]["n_kept"] == 1
     assert out[7] == (0, 0, 0, 0, 0, 0)
+
+
+def test_gopher_signals_rules(spark):
+    from geocore_spark.functions import cleaning as cl
+
+    # 60 normal words with stop words -> passes everything
+    good = " ".join(["the", "and"] + ["word"] * 58)
+    rows = [
+        (1, good),
+        (2, " ".join(["word"] * 60)),              # no stop words
+        (3, good + " " + "#" * 1 + " ###### ## #"),  # symbol-heavy
+        (4, " ".join(["xx"] * 60) + " the and"),   # mean word len < 3
+        (5, "\n".join("- bullet item" for _ in range(10)) + "\n" + good),
+        (6, good.replace("word", "12345", 55)),    # <80% alphabetic words
+        (7, None),
+        (8, "the and " + " ".join(["word"] * 10)),  # too few words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", cl.gopher_signals(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert out[1]["keep"] == 1 and out[1]["n_words"] == 60
+    assert out[2]["keep"] == 0 and out[2]["r_stops"] == 0
+    assert out[3]["r_symbols"] == 0
+    assert out[4]["r_meanlen"] == 0
+    # doc5: 10 bullet lines + 1 normal line = 11 lines, 10/11 > 90% -> fail
+    assert out[5]["r_bullets"] == 0
+    assert out[6]["r_alpha"] == 0 and out[6]["keep"] == 0
+    assert out[7]["n_words"] == 0 and out[7]["keep"] == 0
+    assert out[8]["r_words"] == 0 and out[8]["keep"] == 0
