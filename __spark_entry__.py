@@ -2996,9 +2996,10 @@ WITH derived AS (
   FROM documents),
 sig AS (
   SELECT doc_id,
-         list_filter(string_split(COALESCE(t2, ''), chr(10)),
+         list_filter(string_split(replace(COALESCE(t2, ''), chr(13), ''),
+                                  chr(10)),
                      x -> trim(x) <> '') AS lines,
-         lower(COALESCE(t2, '')) AS low
+         lower(replace(COALESCE(t2, ''), chr(13), '')) AS low
   FROM derived),
 scored AS (
   SELECT doc_id,
@@ -3006,7 +3007,9 @@ scored AS (
          CAST(len(list_filter(lines, x ->
               regexp_matches(trim(x), '[.!?"]$')
               AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
-                                  w -> w <> '')) >= 3)) AS INT) AS n_kept,
+                                  w -> w <> '')) >= 3
+              AND NOT regexp_matches(lower(x), '\\bjavascript\\b')))
+           AS INT) AS n_kept,
          CAST(contains(low, 'lorem ipsum') AS INT) AS has_lorem,
          CAST(contains(low, '{') OR contains(low, '}') AS INT) AS has_brace,
          CAST(len(list_filter(lines, x ->
@@ -3014,8 +3017,7 @@ scored AS (
            AS has_javascript
   FROM sig)
 SELECT doc_id, n_lines, n_kept, has_lorem, has_brace, has_javascript,
-       CAST(n_kept >= 5 AND has_lorem = 0 AND has_brace = 0
-            AND has_javascript = 0 AS INT) AS keep
+       CAST(n_kept >= 5 AND has_lorem = 0 AND has_brace = 0 AS INT) AS keep
 FROM scored ORDER BY doc_id
 """
 
@@ -3042,9 +3044,9 @@ def q_gopher_filter(spark, sf_dir):
 _SQL_GOPHER_FILTER = """
 WITH derived AS (
   SELECT doc_id,
-         lower(COALESCE(CASE WHEN doc_id % 2 = 0
+         lower(replace(COALESCE(CASE WHEN doc_id % 2 = 0
                              THEN text || ' the to of and'
-                             ELSE text END, '')) AS t
+                             ELSE text END, ''), chr(13), '')) AS t
   FROM documents),
 feat AS (
   SELECT doc_id,
@@ -3075,9 +3077,9 @@ rules AS (
   SELECT doc_id, CAST(w AS INT) AS n_words,
          CAST(w >= 50 AND w <= 100000 AS INT) AS r_words,
          CAST(3 * w <= c AND c <= 10 * w AND w > 0 AS INT) AS r_meanlen,
-         CAST(10 * (n_hash + n_ell) <= w AS INT) AS r_symbols,
-         CAST(10 * n_bullet < 9 * n_lines AS INT) AS r_bullets,
-         CAST(10 * n_ell_lines < 3 * n_lines AS INT) AS r_ellipsis,
+         CAST(10 * n_hash <= w AND 10 * n_ell <= w AS INT) AS r_symbols,
+         CAST(10 * n_bullet <= 9 * n_lines AS INT) AS r_bullets,
+         CAST(10 * n_ell_lines <= 3 * n_lines AS INT) AS r_ellipsis,
          CAST(5 * n_alpha >= 4 * w AND w > 0 AS INT) AS r_alpha,
          CAST(n_stops >= 2 AS INT) AS r_stops
   FROM counts)

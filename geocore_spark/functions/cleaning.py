@@ -225,42 +225,46 @@ def c4_signals(
     """C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2) as
     one pure-Column struct — the canonical rule-based web filter:
 
-    - a line is KEPT iff it ends in terminal punctuation (. ! ? ")
-      and has >= ``min_words`` whitespace words;
-    - the page is dropped if it has fewer than ``min_kept_lines`` kept
-      lines (the paper's "fewer than 5 sentences" gate, at line grain),
-      contains "lorem ipsum" (case-insensitive), a curly brace, or a
-      line with the word "javascript".
+    - a line is KEPT iff it ends in terminal punctuation (. ! ? "),
+      has >= ``min_words`` whitespace words, and does not contain the
+      word "javascript" (C4 drops the LINE, not the page);
+    - the page is dropped (keep=0) if it has fewer than
+      ``min_kept_lines`` kept lines (the paper's "fewer than 5
+      sentences" gate, at line grain), contains "lorem ipsum"
+      (case-insensitive) or a curly brace.
 
     Returns ``struct(n_lines, n_kept, has_lorem, has_brace,
     has_javascript, keep)`` — all INT, so downstream aggregation and the
-    SQL oracle are value-exact. Null text yields (0, 0, 0, 0, 0, 0).
-    Whole-stage-codegen'd; no UDF, no shuffle.
+    SQL oracle are value-exact (``has_javascript`` is reported as a
+    signal; it only removes lines). CR is stripped up front so CRLF text
+    behaves like LF on both engines (Java's ``$`` matches before a final
+    line terminator, RE2's does not — normalizing removes the
+    divergence). Null text yields (0, 0, 0, 0, 0, 0). Single projection;
+    the line split runs once per derived count (HOF lambdas are
+    interpreted — pre-stage the array per the repo staging rule if this
+    ever sits in a hot loop).
     """
-    lines = F.filter(
-        F.split(F.coalesce(text, F.lit("")), r"\n"),
-        lambda x: F.trim(x) != "",
-    )
+    t = F.replace(F.coalesce(text, F.lit("")), F.lit("\r"))
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    is_js = lambda x: F.lower(x).rlike(r"\bjavascript\b")  # noqa: E731
     kept = F.filter(
         lines,
         lambda x: F.trim(x).rlike(r'[.!?"]$')
         & (
-            F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda t: t != ""))
+            F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != ""))
             >= F.lit(min_words)
-        ),
+        )
+        & ~is_js(x),
     )
-    low = F.lower(F.coalesce(text, F.lit("")))
+    low = F.lower(t)
     has_lorem = low.contains("lorem ipsum").cast("int")
     has_brace = (low.contains("{") | low.contains("}")).cast("int")
-    has_js = F.exists(
-        lines, lambda x: F.lower(x).rlike(r"\bjavascript\b")
-    ).cast("int")
+    has_js = F.exists(lines, is_js).cast("int")
     n_kept = F.size(kept)
     keep = (
         (n_kept >= F.lit(min_kept_lines))
         & (has_lorem == 0)
         & (has_brace == 0)
-        & (has_js == 0)
     ).cast("int")
     return F.struct(
         F.size(lines).alias("n_lines"),
@@ -282,24 +286,29 @@ def gopher_signals(
     as one pure-Column struct — the other canonical rule-based web
     filter next to :func:`c4_signals`. Every ratio threshold is encoded
     as an integer cross-multiplication, so the struct is value-exact
-    with no float in sight:
+    with no float in sight; removal-rule boundaries follow the paper
+    ("more than X%" removes, so exactly X% keeps):
 
     - r_words:    min_words <= word count <= max_words
     - r_meanlen:  mean word length in [3, 10]  (3W <= C <= 10W, where
                   C = non-whitespace chars — exactly the summed word
                   lengths under the canonical tokenizer)
-    - r_symbols:  (hash + ellipsis) to word ratio <= 0.1 (10S <= W)
-    - r_bullets:  < 90% of lines start with a bullet (10B < 9L)
-    - r_ellipsis: < 30% of lines end with "..." (10E < 3L)
+    - r_symbols:  hash-to-word ratio <= 0.1 AND ellipsis-to-word ratio
+                  <= 0.1 (each tested separately, per the paper)
+    - r_bullets:  <= 90% of lines start with a bullet (10B <= 9L)
+    - r_ellipsis: <= 30% of lines end with "..." (10E <= 3L)
     - r_alpha:    >= 80% of words contain a letter (5A >= 4W)
     - r_stops:    >= 2 distinct stop words present
 
     Returns ``struct(n_words, r_words, r_meanlen, r_symbols, r_bullets,
     r_ellipsis, r_alpha, r_stops, keep)``, all INT; null/empty text has
-    0 words, fails r_words/r_meanlen/r_alpha and thus keep=0.
-    Whole-stage codegen; no UDF, no shuffle.
+    0 words, fails r_words/r_meanlen/r_alpha and thus keep=0. CR is
+    stripped up front (CRLF == LF on both engines). Single projection;
+    the token/line arrays are re-derived per count (interpreted HOF
+    lambdas — pre-stage the arrays per the repo staging rule for hot
+    paths).
     """
-    t = F.lower(F.coalesce(text, F.lit("")))
+    t = F.lower(F.replace(F.coalesce(text, F.lit("")), F.lit("\r")))
     toks = tokens(t)
     w = F.size(toks).cast("bigint")
     c = F.length(F.regexp_replace(t, r"\s+", "")).cast("bigint")
@@ -325,9 +334,9 @@ def gopher_signals(
     ).cast("bigint")
     r_words = ((w >= min_words) & (w <= max_words)).cast("int")
     r_meanlen = ((3 * w <= c) & (c <= 10 * w) & (w > 0)).cast("int")
-    r_symbols = (10 * (n_hash + n_ell) <= w).cast("int")
-    r_bullets = (10 * n_bullet < 9 * n_lines).cast("int")
-    r_ellipsis = (10 * n_ell_lines < 3 * n_lines).cast("int")
+    r_symbols = ((10 * n_hash <= w) & (10 * n_ell <= w)).cast("int")
+    r_bullets = (10 * n_bullet <= 9 * n_lines).cast("int")
+    r_ellipsis = (10 * n_ell_lines <= 3 * n_lines).cast("int")
     r_alpha = ((5 * n_alpha >= 4 * w) & (w > 0)).cast("int")
     r_stops = (n_stops >= 2).cast("int")
     keep = (

@@ -311,13 +311,22 @@ def test_c4_signals_rules(spark):
     assert out[1]["keep"] == 1 and out[1]["n_kept"] == 5
     assert out[2]["keep"] == 0 and out[2]["has_lorem"] == 1
     assert out[3]["keep"] == 0 and out[3]["has_brace"] == 1
-    assert out[4]["keep"] == 0 and out[4]["has_javascript"] == 1
+    # C4 drops the javascript LINE, not the page: the 5 good lines keep it
+    assert out[4]["keep"] == 1 and out[4]["has_javascript"] == 1
+    assert out[4]["n_kept"] == 5  # the js line is excluded from kept
     # doc5: 'short one.' has only 2 words, 'no punct...' lacks terminal
     # punctuation — both rejected from kept; the 5 good lines remain
     assert out[5]["n_lines"] == 7 and out[5]["n_kept"] == 5
     assert out[5]["keep"] == 1
     assert out[6]["keep"] == 0 and out[6]["n_kept"] == 1
     assert out[7] == (0, 0, 0, 0, 0, 0)
+    # CRLF text behaves like LF (CR stripped before the $-anchored check)
+    crlf = spark.createDataFrame(
+        [(9, "\r\n".join(f"crlf sentence number {i}." for i in range(5)))],
+        ["doc_id", "text"],
+    )
+    r9 = crlf.select(cl.c4_signals(F.col("text")).alias("s")).collect()[0]["s"]
+    assert r9["n_kept"] == 5 and r9["keep"] == 1
 
 
 def test_gopher_signals_rules(spark):
@@ -351,3 +360,17 @@ def test_gopher_signals_rules(spark):
     assert out[6]["r_alpha"] == 0 and out[6]["keep"] == 0
     assert out[7]["n_words"] == 0 and out[7]["keep"] == 0
     assert out[8]["r_words"] == 0 and out[8]["keep"] == 0
+    # boundary semantics: exactly 90% bullet lines KEEPS (paper removes
+    # only when MORE than 90%)
+    b = spark.createDataFrame(
+        [(9, "\n".join(["- bullet item"] * 9 + [good]))], ["doc_id", "text"]
+    )
+    r9 = b.select(cl.gopher_signals(F.col("text")).alias("s")).collect()[0]["s"]
+    assert r9["r_bullets"] == 1
+    # per-symbol thresholds: 6 hashes + 6 ellipses in 72 words passes
+    # (each ratio <= 0.1) where a summed rule would fail
+    s = spark.createDataFrame(
+        [(10, good + " " + "# " * 6 + "word... " * 6)], ["doc_id", "text"]
+    )
+    r10 = s.select(cl.gopher_signals(F.col("text")).alias("s")).collect()[0]["s"]
+    assert r10["r_symbols"] == 1

@@ -372,20 +372,28 @@ def main():
     # policy as the legs: host-stall bursts dominate these sub-2 s
     # queries (measured 2.5x swings on identical code), and a real plan
     # regression is caught by tests/test_plan_shapes.py, not by this
-    # timing table. The row set comes from the LATEST run so retired
-    # queries drop out.
+    # timing table. Guard: only runs whose query SET matches the latest
+    # run merge (a renamed/retired query starts a fresh epoch) — if a
+    # query is ever structurally widened under the same name, rename it
+    # in bench.py so stale fast times can't mask the accepted slowdown.
     def _qmerge(level):
         latest = max(qruns, key=lambda r: r["ts"])["qbench"][level]
+        qset = set(latest["queries"])
+        epoch = [
+            r["qbench"][level]
+            for r in qruns
+            if set(r["qbench"][level]["queries"]) == qset
+        ]
         out = dict(latest)
         out["queries"] = {
-            q: min(
-                r["qbench"][level]["queries"][q]
-                for r in qruns
-                if q in r["qbench"][level]["queries"]
-            )
-            for q in latest["queries"]
+            q: min(r["queries"][q] for r in epoch) for q in latest["queries"]
         }
         out["value"] = round(sum(out["queries"].values()), 3)
+        # derived fields must match the merged times, not the latest run
+        if "tile_pipeline" in out["queries"] and "n_pages" in out:
+            out["pages_per_sec"] = round(
+                out["n_pages"] / out["queries"]["tile_pipeline"], 1
+            )
         return out
 
     r8, r32 = _qmerge("8"), _qmerge("32")
@@ -544,8 +552,7 @@ def main():
     else:
         lines += ["(no recorded graph leg — run --legs graph)", ""]
     lines += [
-        "## Per-query wall seconds (bench.py, sf0.1, best of 3 per run,",
-        "## best across recorded runs)",
+        "## Per-query wall seconds (bench.py, sf0.1, best of 3 per run, best across recorded runs)",
         "",
         "| query | local[8] s | local[32] s | speedup |",
         "|---|---|---|---|",
