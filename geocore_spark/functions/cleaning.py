@@ -11,7 +11,12 @@ boilerplate strip).
 All are **pure Column expressions** — JVM-side, codegen'd, zero Python
 in the hot path — and every pattern is written in the common subset of Java
 regex (Spark) and RE2 (DuckDB) so the oracle replays them exactly: no
-lookaround, no backreferences, explicit character classes only.
+lookaround, no backreferences, explicit character classes only. Known
+edge outside the subset: ``\\s`` includes vertical tab (\\x0B) in Java
+but not RE2, so a \\x0B-separated "word pair" is one token to the oracle
+and two to the engine — accepted (vanishingly rare in web text); and
+Java's ``$`` matches before a FINAL line terminator while RE2's is
+end-of-text only, which is why the rule filters strip CR up front.
 
 Reference role: the reference has no cleaning stage (its inputs are curated
 warehouse tables, /root/reference/modeling/datasets/base.py:25-56); these

@@ -374,3 +374,82 @@ def test_gopher_signals_rules(spark):
     )
     r10 = s.select(cl.gopher_signals(F.col("text")).alias("s")).collect()[0]["s"]
     assert r10["r_symbols"] == 1
+
+
+def test_rule_filters_agree_with_bruteforce(spark):
+    """Randomized agreement of c4_signals/gopher_signals with independent
+    plain-Python implementations of the published rules (3 seeds)."""
+    import random
+    import re
+
+    from geocore_spark.functions import cleaning as cl
+
+    words = ["alpha", "beta", "the", "of", "x1", "##", "12", "..."]
+    enders = [".", "", "!", "...", " {", " javascript"]
+    for seed in (21, 22, 23):
+        rng = random.Random(seed)
+        docs = []
+        for i in range(25):
+            n_lines = rng.randint(0, 6)
+            ls = []
+            for _ in range(n_lines):
+                body = " ".join(rng.choice(words) for _ in range(rng.randint(1, 60)))
+                if rng.random() < 0.3:
+                    body = "- " + body
+                ls.append(body + rng.choice(enders))
+            docs.append((i, "\r\n".join(ls) if rng.random() < 0.3 else "\n".join(ls)))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+        def py_c4(text):
+            t = (text or "").replace("\r", "")
+            lines = [x for x in t.split("\n") if x.strip()]
+            kept = [
+                x for x in lines
+                if re.search(r'[.!?"]$', x.strip())
+                and len(x.strip().split()) >= 3
+                and not re.search(r"\bjavascript\b", x.lower())
+            ]
+            low = t.lower()
+            lorem = int("lorem ipsum" in low)
+            brace = int("{" in low or "}" in low)
+            js = int(any(re.search(r"\bjavascript\b", x.lower()) for x in lines))
+            keep = int(len(kept) >= 5 and not lorem and not brace)
+            return (len(lines), len(kept), lorem, brace, js, keep)
+
+        got = {
+            r["doc_id"]: tuple(r["s"])
+            for r in df.select("doc_id", cl.c4_signals(F.col("text")).alias("s")).collect()
+        }
+        for i, text in docs:
+            assert got[i] == py_c4(text), f"c4 seed={seed} doc={i}"
+
+        def py_gopher(text):
+            t = (text or "").replace("\r", "").lower()
+            toks = [x for x in re.split(r"\s+", t.strip()) if x] if t.strip() else []
+            w = len(toks)
+            c = len(re.sub(r"\s+", "", t))
+            nh = t.count("#")
+            ne = (len(t) - len(t.replace("...", ""))) // 3
+            lines = [x for x in t.split("\n") if x.strip()]
+            nl = len(lines)
+            nb = sum(1 for x in lines if re.match(r"^[-•*]", x.strip()))
+            nel = sum(1 for x in lines if re.search(r"\.\.\.$", x.strip()))
+            na = sum(1 for x in toks if re.search(r"[a-z]", x))
+            ns = len({x for x in toks} & set(cl.GOPHER_STOPWORDS))
+            r = (
+                int(50 <= w <= 100_000),
+                int(3 * w <= c <= 10 * w and w > 0),
+                int(10 * nh <= w and 10 * ne <= w),
+                int(10 * nb <= 9 * nl),
+                int(10 * nel <= 3 * nl),
+                int(5 * na >= 4 * w and w > 0),
+                int(ns >= 2),
+            )
+            return (w,) + r + (int(all(r)),)
+
+        got_g = {
+            r["doc_id"]: tuple(r["s"])
+            for r in df.select("doc_id", cl.gopher_signals(F.col("text")).alias("s")).collect()
+        }
+        for i, text in docs:
+            assert got_g[i] == py_gopher(text), f"gopher seed={seed} doc={i}"
