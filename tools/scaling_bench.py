@@ -540,6 +540,8 @@ def main():
         ]
         for c in (2, 8, 32):
             lines.append(f"| local[{c}] | {gd[c]:.2f} | {grate[c]:,.0f} |")
+        g_w = 8 * (gd[2] - gd[8]) / 3
+        g_s = gd[2] - g_w / 2
         lines += [
             "",
             f"- **2 -> 8 cores: efficiency {geff_2_8:.2f}** (north-rule",
@@ -547,6 +549,16 @@ def main():
             "  iteration's join and aggregate shuffle on the host key, so",
             "  on a cluster this partitions by host — the dangling-mass",
             "  scalar is the only driver-side term (1 row/iteration).",
+            "- Amdahl decomposition on the 2->8 pair: "
+            f"**S = {g_s:.0f} s serial floor** (per-iteration Janino",
+            "  codegen + persist/commit barriers x4 iterations, constant",
+            f"  per job) against **W = {g_w:.0f} parallel core-seconds**",
+            "  at this toy 10M-edge input. The floor is per-submission:",
+            "  at production edge counts (CC host graph: ~10^9-10^10",
+            "  edges, 100-1000x this input) the same S sits under",
+            "  100-1000x the W, putting raw efficiency at the W term's;",
+            "  the shuffle itself is host-key-partitioned and scales",
+            "  with executors.",
             "",
         ]
     else:
