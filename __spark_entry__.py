@@ -2996,10 +2996,15 @@ WITH derived AS (
   FROM documents),
 sig AS (
   SELECT doc_id,
-         list_filter(string_split(replace(COALESCE(t2, ''), chr(13), ''),
-                                  chr(10)),
+         list_filter(string_split(
+             translate(replace(COALESCE(t2, ''), chr(13), ''),
+                       chr(133) || chr(8232) || chr(8233),
+                       chr(10) || chr(10) || chr(10)),
+             chr(10)),
                      x -> trim(x) <> '') AS lines,
-         lower(replace(COALESCE(t2, ''), chr(13), '')) AS low
+         lower(translate(replace(COALESCE(t2, ''), chr(13), ''),
+                         chr(133) || chr(8232) || chr(8233),
+                         chr(10) || chr(10) || chr(10))) AS low
   FROM derived),
 scored AS (
   SELECT doc_id,
@@ -3044,9 +3049,11 @@ def q_gopher_filter(spark, sf_dir):
 _SQL_GOPHER_FILTER = """
 WITH derived AS (
   SELECT doc_id,
-         lower(replace(COALESCE(CASE WHEN doc_id % 2 = 0
+         lower(translate(replace(COALESCE(CASE WHEN doc_id % 2 = 0
                              THEN text || ' the to of and'
-                             ELSE text END, ''), chr(13), '')) AS t
+                             ELSE text END, ''), chr(13), ''),
+                         chr(133) || chr(8232) || chr(8233),
+                         chr(10) || chr(10) || chr(10))) AS t
   FROM documents),
 feat AS (
   SELECT doc_id,

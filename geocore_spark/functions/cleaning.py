@@ -16,7 +16,8 @@ edge outside the subset: ``\\s`` includes vertical tab (\\x0B) in Java
 but not RE2, so a \\x0B-separated "word pair" is one token to the oracle
 and two to the engine — accepted (vanishingly rare in web text); and
 Java's ``$`` matches before a FINAL line terminator while RE2's is
-end-of-text only, which is why the rule filters strip CR up front.
+end-of-text only, which is why the rule filters normalize every
+terminator Java recognizes (CR, NEL, LS, PS) before anchoring.
 
 Reference role: the reference has no cleaning stage (its inputs are curated
 warehouse tables, /root/reference/modeling/datasets/base.py:25-56); these
@@ -224,6 +225,21 @@ def word_ngrams(toks: Column, n: int) -> Column:
     )
 
 
+
+def _normalize_newlines(text: Column) -> Column:
+    """Line-terminator normalization shared by the rule filters: strip CR
+    (so CRLF == LF) and map the exotic Unicode terminators NEL/LS/PS
+    (U+0085, U+2028, U+2029) to LF. Removes the Java-vs-RE2 ``$``
+    divergence for EVERY terminator Java recognizes (Java's ``$`` matches
+    before a final line terminator; RE2's is end-of-text only) and makes
+    LS/PS-separated text behave as the line breaks they are. SQL twin:
+    ``translate(replace(t, chr(13), ''), chr(133)||chr(8232)||chr(8233),
+    chr(10)||chr(10)||chr(10))``.
+    """
+    stripped = F.replace(F.coalesce(text, F.lit("")), F.lit("\r"))
+    return F.translate(stripped, "\u0085\u2028\u2029", "\n\n\n")
+
+
 def c4_signals(
     text: Column, min_words: int = 3, min_kept_lines: int = 5
 ) -> Column:
@@ -241,15 +257,15 @@ def c4_signals(
     Returns ``struct(n_lines, n_kept, has_lorem, has_brace,
     has_javascript, keep)`` — all INT, so downstream aggregation and the
     SQL oracle are value-exact (``has_javascript`` is reported as a
-    signal; it only removes lines). CR is stripped up front so CRLF text
-    behaves like LF on both engines (Java's ``$`` matches before a final
-    line terminator, RE2's does not — normalizing removes the
-    divergence). Null text yields (0, 0, 0, 0, 0, 0). Single projection;
+    signal; it only removes lines). Line terminators are normalized up
+    front (CR stripped, NEL/LS/PS mapped to LF) so every terminator Java
+    recognizes behaves identically on both engines — see
+    :func:`_normalize_newlines`. Null text yields (0, 0, 0, 0, 0, 0). Single projection;
     the line split runs once per derived count (HOF lambdas are
     interpreted — pre-stage the array per the repo staging rule if this
     ever sits in a hot loop).
     """
-    t = F.replace(F.coalesce(text, F.lit("")), F.lit("\r"))
+    t = _normalize_newlines(text)
     lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
     is_js = lambda x: F.lower(x).rlike(r"\bjavascript\b")  # noqa: E731
     kept = F.filter(
@@ -307,13 +323,13 @@ def gopher_signals(
 
     Returns ``struct(n_words, r_words, r_meanlen, r_symbols, r_bullets,
     r_ellipsis, r_alpha, r_stops, keep)``, all INT; null/empty text has
-    0 words, fails r_words/r_meanlen/r_alpha and thus keep=0. CR is
-    stripped up front (CRLF == LF on both engines). Single projection;
+    0 words, fails r_words/r_meanlen/r_alpha and thus keep=0. Line
+    terminators are normalized up front (:func:`_normalize_newlines`). Single projection;
     the token/line arrays are re-derived per count (interpreted HOF
     lambdas — pre-stage the arrays per the repo staging rule for hot
     paths).
     """
-    t = F.lower(F.replace(F.coalesce(text, F.lit("")), F.lit("\r")))
+    t = F.lower(_normalize_newlines(text))
     toks = tokens(t)
     w = F.size(toks).cast("bigint")
     c = F.length(F.regexp_replace(t, r"\s+", "")).cast("bigint")

@@ -11,6 +11,10 @@ Stages (each a checkpointed snapshot; --resume skips committed stages):
   1. corpus      : synthesize the documents table (deterministic generator)
   2. scrub       : PII redaction + quality / language / token signals
   3. dedup       : exact dedup, then MinHash-LSH near-dup pair removal
+  3b. spanscrub  : optional (--span-scrub-w N) ExactSubstr boilerplate
+                   removal — every N-token span shared verbatim by >= 2
+                   docs is cut from all docs (doc count unchanged, token
+                   count shrinks; signals recomputed post-scrub)
   4. decontam    : drop docs sharing n-grams with the held-out benchmark
   4b. lmfilter   : optional (--lm-filter-quantile q) CCNet-style pass —
                    self-trained bigram-LM xent, drop docs above the
@@ -21,10 +25,6 @@ Stages (each a checkpointed snapshot; --resume skips committed stages):
                    LM; the rest of the corpus is scored by target/raw
                    log-likelihood ratio and only the top f fraction (plus
                    the seed itself) continues downstream
-  3b. spanscrub  : optional (--span-scrub-w N) ExactSubstr boilerplate
-                   removal — every N-token span shared verbatim by >= 2
-                   docs is cut from all docs (doc count unchanged, token
-                   count shrinks; signals recomputed post-scrub)
   4d. clsfilter  : optional (--classifier-filter) fastText-style gate —
                    bootstrap labels from the heuristic quality signal
                    (top/bottom-20% KLL slices), fit the linear model on a
@@ -113,10 +113,23 @@ def main(argv: list[str] | None = None) -> None:
     log = LineageLog()
     t_start = time.time()
 
+    # cascade-invalidation resume: once any stage in the chain REBUILDS
+    # (crash recovery, or a newly-enabled optional stage like
+    # --span-scrub-w on an old checkpoint root), every LATER stage's
+    # snapshot is stale by definition — drop it so downstream rebuilds on
+    # the new upstream data instead of silently resuming pre-change
+    # snapshots. A fully-resumed run (nothing rebuilt) is untouched.
+    upstream_rebuilt = False
+
     def staged(name, build):
+        nonlocal upstream_rebuilt
         t0 = time.time()
+        if upstream_rebuilt and cp.is_done(name):
+            cp.invalidate(name)
         was_done = cp.is_done(name)
         df = cp.run(name, build)
+        if not was_done:
+            upstream_rebuilt = True
         rows = cp.stages()[name]["rows"]
         log.record(
             name, rows=rows, seconds=round(time.time() - t0, 2), resumed=was_done
@@ -133,21 +146,28 @@ def main(argv: list[str] | None = None) -> None:
 
     corpus = staged("corpus", build_corpus)
 
-    def build_scrub():
-        d, _ = observed(corpus, "scrub_in")
-        # scrub FIRST, then derive signals from the scrubbed column — in a
-        # single select the signal exprs would resolve 'text' to the
-        # pre-scrub input and disagree with the stored text
-        scrubbed_text = d.select(
-            "doc_id", "source", cl.scrub_pii(F.col("text")).alias("text")
-        )
-        return scrubbed_text.select(
+    def with_signals(d):
+        # the ONE place the text-derived signal columns are defined; every
+        # stage that mutates `text` re-derives through this helper so the
+        # stored signals always describe the stored text
+        return d.select(
             "doc_id",
             "source",
             "text",
             tx.lang_guess(F.col("text")).alias("lang"),
             tx.quality_score(F.col("text")).alias("quality"),
             tx.token_count(F.col("text")).alias("n_tokens"),
+        )
+
+    def build_scrub():
+        d, _ = observed(corpus, "scrub_in")
+        # scrub FIRST, then derive signals from the scrubbed column — in a
+        # single select the signal exprs would resolve 'text' to the
+        # pre-scrub input and disagree with the stored text
+        return with_signals(
+            d.select(
+                "doc_id", "source", cl.scrub_pii(F.col("text")).alias("text")
+            )
         )
 
     scrubbed = staged("scrub", build_scrub)
@@ -180,17 +200,9 @@ def main(argv: list[str] | None = None) -> None:
             )
             out = dedup.scrub_spans(deduped, spans, w=w)
             # text changed -> the derived signal columns are stale for
-            # scrubbed docs; recompute them from the scrubbed text (same
-            # exprs as build_scrub) so downstream quality gates see the
-            # post-scrub document
-            return out.select(
-                "doc_id",
-                "source",
-                "text",
-                tx.lang_guess(F.col("text")).alias("lang"),
-                tx.quality_score(F.col("text")).alias("quality"),
-                tx.token_count(F.col("text")).alias("n_tokens"),
-            )
+            # scrubbed docs; re-derive through the shared helper so
+            # downstream quality gates see the post-scrub document
+            return with_signals(out)
 
         deduped = staged("spanscrub", build_spanscrub)
 

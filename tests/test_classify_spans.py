@@ -385,7 +385,7 @@ def test_rule_filters_agree_with_bruteforce(spark):
     from geocore_spark.functions import cleaning as cl
 
     words = ["alpha", "beta", "the", "of", "x1", "##", "12", "..."]
-    enders = [".", "", "!", "...", " {", " javascript"]
+    enders = [".", "", "!", "...", " {", " javascript", ".\t", "?"]
     for seed in (21, 22, 23):
         rng = random.Random(seed)
         docs = []
@@ -397,16 +397,31 @@ def test_rule_filters_agree_with_bruteforce(spark):
                 if rng.random() < 0.3:
                     body = "- " + body
                 ls.append(body + rng.choice(enders))
-            docs.append((i, "\r\n".join(ls) if rng.random() < 0.3 else "\n".join(ls)))
+            sep = rng.choice(["\n", "\r\n", "\u2028", "\n"])
+            docs.append((i, sep.join(ls)))
         df = spark.createDataFrame(docs, ["doc_id", "text"])
 
-        def py_c4(text):
+        # the reference mimics the ENGINE's semantics exactly: space-only
+        # trim (Spark F.trim), ASCII-\s tokenization (Java regex), and the
+        # same terminator normalization (CR stripped, NEL/LS/PS -> LF)
+        JWS = " \t\n\x0b\f\r"
+
+        def norm(text):
             t = (text or "").replace("\r", "")
-            lines = [x for x in t.split("\n") if x.strip()]
+            for ch in ("\u0085", "\u2028", "\u2029"):
+                t = t.replace(ch, "\n")
+            return t
+
+        def jtokens(s):
+            return [x for x in re.split(f"[{JWS}]+", s.strip(JWS)) if x]
+
+        def py_c4(text):
+            t = norm(text)
+            lines = [x for x in t.split("\n") if x.strip(" ")]
             kept = [
                 x for x in lines
-                if re.search(r'[.!?"]$', x.strip())
-                and len(x.strip().split()) >= 3
+                if re.search(r'[.!?"]$', x.strip(" "))
+                and len(jtokens(x.strip(" "))) >= 3
                 and not re.search(r"\bjavascript\b", x.lower())
             ]
             low = t.lower()
@@ -424,16 +439,16 @@ def test_rule_filters_agree_with_bruteforce(spark):
             assert got[i] == py_c4(text), f"c4 seed={seed} doc={i}"
 
         def py_gopher(text):
-            t = (text or "").replace("\r", "").lower()
-            toks = [x for x in re.split(r"\s+", t.strip()) if x] if t.strip() else []
+            t = norm(text).lower()
+            toks = jtokens(t)
             w = len(toks)
-            c = len(re.sub(r"\s+", "", t))
+            c = len(re.sub(f"[{JWS}]+", "", t))
             nh = t.count("#")
             ne = (len(t) - len(t.replace("...", ""))) // 3
-            lines = [x for x in t.split("\n") if x.strip()]
+            lines = [x for x in t.split("\n") if x.strip(" ")]
             nl = len(lines)
-            nb = sum(1 for x in lines if re.match(r"^[-•*]", x.strip()))
-            nel = sum(1 for x in lines if re.search(r"\.\.\.$", x.strip()))
+            nb = sum(1 for x in lines if re.match(r"^[-•*]", x.strip(" ")))
+            nel = sum(1 for x in lines if re.search(r"\.\.\.$", x.strip(" ")))
             na = sum(1 for x in toks if re.search(r"[a-z]", x))
             ns = len({x for x in toks} & set(cl.GOPHER_STOPWORDS))
             r = (

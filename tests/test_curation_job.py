@@ -159,3 +159,22 @@ def test_all_optional_stages_compose(tmp_path):
     )
     assert 0 < summary["docs_mixed"] <= rows["clsfilter"]
     assert summary["packs"] > 0
+
+
+def test_resume_with_new_stage_invalidates_downstream(tmp_path):
+    """Enabling an optional stage on --resume must rebuild everything
+    downstream of it — resuming pre-change snapshots would silently
+    ignore the newly requested stage."""
+    ckpt = str(tmp_path / "ckpt_cascade")
+    _run(ckpt, [])  # plain 7-stage run
+    summary, stages = _run(ckpt, ["--resume", "--span-scrub-w", "6"])
+    resumed = {
+        s.split("]")[0].split()[-1]: "resumed=True" in s for s in stages
+    }
+    # stages upstream of the new one resume; the new stage and everything
+    # after it rebuild
+    assert resumed["corpus"] and resumed["scrub"] and resumed["dedup"]
+    assert not resumed["spanscrub"]
+    for st in ("decontam", "mix", "chunks", "pack"):
+        assert not resumed[st], stages
+    assert summary["packs"] > 0

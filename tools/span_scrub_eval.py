@@ -69,10 +69,12 @@ def main() -> None:
     # marker tokens: boilerplate words that never occur in the BASE
     # corpus — their before/after counts measure planted-token removal
     # exactly (bounded collect: at most |BOILER| distinct tokens)
+    from geocore_spark.functions import cleaning
+
     present = {
         r[0]
         for r in base.select(
-            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")
+            F.explode(cleaning.tokens(F.col("text"))).alias("t")
         )
         .filter(F.col("t").isin(list(set(BOILER.split()))))
         .distinct()
@@ -83,11 +85,10 @@ def main() -> None:
     assert markers, "boilerplate shares every word with the corpus"
 
     def marker_count(col):
+        # the canonical tokenizer grain — the one duplicate_spans and
+        # scrub_spans actually operate on
         return F.size(
-            F.filter(
-                F.split(F.lower(F.trim(col)), r"\s+"),
-                lambda x: x.isin(markers),
-            )
+            F.filter(cleaning.tokens(col), lambda x: x.isin(markers))
         )
 
     spans = dd.duplicate_spans(planted, w=W, spans=True).persist()
