@@ -3256,12 +3256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "label_dedup": q_label_dedup,
         "decile_stats": q_decile_stats,
-        "union_anti": q_union_anti,
         "semi_flag": q_semi_flag,
         "hour_bucket_join": q_hour_bucket_join,
-        "conditional_mask": q_conditional_mask,
         "group_transform": q_group_transform,
-        "mean_impute": q_mean_impute,
         "salted_agg": q_salted_agg,
         "skew_split_agg": q_skew_split_agg,
         "tile_encode": q_tile_encode,
@@ -3286,28 +3283,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "distance_to_line": q_distance_to_line,
-        "sort_limit": q_sort_limit,
         "block_folds": q_block_folds,
         "lift_ks": q_lift_ks,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "corpus_curation": q_corpus_curation,
-        "percentiles": q_percentiles,
         "pivot": q_pivot,
         "cube_agg": q_cube_agg,
-        "intersect_except": q_intersect_except,
-        "rolling_avg": q_rolling_avg,
         # deliberate round-2 swap: lm_perplexity (flagship curation op)
         # takes the hard-gate slot; region_revenue (J5, already covered
         # in-window by pip_rect_join) moves to the verified tail
         "lm_perplexity": q_lm_perplexity,
-        # --- rows-only, inside the driver's 50-entry hard-check window -----
-        "minhash_lsh": q_minhash_lsh,
-        "warc_roundtrip": q_warc_roundtrip,
-        "stream_rollup": q_stream_rollup,
-        # --- oracle-backed tail (positions 51+: outside the driver's hard
-        # window by necessity — it checks only the first 50 entries — but
-        # value-verified by tools/verify_local.py every session) ------------
+        # deliberate round-3 swap (VERDICT r2 item #1): the seven flagship
+        # LLM-curation operators enter the hard window; the demoted entries
+        # (union_anti, conditional_mask, mean_impute, sort_limit,
+        # percentiles, intersect_except, rolling_avg — each redundantly
+        # covered by an in-window operator family) head the verified tail.
         "classifier_score": q_classifier_score,
         "duplicate_spans": q_duplicate_spans,
         "c4_filter": q_c4_filter,
@@ -3315,6 +3306,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
+        # --- rows-only, inside the driver's 50-entry hard-check window -----
+        "minhash_lsh": q_minhash_lsh,
+        "warc_roundtrip": q_warc_roundtrip,
+        "stream_rollup": q_stream_rollup,
+        # --- oracle-backed tail (positions 51+: outside the driver's hard
+        # window by necessity — it checks only the first 50 entries — but
+        # value-verified by tools/verify_local.py every session) ------------
+        "union_anti": q_union_anti,
+        "conditional_mask": q_conditional_mask,
+        "mean_impute": q_mean_impute,
+        "sort_limit": q_sort_limit,
+        "percentiles": q_percentiles,
+        "intersect_except": q_intersect_except,
+        "rolling_avg": q_rolling_avg,
         "semantic_decontam": q_semantic_decontam,
         "source_overlap": q_source_overlap,
         "geohash": q_geohash,
