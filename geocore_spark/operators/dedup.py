@@ -574,6 +574,7 @@ def duplicate_spans(
     min_docs: int = 2,
     spans: bool = False,
     hash_key: bool = False,
+    cache: dict | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring profile at token-window grain — the
     ExactSubstr recipe (Lee et al. 2022, arXiv:2107.06499: dedup the
@@ -607,6 +608,11 @@ def duplicate_spans(
     both passes on ``xxhash64(gram)`` instead — 8-byte shuffle rows, the
     100 TB lever, exact modulo 64-bit collisions. Skew: a gram in f docs
     costs f rows in one bucket (linear, never pairwise) — no cap needed.
+
+    The token frame is persisted for the 3 reads; pass ``cache`` (a dict)
+    to receive it under ``cache["tokens"]`` so a long-lived caller can
+    ``unpersist()`` after its terminal action — otherwise repeated
+    invocations in one context accumulate input-sized cached frames.
     """
     from geocore_spark.functions import cleaning
     from geocore_spark.operators import ensure_parallelism
@@ -618,6 +624,8 @@ def duplicate_spans(
         .select(F.col(id_col), cleaning.tokens(F.col(text_col)).alias("__t"))
         .persist()  # read 3x (base + both window passes); ~input-sized
     )
+    if cache is not None:
+        cache["tokens"] = toks
     base = toks.select(
         F.col(id_col),
         F.greatest(F.size("__t") - (w - 1), F.lit(0))

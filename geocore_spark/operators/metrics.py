@@ -1,0 +1,145 @@
+"""Scale-safe exact rank metrics: global row numbers, ntile buckets and
+percent_rank WITHOUT a single-task global sort.
+
+The reference computes decile/lift/KS tables in driver-side pandas over
+the full scored frame (reference modeling/metrics.py:39-91) — fine at its
+scale, a one-core serialization at 100 TB. The naive Spark translation
+(``Window.orderBy(...)`` with no ``partitionBy``) is just as bad: Catalyst
+plans ``Exchange SinglePartition`` + one sort task holding the whole
+input. This module replaces it with the two-exchange distributed
+formulation:
+
+1. ``repartitionByRange`` on the sort key — partition i holds keys
+   strictly before partition i+1's (RangePartitioning invariant), each
+   partition sorted independently in parallel;
+2. per-partition row counts (map-side-combined agg, one tiny row per
+   partition) collected to the driver — bounded by the partition count,
+   never by the data — and turned into cumulative offsets;
+3. offsets broadcast-joined back on the partition id, so
+   ``global rank = partition offset + per-partition row_number``.
+
+ntile/percent_rank then become pure Column arithmetic on the exact global
+rank (the SQL bucket-size rule: the first N mod n buckets take one extra
+row), so the plans contain NO global window — ``ntile(``/``percent_rank(``
+never appear, and the only full-data exchanges are the range partitioning
+and the per-partition-id window hash (both width-parallel). Exactness is
+independent of where the sampled range boundaries land; boundary sampling
+only affects balance.
+
+Rows whose sort key columns are all non-null are required (nulls order
+fine but make oracle parity engine-dependent; callers filter first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__mx_pid"
+_LRN = "__mx_lrn"
+_OFF = "__mx_off"
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rn_col: str = "global_rn",
+    num_partitions: int | None = None,
+    cache: dict | None = None,
+) -> tuple[DataFrame, int]:
+    """Append an exact 1-based global row number under a TOTAL order
+    (``order_cols`` must be tie-free — include a unique tiebreak column)
+    and return ``(df_with_rank, total_rows)``.
+
+    Materializes one pass for the per-partition counts (the ranged frame
+    is persisted so the main pass reuses it; pass ``cache`` to receive it
+    under ``cache["ranged"]`` for unpersisting after the terminal action).
+    The count collect is one row per range partition — driver-bounded by
+    the partition count, not the data size.
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(p, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    if cache is not None:
+        cache["ranged"] = ranged
+    counts = sorted(
+        (r[0], r[1])
+        for r in ranged.groupBy(_PID).agg(F.count(F.lit(1))).collect()
+    )
+    total = int(sum(c for _, c in counts))
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += int(c)
+    if offsets:
+        off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+    else:
+        off_df = spark.createDataFrame([], f"{_PID} int, {_OFF} long")
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    out = (
+        ranged.withColumn(_LRN, F.row_number().over(w))
+        .join(F.broadcast(off_df), _PID)
+        .withColumn(rn_col, (F.col(_OFF) + F.col(_LRN)).cast("bigint"))
+        .drop(_PID, _LRN, _OFF)
+    )
+    return out, total
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    n: int,
+    col: str = "decile",
+    num_partitions: int | None = None,
+    cache: dict | None = None,
+) -> DataFrame:
+    """SQL-exact ``ntile(n) OVER (ORDER BY order_cols)`` as an INT column,
+    computed from the distributed global rank — no global window. Bucket
+    rule (matches Spark and DuckDB): with N rows, the first ``N mod n``
+    buckets hold ``N div n + 1`` rows, the rest ``N div n``."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    out, total = with_global_rank(
+        df, order_cols, rn_col="__mx_rn",
+        num_partitions=num_partitions, cache=cache,
+    )
+    q, rem = divmod(total, n)
+    rank = F.col("__mx_rn")
+    if q == 0:
+        bucket = rank  # fewer rows than buckets: row r -> bucket r
+    else:
+        head = rem * (q + 1)
+        bucket = F.when(
+            rank <= F.lit(head),
+            F.expr(f"(__mx_rn - 1) div {q + 1}") + 1,
+        ).otherwise(F.expr(f"(__mx_rn - 1 - {head}) div {q}") + rem + 1)
+    return out.withColumn(col, bucket.cast("int")).drop("__mx_rn")
+
+
+def exact_percent_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    col: str = "pct_rank",
+    num_partitions: int | None = None,
+    cache: dict | None = None,
+) -> DataFrame:
+    """SQL-exact ``percent_rank() OVER (ORDER BY order_cols)`` under a
+    TOTAL (tie-free) order: (rank - 1) / (N - 1), computed from the
+    distributed global rank. With ties the SQL function assigns the tie
+    group's first row number to every member — include a unique tiebreak
+    in ``order_cols`` (every caller here does), which makes the two
+    definitions coincide."""
+    out, total = with_global_rank(
+        df, order_cols, rn_col="__mx_rn",
+        num_partitions=num_partitions, cache=cache,
+    )
+    if total <= 1:
+        return out.withColumn(col, F.lit(0.0)).drop("__mx_rn")
+    return out.withColumn(
+        col,
+        (F.col("__mx_rn") - F.lit(1)).cast("double") / F.lit(float(total - 1)),
+    ).drop("__mx_rn")

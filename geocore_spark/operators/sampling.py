@@ -193,15 +193,46 @@ def temperature_weights(
     # n^alpha snapped to integer micro-units BEFORE the total: summing the
     # raw doubles would make `weight` depend on partial-agg order (the
     # operators.lm trick, same micro constant class); fits BIGINT up to
-    # n ~ 1e17 at alpha=0.7
+    # n ~ 1e17 at alpha=0.7. For alpha > 1 the micro-snap can exceed
+    # BIGINT and (ANSI off) silently wrap — guard at runtime with ~2%
+    # headroom below 2^63 so corruption becomes a loud error instead.
     powed = counts.withColumn(
+        "__praw",
+        F.pow(F.col("n_rows").cast("double"), F.lit(alpha))
+        * F.lit(1_000_000.0),
+    ).withColumn(
         "__p",
-        F.round(
-            F.pow(F.col("n_rows").cast("double"), F.lit(alpha))
-            * F.lit(1_000_000.0)
-        ).cast("bigint"),
+        F.when(
+            F.col("__praw") >= F.lit(9.0e18),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "temperature_weights: n_rows^alpha * 1e6 exceeds "
+                        "BIGINT micro-snap range for slice n_rows="
+                    ),
+                    F.col("n_rows").cast("string"),
+                    F.lit(f" at alpha={alpha}; lower alpha (recipe domain is (0, 1])"),
+                )
+            ).cast("bigint"),
+        ).otherwise(F.round(F.col("__praw")).cast("bigint")),
+    ).drop("__praw")
+    # the total can overflow even when every slice fits — check it on a
+    # parallel double sum (2% headroom dwarfs double rounding error)
+    tot = powed.agg(
+        F.sum("__p").alias("__t"),
+        F.sum(F.col("__p").cast("double")).alias("__tchk"),
+    ).select(
+        F.when(
+            F.col("__tchk") >= F.lit(9.0e18),
+            F.raise_error(
+                F.lit(
+                    "temperature_weights: sum of micro-snapped weights "
+                    "exceeds BIGINT range; lower alpha or pre-aggregate "
+                    "slices"
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col("__t")).alias("__t")
     )
-    tot = powed.agg(F.sum("__p").alias("__t"))
     out = (
         powed.crossJoin(F.broadcast(tot))
         .withColumn(

@@ -86,3 +86,42 @@ class StageCheckpoint:
 
     def stages(self) -> dict:
         return self._manifest()["stages"]
+
+    def chain(self) -> list[dict]:
+        """The ordered stage chain (name + params) recorded by the last
+        run, or [] for pre-chain manifests."""
+        return self._manifest().get("chain", [])
+
+    def reconcile_chain(self, configured: list[tuple[str, dict]]) -> list[str]:
+        """Record ``configured`` as the run's stage chain and invalidate
+        every committed snapshot at or after the first stage whose name
+        OR params differ from the previously recorded chain.
+
+        Stage identity is (name, params), not name alone: resuming a
+        checkpoint root where an optional stage was re-parameterized
+        (e.g. --span-scrub-w 8 -> 16), disabled, or inserted would
+        otherwise silently reuse snapshots built under the old chain.
+        A manifest that has committed stages but no recorded chain is
+        treated as fully divergent (unknown provenance). Returns the
+        invalidated stage names (for logging/tests)."""
+        recorded = self.chain()
+        if not recorded and self.stages():
+            recorded = [{"name": n, "params": None} for n in self.stages()]
+        div = len(configured)
+        for i, (name, params) in enumerate(configured):
+            if (
+                i >= len(recorded)
+                or recorded[i].get("name") != name
+                or recorded[i].get("params") != params
+            ):
+                div = i
+                break
+        stale = [e["name"] for e in recorded[div:] if e["name"] in self.stages()]
+        for name in stale:
+            self.invalidate(name)
+        manifest = self._manifest()
+        manifest["chain"] = [
+            {"name": n, "params": p} for n, p in configured
+        ]
+        self._commit(manifest)
+        return stale

@@ -88,6 +88,12 @@ def main(argv: list[str] | None = None) -> None:
         "so the pinned 7-stage shape is unchanged",
     )
     ap.add_argument(
+        "--fail-after",
+        default=None,
+        help=argparse.SUPPRESS,  # fault injection for resume tests: exit(3)
+        # right after the named stage commits, simulating a mid-pipeline crash
+    )
+    ap.add_argument(
         "--classifier-filter",
         action="store_true",
         help="add the clsfilter stage: quality-bootstrapped linear "
@@ -110,6 +116,35 @@ def main(argv: list[str] | None = None) -> None:
     if not args.resume:
         for stage in list(cp.stages()):
             cp.invalidate(stage)
+
+    # the configured stage chain WITH parameters — recorded in the
+    # manifest so --resume invalidates from the first stage whose name or
+    # params differ from the committed chain (a re-parameterized optional
+    # stage, or one disabled since the snapshot, would otherwise silently
+    # resume downstream snapshots built under the old chain)
+    configured_chain: list[tuple[str, dict]] = [
+        ("corpus", {"docs": args.docs}),
+        ("scrub", {}),
+        ("dedup", {}),
+    ]
+    if args.span_scrub_w is not None:
+        configured_chain.append(("spanscrub", {"w": args.span_scrub_w}))
+    configured_chain.append(("decontam", {"ngram": args.ngram}))
+    if args.lm_filter_quantile is not None:
+        configured_chain.append(("lmfilter", {"q": args.lm_filter_quantile}))
+    if args.dsir_frac is not None:
+        configured_chain.append(("dsir", {"frac": args.dsir_frac}))
+    if args.classifier_filter:
+        configured_chain.append(("clsfilter", {}))
+    configured_chain += [
+        ("mix", {}),
+        ("chunks", {"size": args.chunk_size, "stride": args.chunk_stride}),
+        ("pack", {"budget": args.budget}),
+    ]
+    stale = cp.reconcile_chain(configured_chain)
+    if stale:
+        print(f"[resume] chain diverged; invalidated: {' '.join(stale)}", flush=True)
+
     log = LineageLog()
     t_start = time.time()
 
@@ -135,6 +170,10 @@ def main(argv: list[str] | None = None) -> None:
             name, rows=rows, seconds=round(time.time() - t0, 2), resumed=was_done
         )
         print(f"[stage {name}] rows={rows} resumed={was_done}", flush=True)
+        if args.fail_after == name:
+            print(f"[fault-injection] exiting after stage {name}", flush=True)
+            spark.stop()
+            sys.exit(3)
         return df
 
     def build_corpus():
@@ -193,10 +232,13 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.span_scrub_w is not None:
 
+        span_cache: dict = {}
+
         def build_spanscrub():
             w = args.span_scrub_w
             spans = dedup.duplicate_spans(
-                deduped.select("doc_id", "text"), w=w, spans=True
+                deduped.select("doc_id", "text"), w=w, spans=True,
+                cache=span_cache,
             )
             out = dedup.scrub_spans(deduped, spans, w=w)
             # text changed -> the derived signal columns are stale for
@@ -205,6 +247,11 @@ def main(argv: list[str] | None = None) -> None:
             return with_signals(out)
 
         deduped = staged("spanscrub", build_spanscrub)
+        # the stage snapshot is committed — release the input-sized token
+        # cache duplicate_spans persisted (long-lived contexts would
+        # otherwise accumulate one per invocation)
+        if "tokens" in span_cache:
+            span_cache["tokens"].unpersist()
 
     def build_decontam():
         bench = deduped.filter(F.col("doc_id") % 1013 == 0)
@@ -264,8 +311,11 @@ def main(argv: list[str] | None = None) -> None:
             picked = selection.dsir_select(raw, target, frac=args.dsir_frac)
             # token-less docs are unscorable (absent from the weight
             # frame) — pass them through instead of silently dropping,
-            # the same invariant the lmfilter stage keeps
-            unscorable = raw.filter(F.col("n_tokens") == 0)
+            # the same invariant the lmfilter stage keeps; coalesce: null
+            # text yields NULL n_tokens, which `== 0` would silently drop
+            unscorable = raw.filter(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) == 0
+            )
             keep_ids = (
                 picked.select("doc_id")
                 .unionByName(target.select("doc_id"))

@@ -11,17 +11,17 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(ckpt, extra):
+def _run(ckpt, extra, expect_rc=0):
     env = dict(os.environ, PYTHONPATH=REPO)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "jobs", "run_curation.py"),
          "--docs", "1500", "--checkpoint-root", ckpt, *extra],
         capture_output=True, text=True, env=env, timeout=600,
     )
-    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.returncode == expect_rc, out.stderr[-2000:]
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     stages = [ln for ln in out.stdout.splitlines() if ln.startswith("[stage")]
-    return json.loads(lines[-1]), stages
+    return (json.loads(lines[-1]) if lines else None), stages
 
 
 def test_curation_job_end_to_end_and_resume(tmp_path):
@@ -178,3 +178,72 @@ def test_resume_with_new_stage_invalidates_downstream(tmp_path):
     for st in ("decontam", "mix", "chunks", "pack"):
         assert not resumed[st], stages
     assert summary["packs"] > 0
+
+
+def _resumed_map(stages):
+    return {s.split("]")[0].split()[-1]: "resumed=True" in s for s in stages}
+
+
+def test_resume_with_reparameterized_stage_invalidates(tmp_path):
+    """Changing an optional stage's PARAMETER on --resume must rebuild that
+    stage and everything downstream — stage identity is (name, params) in
+    the manifest chain, not name alone (ADVICE r2 #1)."""
+    ckpt = str(tmp_path / "ckpt_reparam")
+    _run(ckpt, ["--span-scrub-w", "6"])
+    summary, stages = _run(ckpt, ["--resume", "--span-scrub-w", "8"])
+    resumed = _resumed_map(stages)
+    assert resumed["corpus"] and resumed["scrub"] and resumed["dedup"]
+    for st in ("spanscrub", "decontam", "mix", "chunks", "pack"):
+        assert not resumed[st], stages
+    assert summary["packs"] > 0
+
+
+def test_resume_with_disabled_stage_invalidates(tmp_path):
+    """Disabling a previously-enabled optional stage on --resume must
+    rebuild everything downstream of its old position — resuming those
+    snapshots would silently keep the disabled stage's effect. The final
+    summary must equal a from-scratch run without the stage."""
+    ckpt = str(tmp_path / "ckpt_disable")
+    _run(ckpt, ["--span-scrub-w", "6"])
+    resumed_summary, stages = _run(ckpt, ["--resume"])
+    resumed = _resumed_map(stages)
+    assert "spanscrub" not in resumed
+    assert resumed["corpus"] and resumed["scrub"] and resumed["dedup"]
+    for st in ("decontam", "mix", "chunks", "pack"):
+        assert not resumed[st], stages
+
+    fresh_ckpt = str(tmp_path / "ckpt_fresh")
+    fresh_summary, _ = _run(fresh_ckpt, [])
+    drop = ("seconds", "metrics")
+    assert {k: v for k, v in resumed_summary.items() if k not in drop} == {
+        k: v for k, v in fresh_summary.items() if k not in drop
+    }
+
+
+def test_crash_then_resume_with_added_stage_matches_scratch(tmp_path):
+    """Fault injection (VERDICT r2 item #6): crash right after the dedup
+    stage commits, then --resume with a newly-enabled optional stage.
+    Committed upstream stages resume; the new stage and all downstream
+    rebuild; the final summary equals a from-scratch run with the same
+    chain."""
+    ckpt = str(tmp_path / "ckpt_crash")
+    summary, stages = _run(ckpt, ["--fail-after", "dedup"], expect_rc=3)
+    assert summary is None  # crashed before the summary line
+    assert [s.split("]")[0].split()[-1] for s in stages] == [
+        "corpus", "scrub", "dedup",
+    ]
+
+    resumed_summary, stages = _run(
+        ckpt, ["--resume", "--span-scrub-w", "6"]
+    )
+    resumed = _resumed_map(stages)
+    assert resumed["corpus"] and resumed["scrub"] and resumed["dedup"]
+    for st in ("spanscrub", "decontam", "mix", "chunks", "pack"):
+        assert not resumed[st], stages
+
+    fresh_ckpt = str(tmp_path / "ckpt_crash_fresh")
+    fresh_summary, _ = _run(fresh_ckpt, ["--span-scrub-w", "6"])
+    drop = ("seconds", "metrics")
+    assert {k: v for k, v in resumed_summary.items() if k not in drop} == {
+        k: v for k, v in fresh_summary.items() if k not in drop
+    }
