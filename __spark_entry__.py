@@ -2332,6 +2332,7 @@ _MAGIC_PREFIXES = [
     "49443300",  # ID3 (mp3)
     "FFFB0000",  # mp3 frame sync
     "0000002066747970",  # ....ftyp (mp4)
+    "424D0000",  # BM (bmp — decodable for real, operators/multimodal.py)
     "00",  # unknown
 ]
 
@@ -2345,7 +2346,7 @@ def q_media_format(spark, sf_dir):
     base = _t(spark, sf_dir, "documents").select("doc_id")
     prefix = F.element_at(
         F.array(*[F.lit(p) for p in _MAGIC_PREFIXES]),
-        ((F.col("doc_id") % 9) + 1).cast("int"),
+        ((F.col("doc_id") % len(_MAGIC_PREFIXES)) + 1).cast("int"),
     )
     payload = F.to_binary(
         F.concat(prefix, F.md5(F.col("doc_id").cast("string"))), F.lit("hex")
@@ -2359,7 +2360,7 @@ _SQL_MEDIA_FORMAT = f"""
 WITH hexed AS (
   SELECT doc_id,
          upper(substr(
-           CASE doc_id % 9
+           CASE doc_id % {len(_MAGIC_PREFIXES)}
              {' '.join(f"WHEN {i} THEN '{p}'" for i, p in enumerate(_MAGIC_PREFIXES))}
            END || md5(CAST(doc_id AS VARCHAR)), 1, 24)) AS hx
   FROM documents
@@ -2373,6 +2374,7 @@ SELECT doc_id,
          WHEN hx LIKE '52494646%' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
          WHEN hx LIKE '494433%' OR hx LIKE 'FFFB%' THEN 'mp3'
          WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+         WHEN hx LIKE '424D%' THEN 'bmp'
          ELSE 'unknown'
        END AS format
 FROM hexed
