@@ -2864,6 +2864,71 @@ FROM pre
 """
 
 
+_H3_BASES = [20, 15, 33, 47, 61, 75, 89, 95, 101, 113]  # non-pentagon
+
+
+def q_h3_rollup(spark, sf_dir):
+    """H3 string interop without the h3 lib (functions/h3interop.py,
+    VERDICT r2 item #5): synthesize valid res-9 H3 cell indexes from
+    event ids via the PUBLISHED bit layout (mode 1, non-pentagon base
+    cells, base-7 digit expansion), format to canonical strings, then
+    parse the strings back, validate, derive the res-7 parent and roll
+    up per parent — exactly the join/rollup a user with externally
+    produced H3-keyed data (reference test_data.py:15) needs. Pure
+    Column bit math end to end; the oracle replays identical integer
+    arithmetic in DuckDB."""
+    from geocore_spark.functions import h3interop as hi
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    base = F.element_at(
+        F.array(*[F.lit(b) for b in _H3_BASES]),
+        ((F.col("event_id") % 10) + 1).cast("int"),
+    ).cast("bigint")
+    fixed = (1 << 59) | (9 << 52) | ((1 << 18) - 1)  # mode|res|digits 10-15 = 7
+    v = F.lit(fixed) + base * F.lit(1 << 45)
+    for d in range(1, 10):
+        digit = F.expr(f"event_id div {7 ** (d - 1)}") % 7  # exact int div
+        v = v + digit * F.lit(1 << (3 * (15 - d)))
+    cells = ev.select("event_id", hi.h3_format(v).alias("cell"))
+    parsed = cells.select(
+        "cell",
+        hi.h3_parse(F.col("cell")).alias("v"),
+    ).filter(hi.h3_is_valid(F.col("v")))
+    rolled = parsed.select(
+        hi.h3_format(hi.h3_parent(F.col("v"), 7)).alias("parent7"),
+        "cell",
+    )
+    return rolled.groupBy("parent7").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.min("cell").alias("first_cell"),
+    )
+
+
+def _sql_h3_rollup():
+    from geocore_spark.functions import h3interop as hi
+
+    base_case = " ".join(
+        f"WHEN {i} THEN {b}" for i, b in enumerate(_H3_BASES)
+    )
+    fixed = (1 << 59) | (9 << 52) | ((1 << 18) - 1)
+    digit_terms = " + ".join(
+        f"((event_id // {7 ** (d - 1)}) % 7) * {1 << (3 * (15 - d))}"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH raw AS (
+  SELECT CAST({fixed} AS BIGINT)
+         + (CASE event_id % 10 {base_case} END) * CAST({1 << 45} AS BIGINT)
+         + {digit_terms} AS v
+  FROM events),
+cells AS (SELECT lower(hex(v)) AS cell, v FROM raw),
+rolled AS (
+  SELECT lower(hex({hi.parent_sql('v', 7)})) AS parent7, cell FROM cells)
+SELECT parent7, CAST(COUNT(*) AS BIGINT) AS n_cells, MIN(cell) AS first_cell
+FROM rolled GROUP BY parent7
+"""
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature mixing weights (sampling.temperature_weights, the
     XLM-R alpha=0.7 rebalancing recipe): per-source n^alpha weights,
@@ -3329,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        "h3_rollup": q_h3_rollup,
         "union_anti": q_union_anti,
         "conditional_mask": q_conditional_mask,
         "mean_impute": q_mean_impute,
@@ -3436,6 +3502,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_decontam": _SQL_SEMANTIC_DECONTAM,
         "source_overlap": _SQL_SOURCE_OVERLAP,
         "geohash": _sql_geohash(),
+        "h3_rollup": _sql_h3_rollup(),
         "temperature_mix": _SQL_TEMPERATURE_MIX,
         "classifier_score": _SQL_CLASSIFIER_SCORE,
         "duplicate_spans": _SQL_DUPLICATE_SPANS,
