@@ -142,6 +142,30 @@ def decode(gh: Column, precision: int) -> Column:
     return F.struct(lat.alias("lat"), lon.alias("lon"))
 
 
+def decode_staged(
+    df,
+    gh: Column,
+    precision: int,
+    lat_col: str = "gh_lat",
+    lon_col: str = "gh_lon",
+):
+    """Decode WITH the staging rule applied: returns ``df`` plus the
+    centroid fields as plain materialized attributes (localCheckpoint),
+    safe to feed into :func:`encode` or any other unrolled expression.
+
+    This is the enforced form of the module's staging rule — composing
+    ``encode(decode(...))`` in one projection inlines the ~40-term decode
+    tree into every encode term and Janino codegen explodes (measured
+    170 s -> 8 s on a 200-row roundtrip). The cut is pinned by a plan
+    test (tests/test_geohash.py): downstream plans must reference the
+    attributes, never the decode expression.
+    """
+    c = decode(gh, precision)
+    return df.select(
+        "*", c["lat"].alias(lat_col), c["lon"].alias(lon_col)
+    ).localCheckpoint()
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL mirror (oracle twin — token-for-token the same arithmetic)
 # ---------------------------------------------------------------------------

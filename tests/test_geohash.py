@@ -153,3 +153,39 @@ def test_precision_validation():
         gh.encode(F.lit(0.0), F.lit(0.0), 0)
     with pytest.raises(ValueError):
         gh.encode(F.lit(0.0), F.lit(0.0), 13)
+
+
+def test_decode_staging_rule_cuts_expression(spark):
+    """VERDICT r2 item #8: the 170s->8s Janino cliff guard, as a plan
+    test instead of lore. decode_staged materializes the centroid struct,
+    so the re-encode plan references plain attributes — the decode tree's
+    signature function (array_position over the base-32 alphabet) must
+    NOT appear anywhere in the downstream plan. The unstaged composition
+    is the negative control: its plan inlines decode into every encode
+    term."""
+    import contextlib
+    import io
+
+    def formatted(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    pts = [(i, 10.0 + i, 20.0 + i) for i in range(5)]
+    df = spark.createDataFrame(pts, ["id", "lat", "lon"])
+    enc = df.select("id", gh.encode(F.col("lat"), F.col("lon"), 4).alias("g"))
+
+    staged = gh.decode_staged(enc, F.col("g"), 4, "clat", "clon")
+    back = staged.select(
+        "id", "g", gh.encode(F.col("clat"), F.col("clon"), 4).alias("g2")
+    )
+    p = formatted(back)
+    assert "array_position" not in p  # decode tree cut at the checkpoint
+    for r in back.collect():
+        assert r["g"] == r["g2"]
+
+    # negative control: inline composition DOES drag the decode tree in
+    c = gh.decode(F.col("g"), 2)
+    inline = enc.select(gh.encode(c["lat"], c["lon"], 2).alias("g2"))
+    assert "array_position" in formatted(inline)

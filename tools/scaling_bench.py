@@ -50,6 +50,30 @@ def _pinned(cpus: int) -> list[str]:
     return ["taskset", "-c", f"0-{cpus - 1}"]
 
 
+# hypervisor steal above this many ticks/s during a leg means the numbers
+# are hostage to a noisy co-tenant window (CLAUDE.md diagnostic: bursts on
+# this VM tripled per-query times); such runs self-mark noisy and the
+# report merger ignores them instead of relying on operator discipline
+STEAL_TPS_LIMIT = 50.0
+
+
+def _steal_ticks() -> int:
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except OSError:
+        return 0
+
+
+def _steal_watched(fn):
+    """Run fn(), returning (result, steal_ticks_per_sec_during_run)."""
+    t0, s0 = time.time(), _steal_ticks()
+    out = fn()
+    dt = max(time.time() - t0, 1e-6)
+    return out, (_steal_ticks() - s0) / dt
+
+
 def _materialize_pages() -> None:
     if os.path.exists(os.path.join(PAGES_PARQUET, "_SUCCESS")):
         return
@@ -312,20 +336,42 @@ def main():
         legs.discard("curation")
 
     entry = {"ts": time.time(), "pinned": True}
+    steal_tps: dict[str, float] = {}
+
+    def _leg(name, fn, levels=(2, 8, 32)):
+        vals, worst = {}, 0.0
+        for c in levels:
+            vals[c], rate = _steal_watched(lambda c=c: fn(c))
+            worst = max(worst, rate)
+        steal_tps[name] = round(worst, 1)
+        return vals
+
     if "flagship" in legs:
         _materialize_pages()
-        entry["flagship"] = {c: _flagship(c) for c in (2, 8, 32)}
+        entry["flagship"] = _leg("flagship", _flagship)
     if "text" in legs:
         _materialize_docs()
-        entry["text"] = {c: _text_flagship(c) for c in (2, 8, 32)}
+        entry["text"] = _leg("text", _text_flagship)
     if "curation" in legs:
-        entry["curation"] = {c: _curation(c) for c in (2, 8, 32)}
+        entry["curation"] = _leg("curation", _curation)
         entry["curation_docs"] = N_CUR_DOCS
     if "graph" in legs:
         _materialize_edges()
-        entry["graph"] = {c: _graph(c) for c in (2, 8, 32)}
+        entry["graph"] = _leg("graph", _graph)
     if "queries" in legs:
-        entry["qbench"] = {"8": _query_bench(8), "32": _query_bench(32)}
+        qb = _leg("queries", _query_bench, levels=(8, 32))
+        entry["qbench"] = {"8": qb[8], "32": qb[32]}
+    if steal_tps:
+        entry["steal_tps"] = steal_tps
+        entry["noisy"] = max(steal_tps.values()) > STEAL_TPS_LIMIT
+        if entry["noisy"]:
+            print(
+                f"[steal] hypervisor steal {steal_tps} ticks/s exceeds "
+                f"{STEAL_TPS_LIMIT}/s — this run is recorded but marked "
+                "noisy and will be IGNORED by the report merger; rerun the "
+                "leg in a quiet window",
+                flush=True,
+            )
 
     # Merge with prior runs: single runs on this VM vary 1.5-2x from host
     # stalls/JIT luck; the per-level BEST across runs is the demonstrated
@@ -339,7 +385,10 @@ def main():
     # local[2]'s Python workers use spare cores, so mixing them would pair an
     # unpinned 2-core baseline with a pinned 8-core time — apples to oranges.
     runs = [json.loads(line) for line in open(hist_path)]
-    runs = [r for r in runs if r.get("pinned")]
+    # ...and only quiet-window runs: entries that watched /proc/stat steal
+    # during measurement and saw a noisy hypervisor window mark themselves
+    # noisy; pre-steal-aware entries (no flag) were operator-screened.
+    runs = [r for r in runs if r.get("pinned") and not r.get("noisy")]
 
     def _lvl(r, key, c):
         return r[key][str(c)] if str(c) in r[key] else r[key][c]
