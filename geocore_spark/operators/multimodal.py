@@ -3,14 +3,17 @@
 Training-data pipelines carry media as opaque ``binary`` columns next to
 typed metadata, exactly like the pages table carries ``html: binary``.
 The Spark-side plumbing here is real and tested — schemas, Arrow batch
-shapes, partition-size control. Codec status: BMP (24/32-bit BI_RGB) and
-WAV (integer/float PCM) decode FOR REAL in pure numpy — both are public
-fixed-layout formats needing no library (:func:`decode_bmp`,
-:func:`decode_wav`, with :func:`encode_bmp`/:func:`encode_wav` fixture
-writers pinning the round-trips). Compressed formats (JPEG/PNG/MP3/MP4)
-remain genuinely lib-bound: a deployment swaps the stub branch for
-PIL/ffmpeg calls; nothing else changes (the mapInPandas contract is
-identical).
+shapes, partition-size control. Codec status: BMP (24/32-bit BI_RGB),
+PNG (8-bit gray/RGB/palette/alpha, all five scanline filters) and WAV
+(integer/float PCM) decode FOR REAL — BMP/WAV are fixed little-endian
+structs and PNG's only algorithmic dependency is DEFLATE, which the
+standard library's zlib provides, so none needs an imaging library
+(:func:`decode_bmp`, :func:`decode_png`, :func:`decode_wav`, with
+:func:`encode_bmp`/:func:`encode_png`/:func:`encode_wav` fixture
+writers pinning the round-trips). Formats whose entropy coding is not
+in the stdlib (JPEG/WebP/MP3/MP4) remain genuinely lib-bound: a
+deployment swaps the stub branch for PIL/ffmpeg calls; nothing else
+changes (the mapInPandas contract is identical).
 
 Deterministic-fake mode lets tests exercise the full path for the
 lib-bound formats: the "decoded" payload is a seeded-by-content numpy
@@ -20,6 +23,7 @@ outputs.
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -104,21 +108,214 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + data
 
 
-def _decode_image_stub(payload: bytes, fake: bool) -> np.ndarray:
-    """Decode an encoded image to HxWxC uint8.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# samples per pixel for 8-bit color types: gray, RGB, palette-index,
+# gray+alpha, RGBA (W3C PNG spec table 11.1)
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-    BMP payloads (magic ``BM``) decode FOR REAL via :func:`decode_bmp` —
-    pure numpy, no library. Other formats (JPEG/PNG/...) remain
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decoder -> HxWxC uint8 (C per color type; palette -> 3).
+
+    Pure numpy + the standard library's zlib — PNG's only algorithmic
+    dependency is DEFLATE, which Python ships, so unlike JPEG this
+    compressed format IS implementable for real in this container.
+    Covers the common core of the public spec (W3C PNG / RFC 2083):
+    bit depth 8, color types 0/2/3/4/6, non-interlaced, all five
+    scanline filters. Chunk CRCs are verified. Unfiltering is
+    vectorized where the recurrence allows: None and Up are whole-row
+    adds, Sub is a per-byte-lane mod-256 cumulative sum; Average and
+    Paeth carry a true left-to-right dependency, so those rows scan
+    per pixel (all byte lanes of a pixel at once).
+    """
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size or pos + 12 + size > len(payload):
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(payload[pos + 8 + size : pos + 12 + size], "big")
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
+    if color not in _PNG_SAMPLES:
+        raise ValueError(f"invalid PNG color type {color}")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    bpp = _PNG_SAMPLES[color]
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG pixel stream {len(raw)} != expected {h * (1 + stride)} bytes"
+        )
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes, filt = lines[:, 0], lines[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, line = int(ftypes[y]), filt[y]
+        if f == 0:
+            rec = line.copy()
+        elif f == 2:  # Up
+            rec = line + prior  # uint8 add wraps mod 256 per spec
+        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-bpp] — a
+            # mod-256 prefix sum down each byte lane
+            rec = (
+                np.cumsum(line.reshape(w, bpp).astype(np.uint32), axis=0)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.uint8)
+            up = prior.astype(np.int32)
+            ln = line.astype(np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                sl = slice(x * bpp, (x + 1) * bpp)
+                if f == 3:
+                    pred = (left + up[sl]) >> 1
+                else:
+                    b = up[sl]
+                    p = left + b - ul
+                    pa, pb, pc = abs(p - left), abs(p - b), abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, ul)
+                    )
+                left = (ln[sl] + pred) & 0xFF
+                rec[sl] = left
+                ul = up[sl]
+        else:
+            raise ValueError(f"invalid PNG filter type {f} on row {y}")
+        recon[y] = rec
+        prior = rec
+    img = recon.reshape(h, w, bpp)
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/invalid PLTE")
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(img.max()) >= len(table):
+            raise ValueError("PNG palette index out of range")
+        img = table[img[..., 0]]
+    return np.ascontiguousarray(img)
+
+
+def encode_png(img: np.ndarray, filters=None) -> bytes:
+    """Inverse of :func:`decode_png` — fixture writer for the round-trip
+    pins. Accepts HxW or HxWx{1,2,3,4} uint8 (gray / gray+alpha / RGB /
+    RGBA). ``filters`` optionally gives a per-row scanline filter type
+    (0-4, default all 0); forward filtering here is the spec's inverse
+    direction, so a round-trip through :func:`decode_png` exercises each
+    unfilter path against independent math.
+    """
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.ndim != 3 or img.dtype != np.uint8 or img.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("expected HxWx{1,2,3,4} uint8")
+    h, w, bpp = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[bpp]
+    rows = img.reshape(h, w * bpp).astype(np.int32)
+    if filters is None:
+        filters = [0] * h
+    if len(filters) != h:
+        raise ValueError("need one filter type per row")
+    out = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        f, cur = int(filters[y]), rows[y]
+        left = np.zeros_like(cur)
+        left[bpp:] = cur[:-bpp]
+        ul = np.zeros_like(prior)
+        ul[bpp:] = prior[:-bpp]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prior
+        elif f == 3:
+            filt = cur - ((left + prior) >> 1)
+        elif f == 4:
+            p = left + prior - ul
+            pa, pb, pc = abs(p - left), abs(p - prior), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"invalid filter type {f}")
+        out.append(f)
+        out += (filt & 0xFF).astype(np.uint8).tobytes()
+        prior = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _to_rgb3(img: np.ndarray) -> np.ndarray:
+    """Normalize a decoded array to HxWx3 RGB uint8: replicate gray,
+    drop alpha (the feature/resize kernels consume 3 channels)."""
+    if img.shape[2] in (1, 2):  # gray / gray+alpha
+        return np.repeat(img[..., :1], 3, axis=2)
+    return np.ascontiguousarray(img[..., :3])
+
+
+def _decode_image_stub(payload: bytes, fake: bool) -> np.ndarray:
+    """Decode an encoded image to HxWx3 uint8.
+
+    BMP payloads (magic ``BM``) decode FOR REAL via :func:`decode_bmp`,
+    PNG payloads via :func:`decode_png` — pure numpy + stdlib zlib, no
+    imaging library. Remaining formats (JPEG/WebP/...) are genuinely
     lib-bound: with ``fake=True`` they get a deterministic content-seeded
     32x32x3 array so the plumbing stays testable; with ``fake=False``
     they raise (deployments swap in PIL/libvips; nothing else changes).
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _to_rgb3(decode_png(payload))
     if not fake:
         raise NotImplementedError(
-            "non-BMP image codec not available in this environment; pass "
-            "fake=True or deploy with PIL/libvips"
+            "non-BMP/PNG image codec not available in this environment; "
+            "pass fake=True or deploy with PIL/libvips"
         )
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     rng = np.random.default_rng(int(h.sum()) + len(payload))

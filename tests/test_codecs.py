@@ -124,6 +124,147 @@ def test_wav_rejects_non_riff_and_compressed():
         mm.decode_wav(blob)
 
 
+# --- PNG (pure numpy + stdlib zlib) --------------------------------------
+
+
+def _naive_forward_filter(img, ftype):
+    """Independent plain-Python scanline filter straight from the spec's
+    per-byte recurrences (W3C PNG §9) — cross-checks the vectorized
+    encoder so the decode round-trip isn't self-referential."""
+    h, w, bpp = img.shape
+    rows = img.reshape(h, w * bpp).astype(int)
+    out = bytearray()
+    for y in range(h):
+        out.append(ftype)
+        for x in range(w * bpp):
+            cur = rows[y][x]
+            a = rows[y][x - bpp] if x >= bpp else 0
+            b = rows[y - 1][x] if y else 0
+            c = rows[y - 1][x - bpp] if (y and x >= bpp) else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((cur - pred) & 0xFF)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter_type(ftype):
+    img = _gradient_img(h=9, w=13)
+    blob = mm.encode_png(img, filters=[ftype] * 9)
+    assert np.array_equal(mm.decode_png(blob), img)
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+def test_png_encoder_matches_naive_spec_filter(ftype):
+    """encode_png's vectorized forward filter == the per-byte spec
+    recurrence, so the round-trip pin above is against independent math."""
+    import zlib
+
+    img = _gradient_img(h=5, w=7)
+    blob = mm.encode_png(img, filters=[ftype] * 5)
+    # pull the IDAT body back out and decompress
+    idat = blob.index(b"IDAT")
+    size = int.from_bytes(blob[idat - 4 : idat], "big")
+    raw = zlib.decompress(blob[idat + 4 : idat + 4 + size])
+    assert raw == _naive_forward_filter(img, ftype)
+
+
+def test_png_mixed_filters_and_noise():
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(16, 11, 3), dtype=np.uint8)
+    filters = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0, 4, 1, 3, 2, 0, 4]
+    assert np.array_equal(mm.decode_png(mm.encode_png(img, filters=filters)), img)
+
+
+def test_png_gray_alpha_rgba_channels():
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 4):
+        img = rng.integers(0, 256, size=(6, 5, c), dtype=np.uint8)
+        got = mm.decode_png(mm.encode_png(img, filters=[4] * 6))
+        assert got.shape == (6, 5, c) and np.array_equal(got, img)
+    # 2-D gray input round-trips as HxWx1
+    g = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    assert np.array_equal(mm.decode_png(mm.encode_png(g))[..., 0], g)
+
+
+def test_png_palette():
+    """Hand-built color-type-3 PNG: 2x2 indices into a 3-entry palette."""
+    import zlib
+
+    def chunk(ctype, body):
+        return (len(body).to_bytes(4, "big") + ctype + body
+                + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B
+    scan = bytes([0, 0, 1, 0, 2, 1])  # filter-0 rows: [R, G], [B, G]
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    got = mm.decode_png(blob)
+    want = np.array([[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [0, 255, 0]]],
+                    dtype=np.uint8)
+    assert np.array_equal(got, want)
+    # out-of-range palette index raises
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(bytes([0, 0, 9, 0, 0, 0])))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        mm.decode_png(bad)
+
+
+def test_png_rejects_bad_crc_truncation_interlace_depth():
+    import zlib
+
+    img = _gradient_img(h=4, w=4)
+    blob = bytearray(mm.encode_png(img))
+    blob[-5] ^= 0xFF  # corrupt IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(blob))
+    good = mm.encode_png(img)
+    with pytest.raises(ValueError):
+        mm.decode_png(good[: len(good) // 2])
+
+    def chunk(ctype, body):
+        return (len(body).to_bytes(4, "big") + ctype + body
+                + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    for depth, color, inter in ((16, 2, 0), (8, 2, 1)):
+        ihdr = ((2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+                + bytes([depth, color, 0, 0, inter]))
+        bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(b"\0" * 14)) + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            mm.decode_png(bad)
+
+
+def test_png_multiple_idat_chunks_concatenate():
+    import zlib
+
+    img = _gradient_img(h=6, w=6)
+    blob = mm.encode_png(img)
+    idat = blob.index(b"IDAT")
+    size = int.from_bytes(blob[idat - 4 : idat], "big")
+    body = blob[idat + 4 : idat + 4 + size]
+    head, tail = blob[: idat - 4], blob[idat + 8 + size :]
+
+    def chunk(ctype, b):
+        return (len(b).to_bytes(4, "big") + ctype + b
+                + (zlib.crc32(ctype + b) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    split = head + chunk(b"IDAT", body[:7]) + chunk(b"IDAT", body[7:]) + tail
+    assert np.array_equal(mm.decode_png(split), img)
+
+
 # --- golden values through the Spark feature path -----------------------
 
 
@@ -157,6 +298,25 @@ def test_resize_images_real_bmp(spark):
     assert bytes(out["pixels"]) == img[np.ix_(ys, xs)].tobytes()
 
 
+def test_image_features_real_png_golden(spark):
+    """fake=False now accepts PNG: an RGB PNG (Paeth-filtered) and a gray
+    PNG (replicated to 3 channels) both produce REAL statistics."""
+    img = _gradient_img(h=32, w=32)
+    gray = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(mm.encode_png(img, filters=[4] * 32))),
+            (2, bytearray(mm.encode_png(gray))),
+        ],
+        "doc_id long, payload binary",
+    )
+    feats = {r["doc_id"]: r for r in mm.image_features(rows, fake=False).collect()}
+    luma = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    assert feats[1]["mean_luma"] == pytest.approx(float(luma.mean()), abs=1e-6)
+    # gray replicated to RGB: luma == the gray values themselves
+    assert feats[2]["mean_luma"] == pytest.approx(float(gray.mean()), abs=1e-6)
+
+
 def test_audio_features_real_wav_golden(spark):
     sr = 8000
     t = np.arange(2 * sr) / sr  # 2 seconds
@@ -175,11 +335,12 @@ def test_audio_features_real_wav_golden(spark):
 
 
 def test_mixed_real_and_fake_batch(spark):
-    """One batch holding a real BMP next to a non-BMP payload: the real
-    one decodes for real, the other takes the deterministic-fake path."""
+    """One batch holding a real BMP next to a lib-bound (JPEG-magic)
+    payload: the real one decodes for real, the other takes the
+    deterministic-fake path."""
     img = _gradient_img(h=8, w=8)
     rows = spark.createDataFrame(
-        [(1, bytearray(mm.encode_bmp(img))), (2, bytearray(b"\x89PNG" + b"x" * 64))],
+        [(1, bytearray(mm.encode_bmp(img))), (2, bytearray(b"\xff\xd8\xff" + b"x" * 64))],
         "doc_id long, payload binary",
     )
     feats = {r["doc_id"]: r for r in mm.image_features(rows, fake=True).collect()}
