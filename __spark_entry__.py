@@ -2297,11 +2297,15 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: synthetic binary payloads -> image features."""
+    """Multimodal image path over REAL encoded payloads: ids cycle
+    BMP / PNG (all five scanline filters) / JPEG-magic fake, so this
+    rows-only check drives the actual pure-numpy codecs
+    (operators/multimodal.py decode_bmp/decode_png) — only the
+    genuinely lib-bound third takes the deterministic-fake branch."""
     from geocore_spark.operators import multimodal as mm
 
     base = _t(spark, sf_dir, "documents").select("doc_id")
-    return mm.image_features(mm.synth_media(base))
+    return mm.image_features(mm.synth_encoded_media(base, kind="image"))
 
 
 def q_video_frames(spark, sf_dir):
@@ -2382,13 +2386,15 @@ FROM hexed
 
 
 def q_audio_features(spark, sf_dir):
-    """Multimodal audio path: stub decode (content-seeded PCM) -> one
-    vectorized DSP pass (rms/zcr/spectral centroid). Rows-only check —
-    the kernel is pinned by pytest determinism tests."""
+    """Multimodal audio path over REAL encoded payloads: even ids are
+    real WAV PCM (id-dependent tone, decoded by the pure-numpy
+    decode_wav), odd ids MP3-magic fakes -> one vectorized DSP pass
+    (rms/zcr/spectral centroid). Rows-only check — the kernels are
+    pinned by the golden codec tests."""
     from geocore_spark.operators import multimodal as mm
 
     base = _t(spark, sf_dir, "documents").select("doc_id")
-    return mm.audio_features(mm.synth_media(base))
+    return mm.audio_features(mm.synth_encoded_media(base, kind="audio"))
 
 
 def q_substring_dups(spark, sf_dir):

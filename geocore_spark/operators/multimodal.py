@@ -636,3 +636,56 @@ def synth_media(df: DataFrame, id_col: str = "doc_id", size: int = 4096) -> Data
     return df.withColumn(
         "payload", F.to_binary(F.substring(repeated, 1, size // 4), F.lit("hex"))
     )
+
+
+def synth_encoded_media(
+    df: DataFrame, id_col: str = "doc_id", kind: str = "image"
+) -> DataFrame:
+    """Deterministic REAL encoded payload per id — the fixture generator
+    behind the rows-only driver queries, so those checks drive the actual
+    codecs, not just the fake path. Images cycle BMP / PNG (content-seeded
+    pixels, per-row filter mix covering all five types) / JPEG-magic fake;
+    audio alternates real WAV PCM (id-dependent tone) and MP3-magic fake.
+    Arrow-batched pandas UDF; the encoders are the same fixture writers
+    the golden codec tests pin."""
+    from pyspark.sql.functions import pandas_udf
+
+    if kind not in ("image", "audio"):
+        raise ValueError(f"unknown kind {kind!r}")
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            rng = np.random.default_rng(i)
+            if kind == "image":
+                k = i % 3
+                if k == 0:
+                    out.append(
+                        encode_bmp(
+                            rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+                        )
+                    )
+                elif k == 1:
+                    out.append(
+                        encode_png(
+                            rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8),
+                            filters=[(i + r) % 5 for r in range(12)],
+                        )
+                    )
+                else:  # genuinely lib-bound: JPEG magic -> fake path
+                    out.append(b"\xff\xd8\xff" + rng.bytes(61))
+            elif kind == "audio":
+                if i % 2 == 0:
+                    sr = 4000
+                    t = np.arange(sr // 4, dtype=np.float32) / sr
+                    f = 200.0 + (i % 17) * 100.0
+                    out.append(
+                        encode_wav(0.5 * np.sin(2 * np.pi * f * t), sr)
+                    )
+                else:  # lib-bound: MP3 (ID3) magic -> fake path
+                    out.append(b"\x49\x44\x33" + rng.bytes(61))
+        return pd.Series(out)
+
+    return df.withColumn("payload", _gen(F.col(id_col)))

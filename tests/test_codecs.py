@@ -349,6 +349,39 @@ def test_mixed_real_and_fake_batch(spark):
     assert 0 <= feats[2]["mean_luma"] <= 255
 
 
+def test_synth_encoded_media_real_payloads(spark):
+    """The driver-query fixture generator emits payloads the real codecs
+    decode: BMP/PNG thirds decode for real (fake=False works on them),
+    the JPEG-magic third needs the fake path; audio evens are real WAV."""
+    ids = spark.range(12).withColumnRenamed("id", "doc_id")
+    imgs = mm.synth_encoded_media(ids, kind="image")
+    by_id = {r["doc_id"]: bytes(r["payload"]) for r in imgs.collect()}
+    for i, p in by_id.items():
+        if i % 3 == 0:
+            got = mm.decode_bmp(p)
+            want = np.random.default_rng(i).integers(
+                0, 256, size=(16, 16, 3), dtype=np.uint8)
+            assert np.array_equal(got, want)
+        elif i % 3 == 1:
+            got = mm.decode_png(p)
+            want = np.random.default_rng(i).integers(
+                0, 256, size=(12, 9, 3), dtype=np.uint8)
+            assert np.array_equal(got, want)
+        else:
+            assert p[:3] == b"\xff\xd8\xff"
+    # real/fake routing end-to-end: only the JPEG third requires fake
+    real_only = imgs.filter(F.col("doc_id") % 3 != 2)
+    assert mm.image_features(real_only, fake=False).count() == 8
+    aud = mm.synth_encoded_media(ids, kind="audio")
+    wavs = aud.filter(F.col("doc_id") % 2 == 0)
+    feats = {r["doc_id"]: r for r in mm.audio_features(wavs, fake=False).collect()}
+    for i, r in feats.items():
+        want_f = 200.0 + (i % 17) * 100.0
+        assert r["spectral_centroid"] == pytest.approx(want_f, abs=5.0)
+    with pytest.raises(ValueError):
+        mm.synth_encoded_media(ids, kind="video")
+
+
 def test_sniff_format_detects_real_fixtures(spark):
     """encode_bmp / encode_wav output sniffs to the right format tag."""
     sig = np.zeros(100, dtype=np.float32)
