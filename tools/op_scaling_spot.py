@@ -123,14 +123,14 @@ def pipe():
         F.count(F.lit(1)), F.sum("dup_windows"), F.max("max_run")
     ).collect()
 """,
-    # exact_ntile over 20M synthetic rows — evidences that the
+    # exact_ntile over 100M synthetic rows — evidences that the
     # range-partitioned global rank (operators/metrics.py, VERDICT r2
     # item #2) actually parallelizes where the old Window.orderBy plan
     # was a one-task sort at any core count. All JVM, no Python workers.
     "ntile": """
 from pyspark.sql import functions as F
 from geocore_spark.operators import metrics
-d = spark.range(20_000_000).select(
+d = spark.range(100_000_000).select(
     F.col("id"),
     (F.sin(F.col("id").cast("double")) * 1e6).alias("score"),
 )
