@@ -2298,10 +2298,11 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal image path over REAL encoded payloads: ids cycle
-    BMP / PNG (all five scanline filters) / JPEG-magic fake, so this
-    rows-only check drives the actual pure-numpy codecs
-    (operators/multimodal.py decode_bmp/decode_png) — only the
-    genuinely lib-bound third takes the deterministic-fake branch."""
+    BMP / PNG (all five scanline filters) / baseline JPEG (4:2:0) /
+    WebP-magic fake, so this rows-only check drives the actual
+    pure-numpy codecs (multimodal.decode_bmp/decode_png,
+    jpegcodec.decode_jpeg) — only the genuinely lib-bound quarter
+    takes the deterministic-fake branch."""
     from geocore_spark.operators import multimodal as mm
 
     base = _t(spark, sf_dir, "documents").select("doc_id")

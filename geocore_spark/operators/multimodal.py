@@ -4,15 +4,17 @@ Training-data pipelines carry media as opaque ``binary`` columns next to
 typed metadata, exactly like the pages table carries ``html: binary``.
 The Spark-side plumbing here is real and tested — schemas, Arrow batch
 shapes, partition-size control. Codec status: BMP (24/32-bit BI_RGB),
-PNG (8-bit gray/RGB/palette/alpha, all five scanline filters) and WAV
-(integer/float PCM) decode FOR REAL — BMP/WAV are fixed little-endian
-structs and PNG's only algorithmic dependency is DEFLATE, which the
-standard library's zlib provides, so none needs an imaging library
-(:func:`decode_bmp`, :func:`decode_png`, :func:`decode_wav`, with
-:func:`encode_bmp`/:func:`encode_png`/:func:`encode_wav` fixture
-writers pinning the round-trips). Formats whose entropy coding is not
-in the stdlib (JPEG/WebP/MP3/MP4) remain genuinely lib-bound: a
-deployment swaps the stub branch for PIL/ffmpeg calls; nothing else
+PNG (8-bit gray/RGB/palette/alpha, all five scanline filters), baseline
+JPEG (SOF0, any sampling factors, restart markers — operators/jpegcodec)
+and WAV (integer/float PCM) decode FOR REAL — BMP/WAV are fixed
+little-endian structs, PNG's only algorithmic dependency is DEFLATE
+(stdlib zlib), and JPEG's baseline process is 8x8 DCT + canonical
+Huffman, implementable directly from the public spec in numpy
+(:func:`decode_bmp`, :func:`decode_png`, ``jpegcodec.decode_jpeg``,
+:func:`decode_wav`, each with an encoder fixture writer pinning the
+round-trip). Formats that genuinely need a library (WebP/AVIF vector
+codecs, MP3's psychoacoustic filterbank, MP4/H.264) keep the stub
+branch: a deployment swaps it for PIL/ffmpeg calls; nothing else
 changes (the mapInPandas contract is identical).
 
 Deterministic-fake mode lets tests exercise the full path for the
@@ -302,19 +304,25 @@ def _decode_image_stub(payload: bytes, fake: bool) -> np.ndarray:
     """Decode an encoded image to HxWx3 uint8.
 
     BMP payloads (magic ``BM``) decode FOR REAL via :func:`decode_bmp`,
-    PNG payloads via :func:`decode_png` — pure numpy + stdlib zlib, no
-    imaging library. Remaining formats (JPEG/WebP/...) are genuinely
-    lib-bound: with ``fake=True`` they get a deterministic content-seeded
-    32x32x3 array so the plumbing stays testable; with ``fake=False``
-    they raise (deployments swap in PIL/libvips; nothing else changes).
+    PNG via :func:`decode_png`, baseline JPEG via
+    :func:`geocore_spark.operators.jpegcodec.decode_jpeg` — pure numpy
+    (+ stdlib zlib for PNG), no imaging library. Remaining formats
+    (WebP/AVIF/...) are genuinely lib-bound: with ``fake=True`` they get
+    a deterministic content-seeded 32x32x3 array so the plumbing stays
+    testable; with ``fake=False`` they raise (deployments swap in
+    PIL/libvips; nothing else changes).
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _to_rgb3(decode_png(payload))
+    if payload[:2] == b"\xff\xd8":
+        from geocore_spark.operators import jpegcodec
+
+        return _to_rgb3(jpegcodec.decode_jpeg(payload))
     if not fake:
         raise NotImplementedError(
-            "non-BMP/PNG image codec not available in this environment; "
+            "non-BMP/PNG/JPEG image codec not available in this environment; "
             "pass fake=True or deploy with PIL/libvips"
         )
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
@@ -644,8 +652,9 @@ def synth_encoded_media(
     """Deterministic REAL encoded payload per id — the fixture generator
     behind the rows-only driver queries, so those checks drive the actual
     codecs, not just the fake path. Images cycle BMP / PNG (content-seeded
-    pixels, per-row filter mix covering all five types) / JPEG-magic fake;
-    audio alternates real WAV PCM (id-dependent tone) and MP3-magic fake.
+    pixels, per-row filter mix covering all five types) / baseline JPEG
+    (4:2:0, quality 90 — operators/jpegcodec) / WebP-magic fake; audio
+    alternates real WAV PCM (id-dependent tone) and MP3-magic fake.
     Arrow-batched pandas UDF; the encoders are the same fixture writers
     the golden codec tests pin."""
     from pyspark.sql.functions import pandas_udf
@@ -660,7 +669,7 @@ def synth_encoded_media(
             i = int(i)
             rng = np.random.default_rng(i)
             if kind == "image":
-                k = i % 3
+                k = i % 4
                 if k == 0:
                     out.append(
                         encode_bmp(
@@ -674,8 +683,15 @@ def synth_encoded_media(
                             filters=[(i + r) % 5 for r in range(12)],
                         )
                     )
-                else:  # genuinely lib-bound: JPEG magic -> fake path
-                    out.append(b"\xff\xd8\xff" + rng.bytes(61))
+                elif k == 2:
+                    from geocore_spark.operators.jpegcodec import encode_jpeg
+
+                    smooth = np.clip(
+                        rng.normal(128, 40, size=(24, 18, 3)), 0, 255
+                    ).astype(np.uint8)
+                    out.append(encode_jpeg(smooth, quality=90, subsampling="420"))
+                else:  # genuinely lib-bound: WebP magic -> fake path
+                    out.append(b"RIFF" + rng.bytes(4) + b"WEBP" + rng.bytes(52))
             elif kind == "audio":
                 if i % 2 == 0:
                     sr = 4000

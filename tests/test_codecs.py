@@ -335,12 +335,15 @@ def test_audio_features_real_wav_golden(spark):
 
 
 def test_mixed_real_and_fake_batch(spark):
-    """One batch holding a real BMP next to a lib-bound (JPEG-magic)
+    """One batch holding a real BMP next to a lib-bound (WebP-magic)
     payload: the real one decodes for real, the other takes the
     deterministic-fake path."""
     img = _gradient_img(h=8, w=8)
     rows = spark.createDataFrame(
-        [(1, bytearray(mm.encode_bmp(img))), (2, bytearray(b"\xff\xd8\xff" + b"x" * 64))],
+        [
+            (1, bytearray(mm.encode_bmp(img))),
+            (2, bytearray(b"RIFF" + b"x" * 4 + b"WEBP" + b"x" * 56)),
+        ],
         "doc_id long, payload binary",
     )
     feats = {r["doc_id"]: r for r in mm.image_features(rows, fake=True).collect()}
@@ -351,27 +354,39 @@ def test_mixed_real_and_fake_batch(spark):
 
 def test_synth_encoded_media_real_payloads(spark):
     """The driver-query fixture generator emits payloads the real codecs
-    decode: BMP/PNG thirds decode for real (fake=False works on them),
-    the JPEG-magic third needs the fake path; audio evens are real WAV."""
+    decode: BMP/PNG/JPEG quarters decode for real (fake=False works on
+    them), the WebP-magic quarter needs the fake path; audio evens are
+    real WAV."""
     ids = spark.range(12).withColumnRenamed("id", "doc_id")
     imgs = mm.synth_encoded_media(ids, kind="image")
     by_id = {r["doc_id"]: bytes(r["payload"]) for r in imgs.collect()}
     for i, p in by_id.items():
-        if i % 3 == 0:
+        if i % 4 == 0:
             got = mm.decode_bmp(p)
             want = np.random.default_rng(i).integers(
                 0, 256, size=(16, 16, 3), dtype=np.uint8)
             assert np.array_equal(got, want)
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             got = mm.decode_png(p)
             want = np.random.default_rng(i).integers(
                 0, 256, size=(12, 9, 3), dtype=np.uint8)
             assert np.array_equal(got, want)
+        elif i % 4 == 2:
+            from geocore_spark.operators.jpegcodec import decode_jpeg
+
+            rng = np.random.default_rng(i)
+            want = np.clip(rng.normal(128, 40, size=(24, 18, 3)), 0, 255).astype(
+                np.uint8
+            )
+            got = decode_jpeg(p)
+            assert got.shape == want.shape
+            # lossy: decoded within quality-90 4:2:0 tolerance of the source
+            assert np.abs(got.astype(int) - want.astype(int)).mean() < 25
         else:
-            assert p[:3] == b"\xff\xd8\xff"
-    # real/fake routing end-to-end: only the JPEG third requires fake
-    real_only = imgs.filter(F.col("doc_id") % 3 != 2)
-    assert mm.image_features(real_only, fake=False).count() == 8
+            assert p[:4] == b"RIFF" and p[8:12] == b"WEBP"
+    # real/fake routing end-to-end: only the WebP quarter requires fake
+    real_only = imgs.filter(F.col("doc_id") % 4 != 3)
+    assert mm.image_features(real_only, fake=False).count() == 9
     aud = mm.synth_encoded_media(ids, kind="audio")
     wavs = aud.filter(F.col("doc_id") % 2 == 0)
     feats = {r["doc_id"]: r for r in mm.audio_features(wavs, fake=False).collect()}

@@ -1,0 +1,155 @@
+"""Pins for the pure-numpy baseline JPEG codec (operators/jpegcodec).
+
+No Spark needed — the codec is plain numpy; its Spark integration is
+covered by tests/test_codecs.py (image_features routing) and the
+media driver queries.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from geocore_spark.operators import jpegcodec as jc
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            yy * 255.0 / max(h - 1, 1),
+            xx * 255.0 / max(w - 1, 1),
+            127 + 100 * np.sin(yy / 5.0) * np.cos(xx / 7.0),
+        ],
+        axis=-1,
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_zigzag_is_the_published_order():
+    # first 16 entries of the spec's figure-5 scan, natural indexes
+    assert list(jc.ZIGZAG[:16]) == [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    ]
+    assert sorted(jc.ZIGZAG) == list(range(64))
+
+
+def test_dct_matrix_orthonormal():
+    assert np.allclose(jc.DCT_M @ jc.DCT_M.T, np.eye(8), atol=1e-12)
+
+
+def test_quality_50_is_the_annex_k_tables():
+    ql, qc = jc.quality_tables(50)
+    assert np.array_equal(ql, jc.QT_LUMA)
+    assert np.array_equal(qc, jc.QT_CHROMA)
+    # endpoints: q=100 -> all-ones-ish (scale 0 clamps to 1s at the top)
+    ql100, _ = jc.quality_tables(100)
+    assert ql100.min() == 1
+    with pytest.raises(ValueError):
+        jc.quality_tables(0)
+
+
+def test_flat_color_roundtrip_exact():
+    img = np.full((24, 24, 3), 119, dtype=np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg(img, quality=90))
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("sub,max_err,mean_err", [("444", 8, 1.5), ("420", 40, 6.0)])
+def test_gradient_roundtrip_bounds(sub, max_err, mean_err):
+    img = _gradient(37, 29)  # odd dims: partial-MCU padding both axes
+    out = jc.decode_jpeg(jc.encode_jpeg(img, quality=95, subsampling=sub))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= max_err
+    assert err.mean() <= mean_err
+
+
+def test_grayscale_roundtrip():
+    yy, xx = np.mgrid[0:37, 0:29]
+    g = np.clip(127 + 80 * np.sin(yy / 4.0) * np.cos(xx / 6.0), 0, 255).astype(
+        np.uint8
+    )
+    out = jc.decode_jpeg(jc.encode_jpeg(g, quality=95))
+    assert out.shape == (37, 29, 1)
+    assert np.abs(out[..., 0].astype(int) - g.astype(int)).max() <= 4
+
+
+def test_restart_markers_do_not_change_pixels():
+    rng = np.random.default_rng(7)
+    img = np.clip(rng.normal(128, 30, (48, 64, 3)), 0, 255).astype(np.uint8)
+    enc = jc.encode_jpeg(img, quality=90, subsampling="420", restart_interval=2)
+    assert b"\xff\xdd" in enc  # DRI emitted
+    assert b"\xff\xd0" in enc  # at least one RST0
+    plain = jc.encode_jpeg(img, quality=90, subsampling="420")
+    assert np.array_equal(jc.decode_jpeg(enc), jc.decode_jpeg(plain))
+
+
+def test_encode_deterministic_golden():
+    img = _gradient(16, 16)
+    enc = jc.encode_jpeg(img, quality=80)
+    assert enc == jc.encode_jpeg(img, quality=80)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    # golden digest: any change to tables, DCT, rounding or bitstream
+    # packing shows up here before it shows up as a subtle decode skew
+    assert hashlib.sha256(enc).hexdigest() == (
+        _GOLDEN_SHA256
+    ), "encoded bytes changed — rebaseline only if intentional"
+
+
+_GOLDEN_SHA256 = "2974e45ad3da0a6c1085610c68b3bf22daea6e4c30c995fce47133a3ed99365f"
+
+
+def test_16bit_dqt_segment_decodes():
+    """Rewrite the 8-bit DQT segments of a real stream into the spec's
+    16-bit (Pq=1) form; pixels must be identical."""
+    img = _gradient(24, 24)
+    enc = jc.encode_jpeg(img, quality=90)
+    out = bytearray()
+    pos = 0
+    while pos < len(enc):
+        if enc[pos] == 0xFF and pos + 1 < len(enc) and enc[pos + 1] == 0xDB:
+            size = int.from_bytes(enc[pos + 2 : pos + 4], "big")
+            body = enc[pos + 4 : pos + 2 + size]
+            tq = body[0] & 0xF
+            wide = bytes([0x10 | tq]) + b"".join(
+                v.to_bytes(2, "big") for v in body[1:65]
+            )
+            out += b"\xff\xdb" + (len(wide) + 2).to_bytes(2, "big") + wide
+            pos += 2 + size
+        else:
+            out.append(enc[pos])
+            pos += 1
+    assert np.array_equal(jc.decode_jpeg(bytes(out)), jc.decode_jpeg(enc))
+
+
+def test_progressive_rejected_not_garbled():
+    """Flip SOF0 -> SOF2 (progressive): must raise NotImplementedError,
+    never mis-decode."""
+    enc = bytearray(jc.encode_jpeg(_gradient(16, 16)))
+    idx = enc.find(b"\xff\xc0")
+    assert idx > 0
+    enc[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        jc.decode_jpeg(bytes(enc))
+
+
+def test_corrupt_inputs_raise():
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(b"\x89PNG")
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(b"\xff\xd8\xff\xe0\x00\x10" + b"x" * 4)  # truncated
+    with pytest.raises(ValueError):
+        jc.encode_jpeg(np.zeros((8, 8, 3), dtype=np.float64))  # not uint8
+    with pytest.raises(ValueError):
+        jc.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="422")
+
+
+def test_decoder_against_independent_bitstream_structure():
+    """The decoder consumes streams with features our encoder never
+    emits together: 4:2:0 + restart + 16-bit DQT in one stream."""
+    img = _gradient(33, 47)
+    enc = jc.encode_jpeg(img, quality=85, subsampling="420", restart_interval=3)
+    out = jc.decode_jpeg(enc)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 8.0
