@@ -2310,16 +2310,19 @@ def q_media_features(spark, sf_dir):
 
 
 def q_video_frames(spark, sf_dir):
-    """Video frame sampling (rows-only: mapInPandas demux plumbing, fake
-    deterministic demuxer — no codec libs in this container): every 3rd
-    1 KB "frame" per payload, per-frame fingerprint. One row per sampled
-    frame; explode factor = payload_bytes / 1024 / every_n, known up
-    front (operators/multimodal.py:frame_sample)."""
+    """Video frame sampling over REAL containers: even ids are MJPEG-AVI
+    payloads (4 baseline-JPEG frames in a RIFF container — both written
+    and demuxed by our own pure-numpy code, multimodal.encode_avi_mjpeg /
+    demux_avi + operators/jpegcodec), odd ids MP4-magic fakes on the 1 KB
+    fake-demux path. Every 2nd frame sampled, per-frame fingerprint; one
+    row per sampled frame (rows-only — the demux and codec are pinned by
+    the golden codec tests)."""
     from geocore_spark.operators import multimodal as mm
 
     base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
-    # size=65536 -> 8 KB payload -> 8 fake frames -> 3 sampled per doc
-    frames = mm.frame_sample(mm.synth_media(base, size=65536), every_n=3, fake=True)
+    frames = mm.frame_sample(
+        mm.synth_encoded_media(base, kind="video"), every_n=2, fake=True
+    )
     return frames.select(
         "doc_id",
         "frame_idx",
@@ -2334,6 +2337,7 @@ _MAGIC_PREFIXES = [
     "47494638",  # gif
     "524946460000000057454250",  # RIFF....WEBP
     "524946460000000057415645",  # RIFF....WAVE
+    "524946460000000041564920",  # RIFF....AVI (real demux: demux_avi)
     "49443300",  # ID3 (mp3)
     "FFFB0000",  # mp3 frame sync
     "0000002066747970",  # ....ftyp (mp4)
@@ -2377,6 +2381,7 @@ SELECT doc_id,
          WHEN hx LIKE '47494638%' THEN 'gif'
          WHEN hx LIKE '52494646%' AND substr(hx, 17, 8) = '57454250' THEN 'webp'
          WHEN hx LIKE '52494646%' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+         WHEN hx LIKE '52494646%' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
          WHEN hx LIKE '494433%' OR hx LIKE 'FFFB%' THEN 'mp3'
          WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
          WHEN hx LIKE '424D%' THEN 'bmp'

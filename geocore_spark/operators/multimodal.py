@@ -417,6 +417,102 @@ def resize_images(
     )
 
 
+def encode_avi_mjpeg(
+    frames, fps: int = 10, quality: int = 85
+) -> bytes:
+    """REAL MJPEG-in-AVI writer: (N,H,W,3) uint8 frames -> an AVI (RIFF)
+    container of baseline-JPEG '00dc' chunks with hdrl headers and an
+    idx1 index. AVI is plain little-endian RIFF structs (public spec:
+    Microsoft AVI RIFF form) and the frame codec is operators/jpegcodec,
+    so the whole video path needs no library. Fixture writer pinning
+    :func:`demux_avi` / :func:`frame_sample`'s real branch."""
+    from geocore_spark.operators.jpegcodec import encode_jpeg
+
+    frames = np.asarray(frames)
+    if frames.ndim != 4 or frames.dtype != np.uint8 or frames.shape[3] != 3:
+        raise ValueError("expected (N,H,W,3) uint8 frames")
+    n, h, w = frames.shape[:3]
+    u32 = lambda v: int(v).to_bytes(4, "little")  # noqa: E731
+    u16 = lambda v: int(v).to_bytes(2, "little")  # noqa: E731
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + u32(len(body)) + body + pad
+
+    def lst(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    jpegs = [encode_jpeg(f, quality=quality, subsampling="420") for f in frames]
+    maxsz = max(len(j) for j in jpegs)
+    avih = (
+        u32(1_000_000 // fps) + u32(maxsz * fps) + u32(0)
+        + u32(0x10)  # AVIF_HASINDEX
+        + u32(n) + u32(0) + u32(1) + u32(maxsz)
+        + u32(w) + u32(h) + u32(0) * 4
+    )
+    strh = (
+        b"vids" + b"MJPG" + u32(0) + u16(0) + u16(0) + u32(0)
+        + u32(1) + u32(fps)  # scale/rate -> fps
+        + u32(0) + u32(n) + u32(maxsz) + u32(0xFFFFFFFF) + u32(0)
+        + u16(0) + u16(0) + u16(w) + u16(h)
+    )
+    strf = (  # BITMAPINFOHEADER
+        u32(40) + u32(w) + u32(h) + u16(1) + u16(24) + b"MJPG"
+        + u32(w * h * 3) + u32(0) * 4
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = bytearray(b"movi")
+    idx = bytearray()
+    for j in jpegs:
+        # idx1 offset: chunk header position relative to the 'movi'
+        # fourcc (the common muxer convention; first chunk -> 4)
+        idx += b"00dc" + u32(0x10) + u32(len(movi_body)) + u32(len(j))
+        movi_body += chunk(b"00dc", j)
+    movi = chunk(b"LIST", bytes(movi_body))
+    idx1 = chunk(b"idx1", bytes(idx))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + u32(len(riff_body)) + riff_body
+
+
+def demux_avi(payload: bytes) -> list[bytes]:
+    """REAL AVI (RIFF) demuxer -> list of encoded video-frame chunks
+    ('00dc'/'00db' bodies, JPEG bytes for MJPEG) in stream order. Walks
+    the spec's (fourcc, size) chunk framing with even-byte padding,
+    including 'rec ' LIST nesting some muxers emit. Container-only — no
+    codec work; decode frames with jpegcodec.decode_jpeg."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    riff_end = 8 + int.from_bytes(payload[4:8], "little")
+    if riff_end > len(payload):
+        raise ValueError(
+            f"truncated AVI: declares {riff_end} bytes, has {len(payload)}"
+        )
+
+    frames: list[bytes] = []
+
+    def walk(data: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            body_end = pos + 8 + size
+            if body_end > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                form = data[pos + 8 : pos + 12]
+                if form in (b"movi", b"rec "):
+                    walk(data, pos + 12, body_end)
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(data[pos + 8 : body_end])
+            pos = body_end + (size % 2)  # even-byte padding
+
+    walk(payload, 12, riff_end)
+    return frames
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "payload",
@@ -427,7 +523,11 @@ def frame_sample(
     """Video -> sampled frames as (<id_col>, frame_idx, frame binary) —
     the id column keeps its caller-given name and type.
 
-    The fake path treats the payload as a concatenation of 1 KB "frames";
+    AVI payloads (magic ``RIFF....AVI ``) demux FOR REAL via
+    :func:`demux_avi` — every ``every_n``-th '00dc'/'00db' frame chunk
+    (JPEG bytes for MJPEG streams, decodable by jpegcodec) regardless of
+    ``fake``. Other containers (MP4/H.264 — genuinely lib-bound): the
+    fake path treats the payload as a concatenation of 1 KB "frames";
     real deployments swap in an ffmpeg demuxer. Output explodes rows, so
     repartition by a hash of the id downstream if frame counts are skewed.
     """
@@ -438,8 +538,17 @@ def frame_sample(
             out_id, out_idx, out_frame = [], [], []
             for _, row in pdf.iterrows():
                 payload = bytes(row[payload_col])
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    real = demux_avi(payload)
+                    for fi in range(0, len(real), every_n):
+                        out_id.append(row[id_col])
+                        out_idx.append(fi)
+                        out_frame.append(real[fi])
+                    continue
                 if not fake:
-                    raise NotImplementedError("video demuxer not available; use fake=True")
+                    raise NotImplementedError(
+                        "non-AVI video demuxer not available; use fake=True"
+                    )
                 n_frames = max(len(payload) // 1024, 1)
                 for fi in range(0, n_frames, every_n):
                     out_id.append(row[id_col])
@@ -473,6 +582,10 @@ def sniff_format(payload) -> F.Column:
         .when(
             hx.startswith("52494646") & (F.substring(hx, 17, 8) == "57415645"),
             F.lit("wav"),  # RIFF....WAVE
+        )
+        .when(
+            hx.startswith("52494646") & (F.substring(hx, 17, 8) == "41564920"),
+            F.lit("avi"),  # RIFF....AVI
         )
         .when(hx.startswith("494433") | hx.startswith("FFFB"), F.lit("mp3"))
         .when(F.substring(hx, 9, 8) == "66747970", F.lit("mp4"))  # ....ftyp
@@ -654,12 +767,13 @@ def synth_encoded_media(
     codecs, not just the fake path. Images cycle BMP / PNG (content-seeded
     pixels, per-row filter mix covering all five types) / baseline JPEG
     (4:2:0, quality 90 — operators/jpegcodec) / WebP-magic fake; audio
-    alternates real WAV PCM (id-dependent tone) and MP3-magic fake.
-    Arrow-batched pandas UDF; the encoders are the same fixture writers
-    the golden codec tests pin."""
+    alternates real WAV PCM (id-dependent tone) and MP3-magic fake; video
+    alternates real MJPEG-AVI (4 content-seeded frames) and MP4-magic
+    fake. Arrow-batched pandas UDF; the encoders are the same fixture
+    writers the golden codec tests pin."""
     from pyspark.sql.functions import pandas_udf
 
-    if kind not in ("image", "audio"):
+    if kind not in ("image", "audio", "video"):
         raise ValueError(f"unknown kind {kind!r}")
 
     @pandas_udf("binary")
@@ -702,6 +816,16 @@ def synth_encoded_media(
                     )
                 else:  # lib-bound: MP3 (ID3) magic -> fake path
                     out.append(b"\x49\x44\x33" + rng.bytes(61))
+            elif kind == "video":
+                if i % 2 == 0:
+                    fr = np.clip(
+                        rng.normal(128, 40, size=(4, 16, 16, 3)), 0, 255
+                    ).astype(np.uint8)
+                    out.append(encode_avi_mjpeg(fr, fps=5, quality=85))
+                else:  # lib-bound: MP4 ftyp magic -> fake path
+                    out.append(
+                        b"\x00\x00\x00\x20ftypisom" + rng.bytes(2036)
+                    )
         return pd.Series(out)
 
     return df.withColumn("payload", _gen(F.col(id_col)))
