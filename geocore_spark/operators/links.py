@@ -96,6 +96,41 @@ def host_edges(
     return e.groupBy("src_host", "dst_host").agg(F.count(F.lit(1)).alias("n_links"))
 
 
+def _edge_shares(edges: DataFrame, weighted: bool) -> DataFrame:
+    """(src_host, dst_host, __share) with shares summing to 1 per src —
+    the frame every PageRank iteration joins against, UNPERSISTED (the
+    caller persists).
+
+    Hash-co-partitions the edges by src_host ONCE, up front. Everything
+    downstream — the out-degree groupBy, the share join, and above all
+    the per-iteration ranks⋈edges join — requires exactly this
+    distribution, so Catalyst plans no further exchange over the edge
+    set: the repartition exchange is reused (ReusedExchange) inside the
+    setup query, and each iteration shuffles only the |hosts|-row rank
+    vector to meet the cached side. Without this the persisted frame is
+    UNPARTITIONED and every iteration re-shuffles all |edges| rows —
+    the shuffle I/O floor that capped core-scaling at 100M edges
+    (BENCH/BASELINE.md graph leg). sortWithinPartitions before the
+    persist makes the cache carry src_host ordering, so the iteration's
+    sort-merge join does zero work on the big side beyond the cache scan
+    (only the small shuffled ranks side sorts). Pinned by
+    tests/test_plan_shapes.py::test_pagerank_iteration_reuses_edge_cache.
+    """
+    w = F.col("n_links").cast("double") if weighted else F.lit(1.0)
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e0 = edges.repartition(n_part, "src_host")
+    out = e0.groupBy("src_host").agg(F.sum(w).alias("__out"))
+    return (
+        e0.join(out, "src_host")
+        .select(
+            "src_host",
+            "dst_host",
+            (w / F.col("__out")).alias("__share"),
+        )
+        .sortWithinPartitions("src_host")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 10,
@@ -128,35 +163,7 @@ def pagerank(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    w = F.col("n_links").cast("double") if weighted else F.lit(1.0)
-    spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # Hash-co-partition the edges by src_host ONCE, up front. Everything
-    # that follows — the out-degree groupBy, the share join, and above
-    # all the per-iteration ranks⋈edges join — requires exactly this
-    # distribution, so Catalyst plans no further exchange over the edge
-    # set: the repartition exchange is reused (ReusedExchange) inside the
-    # setup query, and each iteration shuffles only the |hosts|-row rank
-    # vector to meet the cached side. Without this the persisted ew was
-    # UNPARTITIONED and every iteration re-shuffled all |edges| rows —
-    # the shuffle I/O floor is what capped core-scaling at 100M edges
-    # (BENCH/BASELINE.md graph leg). sortWithinPartitions before
-    # the persist makes the cache carry src_host ordering, so the
-    # iteration's sort-merge join does zero work on the big side beyond
-    # the cache scan (only the small shuffled ranks side sorts).
-    e0 = edges.repartition(n_part, "src_host")
-    out = e0.groupBy("src_host").agg(F.sum(w).alias("__out"))
-    # edge weight = share of src's vote; precomputed once and persisted
-    ew = (
-        e0.join(out, "src_host")
-        .select(
-            "src_host",
-            "dst_host",
-            (w / F.col("__out")).alias("__share"),
-        )
-        .sortWithinPartitions("src_host")
-        .persist()
-    )
+    ew = _edge_shares(edges, weighted).persist()
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select("dst_host"))

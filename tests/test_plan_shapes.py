@@ -336,3 +336,47 @@ def test_duplicate_spans_caches_tokens_not_windows(spark, sf_dir):
     )
     assert cache_args and all("__t" in a for a in cache_args), cache_args
     assert not any("gram" in a for a in cache_args), cache_args
+
+
+def test_pagerank_iteration_reuses_edge_cache(spark):
+    """The PageRank iteration's big side (the persisted edge-share
+    frame) must come out of the cache ALREADY hash-partitioned on
+    src_host: the join plans exchanges only for the rank vector and the
+    dst_host aggregate — never for the edge set. A refactor that drops
+    the up-front co-partition re-shuffles all edges every iteration
+    (the 100M-edge bottleneck the BENCH graph leg measured)."""
+    from pyspark.sql import functions as F
+
+    from geocore_spark.operators import links
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 2), ("c", "a", 1), ("a", "d", 1)],
+        "src_host string, dst_host string, n_links int",
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ew = links._edge_shares(edges, weighted=True).persist()
+        ew.count()  # materialize the cache like pagerank does
+        ranks = spark.createDataFrame(
+            [("a", 0.25), ("b", 0.25), ("c", 0.25), ("d", 0.25)],
+            "host string, rank double",
+        )
+        step = (
+            ranks.join(ew, ranks["host"] == ew["src_host"])
+            .groupBy("dst_host")
+            .agg(F.sum(F.col("rank") * F.col("__share")).alias("__c"))
+        )
+        p = _formatted(step)
+        assert "InMemoryTableScan" in p, p
+        # exactly two shuffles in the OUTER query (the tree section
+        # before the InMemoryRelation's nested cached plan): the rank
+        # vector meeting the cache's partitioning, and the dst_host
+        # aggregation — the cached edge side contributes none, and
+        # needs no Sort either (the cache carries src_host order)
+        outer = p.split("InMemoryRelation", 1)[0]
+        assert outer.count("Exchange") == 2, p
+        assert outer.count("- Sort (") == 1, p  # only the ranks side sorts
+    finally:
+        ew.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
