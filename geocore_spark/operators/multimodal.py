@@ -5,17 +5,19 @@ typed metadata, exactly like the pages table carries ``html: binary``.
 The Spark-side plumbing here is real and tested — schemas, Arrow batch
 shapes, partition-size control. Codec status: BMP (24/32-bit BI_RGB),
 PNG (8-bit gray/RGB/palette/alpha, all five scanline filters), baseline
-JPEG (SOF0, any sampling factors, restart markers — operators/jpegcodec)
-and WAV (integer/float PCM) decode FOR REAL — BMP/WAV are fixed
+JPEG (SOF0, any sampling factors, restart markers — operators/jpegcodec),
+GIF (87a/89a LZW, interlace, local palettes — operators/gifcodec),
+MJPEG-AVI video (:func:`encode_avi_mjpeg`/:func:`demux_avi`) and WAV
+(integer/float PCM) decode FOR REAL — BMP/WAV/AVI are fixed
 little-endian structs, PNG's only algorithmic dependency is DEFLATE
-(stdlib zlib), and JPEG's baseline process is 8x8 DCT + canonical
-Huffman, implementable directly from the public spec in numpy
-(:func:`decode_bmp`, :func:`decode_png`, ``jpegcodec.decode_jpeg``,
-:func:`decode_wav`, each with an encoder fixture writer pinning the
-round-trip). Formats that genuinely need a library (WebP/AVIF vector
-codecs, MP3's psychoacoustic filterbank, MP4/H.264) keep the stub
-branch: a deployment swaps it for PIL/ffmpeg calls; nothing else
-changes (the mapInPandas contract is identical).
+(stdlib zlib), JPEG's baseline process is 8x8 DCT + canonical Huffman
+and GIF's is variable-width LZW, all implementable directly from the
+public specs in numpy (each with an encoder fixture writer pinning the
+round-trip; JPEG and GIF decoders additionally validated on
+independently-encoded real files). Formats that genuinely need a
+library (WebP/AVIF vector codecs, MP3's psychoacoustic filterbank,
+MP4/H.264) keep the stub branch: a deployment swaps it for PIL/ffmpeg
+calls; nothing else changes (the mapInPandas contract is identical).
 
 Deterministic-fake mode lets tests exercise the full path for the
 lib-bound formats: the "decoded" payload is a seeded-by-content numpy
@@ -320,10 +322,14 @@ def _decode_image_stub(payload: bytes, fake: bool) -> np.ndarray:
         from geocore_spark.operators import jpegcodec
 
         return _to_rgb3(jpegcodec.decode_jpeg(payload))
+    if payload[:4] == b"GIF8":
+        from geocore_spark.operators import gifcodec
+
+        return gifcodec.decode_gif(payload)
     if not fake:
         raise NotImplementedError(
-            "non-BMP/PNG/JPEG image codec not available in this environment; "
-            "pass fake=True or deploy with PIL/libvips"
+            "non-BMP/PNG/JPEG/GIF image codec not available in this "
+            "environment; pass fake=True or deploy with PIL/libvips"
         )
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     rng = np.random.default_rng(int(h.sum()) + len(payload))
@@ -766,7 +772,8 @@ def synth_encoded_media(
     behind the rows-only driver queries, so those checks drive the actual
     codecs, not just the fake path. Images cycle BMP / PNG (content-seeded
     pixels, per-row filter mix covering all five types) / baseline JPEG
-    (4:2:0, quality 90 — operators/jpegcodec) / WebP-magic fake; audio
+    (4:2:0, quality 90 — operators/jpegcodec) / GIF (8-color palette,
+    alternating interlace — operators/gifcodec) / WebP-magic fake; audio
     alternates real WAV PCM (id-dependent tone) and MP3-magic fake; video
     alternates real MJPEG-AVI (4 content-seeded frames) and MP4-magic
     fake. Arrow-batched pandas UDF; the encoders are the same fixture
@@ -783,7 +790,7 @@ def synth_encoded_media(
             i = int(i)
             rng = np.random.default_rng(i)
             if kind == "image":
-                k = i % 4
+                k = i % 5
                 if k == 0:
                     out.append(
                         encode_bmp(
@@ -804,6 +811,17 @@ def synth_encoded_media(
                         rng.normal(128, 40, size=(24, 18, 3)), 0, 255
                     ).astype(np.uint8)
                     out.append(encode_jpeg(smooth, quality=90, subsampling="420"))
+                elif k == 3:
+                    from geocore_spark.operators.gifcodec import encode_gif
+
+                    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+                    out.append(
+                        encode_gif(
+                            pal[rng.integers(0, 8, size=(14, 11))],
+                            palette_bits=3,
+                            interlace=bool(i % 2),
+                        )
+                    )
                 else:  # genuinely lib-bound: WebP magic -> fake path
                     out.append(b"RIFF" + rng.bytes(4) + b"WEBP" + rng.bytes(52))
             elif kind == "audio":

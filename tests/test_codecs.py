@@ -354,24 +354,24 @@ def test_mixed_real_and_fake_batch(spark):
 
 def test_synth_encoded_media_real_payloads(spark):
     """The driver-query fixture generator emits payloads the real codecs
-    decode: BMP/PNG/JPEG quarters decode for real (fake=False works on
-    them), the WebP-magic quarter needs the fake path; audio evens are
+    decode: BMP/PNG/JPEG/GIF fifths decode for real (fake=False works on
+    them), the WebP-magic fifth needs the fake path; audio evens are
     real WAV."""
-    ids = spark.range(12).withColumnRenamed("id", "doc_id")
+    ids = spark.range(15).withColumnRenamed("id", "doc_id")
     imgs = mm.synth_encoded_media(ids, kind="image")
     by_id = {r["doc_id"]: bytes(r["payload"]) for r in imgs.collect()}
     for i, p in by_id.items():
-        if i % 4 == 0:
+        if i % 5 == 0:
             got = mm.decode_bmp(p)
             want = np.random.default_rng(i).integers(
                 0, 256, size=(16, 16, 3), dtype=np.uint8)
             assert np.array_equal(got, want)
-        elif i % 4 == 1:
+        elif i % 5 == 1:
             got = mm.decode_png(p)
             want = np.random.default_rng(i).integers(
                 0, 256, size=(12, 9, 3), dtype=np.uint8)
             assert np.array_equal(got, want)
-        elif i % 4 == 2:
+        elif i % 5 == 2:
             from geocore_spark.operators.jpegcodec import decode_jpeg
 
             rng = np.random.default_rng(i)
@@ -382,11 +382,18 @@ def test_synth_encoded_media_real_payloads(spark):
             assert got.shape == want.shape
             # lossy: decoded within quality-90 4:2:0 tolerance of the source
             assert np.abs(got.astype(int) - want.astype(int)).mean() < 25
+        elif i % 5 == 3:
+            from geocore_spark.operators.gifcodec import decode_gif
+
+            rng = np.random.default_rng(i)
+            pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+            want = pal[rng.integers(0, 8, size=(14, 11))]
+            assert np.array_equal(decode_gif(p), want)  # lossless
         else:
             assert p[:4] == b"RIFF" and p[8:12] == b"WEBP"
-    # real/fake routing end-to-end: only the WebP quarter requires fake
-    real_only = imgs.filter(F.col("doc_id") % 4 != 3)
-    assert mm.image_features(real_only, fake=False).count() == 9
+    # real/fake routing end-to-end: only the WebP fifth requires fake
+    real_only = imgs.filter(F.col("doc_id") % 5 != 4)
+    assert mm.image_features(real_only, fake=False).count() == 12
     aud = mm.synth_encoded_media(ids, kind="audio")
     wavs = aud.filter(F.col("doc_id") % 2 == 0)
     feats = {r["doc_id"]: r for r in mm.audio_features(wavs, fake=False).collect()}
