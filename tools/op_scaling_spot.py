@@ -32,6 +32,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOCS = "/tmp/geocore_spot_docs200k.parquet"
 VECS = "/tmp/geocore_spot_vecs20k.parquet"
+MEDIA = "/tmp/geocore_spot_media20k.parquet"
 
 
 def _pinned(cpus: int) -> list[str]:
@@ -53,6 +54,10 @@ if not os.path.exists("{VECS}"):
         {{"vec_id": np.arange(20_000, dtype=np.int64), "embedding": list(map(list, m))}}
     )
     spark.createDataFrame(pdf).repartition(16).write.parquet("{VECS}")
+if not os.path.exists("{MEDIA}"):
+    from geocore_spark.operators import multimodal as mm
+    ids = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    mm.synth_encoded_media(ids, kind="image").repartition(16).write.parquet("{MEDIA}")
 print("materialized")
 """
 
@@ -143,6 +148,20 @@ def pipe():
     ).collect()
     c["ranged"].unpersist()
     return r
+""",
+    # real-codec media path over 20k mixed BMP/PNG/JPEG/GIF/fake payloads
+    # (operators/multimodal.py + jpegcodec + gifcodec) — per-row Python
+    # decode in Arrow-batched mapInPandas, embarrassingly parallel: the
+    # scaling ceiling is the Python worker pool, not any shuffle.
+    "media": f"""
+from pyspark.sql import functions as F
+from geocore_spark.operators import multimodal as mm
+d = spark.read.parquet("{MEDIA}")
+def pipe():
+    out = mm.image_features(d)
+    return out.agg(
+        F.count(F.lit(1)), F.expr("bit_xor(phash)"), F.avg("mean_luma")
+    ).collect()
 """,
 }
 
