@@ -454,6 +454,9 @@ class _BitReader:
     def bit(self) -> int:
         if self.nbits == 0:
             self._fill()
+            # trim consumed high bits — without this the accumulator
+            # grows with the whole scan and every shift goes quadratic
+            self.acc &= (1 << self.nbits) - 1
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
@@ -462,6 +465,7 @@ class _BitReader:
             return 0
         while self.nbits < n:
             self._fill()
+            self.acc &= (1 << self.nbits) - 1
         self.nbits -= n
         return (self.acc >> self.nbits) & ((1 << n) - 1)
 
