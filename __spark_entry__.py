@@ -2299,10 +2299,10 @@ def q_winnow_fingerprints(spark, sf_dir):
 def q_media_features(spark, sf_dir):
     """Multimodal image path over REAL encoded payloads: ids cycle
     BMP / PNG (all five scanline filters) / baseline JPEG (4:2:0) /
-    WebP-magic fake, so this rows-only check drives the actual
-    pure-numpy codecs (multimodal.decode_bmp/decode_png,
-    jpegcodec.decode_jpeg) — only the genuinely lib-bound quarter
-    takes the deterministic-fake branch."""
+    GIF (interlace alternating) / WebP-magic fake, so this rows-only
+    check drives the actual pure-numpy codecs (multimodal.decode_bmp/
+    decode_png, jpegcodec.decode_jpeg, gifcodec.decode_gif) — only the
+    genuinely lib-bound fifth takes the deterministic-fake branch."""
     from geocore_spark.operators import multimodal as mm
 
     base = _t(spark, sf_dir, "documents").select("doc_id")

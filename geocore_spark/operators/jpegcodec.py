@@ -443,6 +443,9 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
+                elif nxt == 0xFF:
+                    self.pos += 1  # fill byte before a marker (B.1.1.2)
+                    continue
                 else:
                     self.marker = nxt  # RSTn or end-of-scan marker
                     continue
@@ -484,6 +487,9 @@ class _BitReader:
         d = self.data
         while self.pos < len(d):
             if d[self.pos] == 0xFF and self.pos + 1 < len(d) and d[self.pos + 1] != 0x00:
+                if d[self.pos + 1] == 0xFF:
+                    self.pos += 1  # fill byte run before the marker
+                    continue
                 self.marker = d[self.pos + 1]
                 return
             self.pos += 1
@@ -542,6 +548,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        if payload[pos + 1] == 0xFF:
+            # spec B.1.1.2: any number of 0xFF fill bytes may precede a
+            # marker — skip one and re-examine
+            pos += 1
+            continue
         marker = payload[pos + 1]
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
             pos += 2

@@ -307,30 +307,42 @@ def _decode_image_stub(payload: bytes, fake: bool) -> np.ndarray:
 
     BMP payloads (magic ``BM``) decode FOR REAL via :func:`decode_bmp`,
     PNG via :func:`decode_png`, baseline JPEG via
-    :func:`geocore_spark.operators.jpegcodec.decode_jpeg` — pure numpy
+    :func:`geocore_spark.operators.jpegcodec.decode_jpeg`, GIF via
+    :func:`geocore_spark.operators.gifcodec.decode_gif` — pure numpy
     (+ stdlib zlib for PNG), no imaging library. Remaining formats
     (WebP/AVIF/...) are genuinely lib-bound: with ``fake=True`` they get
     a deterministic content-seeded 32x32x3 array so the plumbing stays
     testable; with ``fake=False`` they raise (deployments swap in
     PIL/libvips; nothing else changes).
+
+    ``fake=True`` is a NO-RAISE guarantee: a corrupt/truncated payload
+    behind a real magic prefix falls back to the deterministic fake
+    instead of aborting the whole Spark stage — one bad row in a 100 TB
+    corpus must not kill the job. ``fake=False`` propagates decoder
+    errors (strict mode for pipelines that quarantine bad rows first).
     """
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:8] == _PNG_SIG:
-        return _to_rgb3(decode_png(payload))
-    if payload[:2] == b"\xff\xd8":
-        from geocore_spark.operators import jpegcodec
+    try:
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:8] == _PNG_SIG:
+            return _to_rgb3(decode_png(payload))
+        if payload[:2] == b"\xff\xd8":
+            from geocore_spark.operators import jpegcodec
 
-        return _to_rgb3(jpegcodec.decode_jpeg(payload))
-    if payload[:4] == b"GIF8":
-        from geocore_spark.operators import gifcodec
+            return _to_rgb3(jpegcodec.decode_jpeg(payload))
+        if payload[:4] == b"GIF8":
+            from geocore_spark.operators import gifcodec
 
-        return gifcodec.decode_gif(payload)
-    if not fake:
-        raise NotImplementedError(
-            "non-BMP/PNG/JPEG/GIF image codec not available in this "
-            "environment; pass fake=True or deploy with PIL/libvips"
-        )
+            return gifcodec.decode_gif(payload)
+        if not fake:
+            raise NotImplementedError(
+                "non-BMP/PNG/JPEG/GIF image codec not available in this "
+                "environment; pass fake=True or deploy with PIL/libvips"
+            )
+    except Exception:
+        if not fake:
+            raise
+        # corrupt real-format payload (or unknown format): fake fallback
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     rng = np.random.default_rng(int(h.sum()) + len(payload))
     return rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
@@ -624,6 +636,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size and cid in (b"fmt ", b"data"):
+            raise ValueError(
+                f"truncated WAV {cid.decode(errors='replace').strip()} chunk: "
+                f"declares {size} bytes, has {len(body)}"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
@@ -681,13 +698,19 @@ def _decode_audio_stub(
     ``sr`` Hz from the payload bytes (content-seeded tone mix) so the DSP
     stays testable; ``fake=False`` raises for them.
     """
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return decode_wav(payload)
-    if not fake:
-        raise NotImplementedError(
-            "non-WAV audio codec not available in this environment; pass "
-            "fake=True or deploy with ffmpeg/soundfile"
-        )
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return decode_wav(payload)
+        if not fake:
+            raise NotImplementedError(
+                "non-WAV audio codec not available in this environment; "
+                "pass fake=True or deploy with ffmpeg/soundfile"
+            )
+    except Exception:
+        if not fake:
+            raise
+        # corrupt WAV (or unknown format) under fake=True: no-raise
+        # guarantee, same policy as _decode_image_stub
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     rng = np.random.default_rng(int(h.sum()) + len(payload))
     t = np.arange(sr, dtype=np.float32) / sr
@@ -710,10 +733,12 @@ def audio_features(
     """binary audio -> (duration, rms, zero-crossing rate, spectral
     centroid).
 
-    Decode is per-payload (the codec boundary); all DSP is one vectorized
-    numpy pass over the stacked batch: same shape as image_features, so
-    the 100 TB story is identical — Arrow batches in, compact features
-    out, partition bytes capped upstream.
+    Decode AND DSP are per-payload: real WAVs vary in length and sample
+    rate, so signals can't stack into one matrix — each row gets a
+    vectorized numpy pass of its own (the per-row work is a few
+    array ops over the signal, still Arrow-batched row transport). Same
+    100 TB story as image_features: compact features out, partition
+    bytes capped upstream.
     """
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -476,3 +476,33 @@ def test_sniff_format_detects_real_fixtures(spark):
         ).collect()
     }
     assert got == {1: "wav", 2: "bmp", 3: "avi"}
+
+
+def test_fake_true_never_raises_on_corrupt_real_formats():
+    """fake=True is a no-raise guarantee: corrupt payloads behind real
+    magic prefixes fall back to the deterministic fake instead of
+    aborting the stage; fake=False stays strict."""
+    corrupt = [
+        b"BM" + b"\x01" * 20,             # truncated BMP
+        b"\x89PNG\r\n\x1a\n" + b"junk",   # truncated PNG
+        b"\xff\xd8\xff" + b"x" * 32,      # garbage JPEG
+        b"GIF89a" + b"\x00" * 4,          # truncated GIF
+    ]
+    for p in corrupt:
+        img = mm._decode_image_stub(p, fake=True)
+        assert img.shape == (32, 32, 3)
+        with pytest.raises(Exception):
+            mm._decode_image_stub(p, fake=False)
+    # audio: corrupt WAV under fake=True falls back too
+    bad_wav = b"RIFF" + (100).to_bytes(4, "little") + b"WAVE" + b"\x00" * 8
+    sig, sr = mm._decode_audio_stub(bad_wav, fake=True)
+    assert len(sig) == sr
+    with pytest.raises(Exception):
+        mm._decode_audio_stub(bad_wav, fake=False)
+
+
+def test_decode_wav_truncated_data_raises():
+    sig = np.zeros(1000, dtype=np.float32)
+    enc = mm.encode_wav(sig, 8000)
+    with pytest.raises(ValueError, match="truncated WAV"):
+        mm.decode_wav(enc[: len(enc) - 500])

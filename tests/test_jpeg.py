@@ -153,3 +153,23 @@ def test_decoder_against_independent_bitstream_structure():
     out = jc.decode_jpeg(enc)
     err = np.abs(out.astype(int) - img.astype(int))
     assert err.mean() < 8.0
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    — both in the header stream and before an RSTn in the scan."""
+    img = _gradient(24, 24)
+    enc = jc.encode_jpeg(img, quality=90)
+    base = jc.decode_jpeg(enc)
+    # insert fill bytes before the DQT marker
+    idx = enc.find(b"\xff\xdb")
+    padded = enc[:idx] + b"\xff\xff\xff" + enc[idx:]
+    assert np.array_equal(jc.decode_jpeg(padded), base)
+    # and before a restart marker inside the scan
+    enc_rst = jc.encode_jpeg(img, quality=90, restart_interval=1)
+    ridx = enc_rst.find(b"\xff\xd0")
+    assert ridx > 0
+    padded_rst = enc_rst[:ridx] + b"\xff" + enc_rst[ridx:]
+    assert np.array_equal(
+        jc.decode_jpeg(padded_rst), jc.decode_jpeg(enc_rst)
+    )

@@ -198,6 +198,19 @@ def main() -> None:
         capture_output=True,
         text=True,
     )
+    # input descriptor recorded per op so entries at different input
+    # sizes can never be cross-paired (the mixed-input trap the main
+    # bench guards with curation_docs/graph_edges)
+    inputs = {
+        "bm25": "200k docs",
+        "dsir": "100k docs",
+        "semdedup": "20k x 64d",
+        "decontam_emb": "20k x 64d",
+        "classifier": "200k docs",
+        "dup_spans": "200k docs w=8",
+        "ntile": "100M rows",
+        "media": "20k payloads",
+    }
     entry = {"ts": time.time(), "pinned": True, "ops": {}}
     print("| operator | t(2) s | t(8) s | eff(2->8) |")
     print("|---|---|---|---|")
@@ -205,7 +218,11 @@ def main() -> None:
         t2 = _run(op, 2)
         t8 = _run(op, 8)
         eff = t2 / (4 * t8)
-        entry["ops"][op] = {"2": round(t2, 2), "8": round(t8, 2)}
+        entry["ops"][op] = {
+            "2": round(t2, 2),
+            "8": round(t8, 2),
+            "input": inputs.get(op, "?"),
+        }
         print(f"| {op} | {t2:.2f} | {t8:.2f} | {eff:.2f} |", flush=True)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "op_spots.jsonl"), "a") as f:

@@ -386,13 +386,20 @@ def main():
         entry["qbench"] = {"8": qb[8], "32": qb[32]}
     if steal_tps:
         entry["steal_tps"] = steal_tps
-        entry["noisy"] = max(steal_tps.values()) > STEAL_TPS_LIMIT
+        # PER-LEG flag: one leg hitting a steal burst must not discard the
+        # same run's quiet legs from the merge (each leg's window was
+        # watched independently). "noisy" stays as the any-leg summary for
+        # display and for old readers.
+        entry["noisy_legs"] = sorted(
+            n for n, v in steal_tps.items() if v > STEAL_TPS_LIMIT
+        )
+        entry["noisy"] = bool(entry["noisy_legs"])
         if entry["noisy"]:
             print(
                 f"[steal] hypervisor steal {steal_tps} ticks/s exceeds "
-                f"{STEAL_TPS_LIMIT}/s — this run is recorded but marked "
-                "noisy and will be IGNORED by the report merger; rerun the "
-                "leg in a quiet window",
+                f"{STEAL_TPS_LIMIT}/s on leg(s) {entry['noisy_legs']} — "
+                "recorded, but those legs will be IGNORED by the report "
+                "merger; rerun them in a quiet window",
                 flush=True,
             )
 
@@ -408,16 +415,25 @@ def main():
     # local[2]'s Python workers use spare cores, so mixing them would pair an
     # unpinned 2-core baseline with a pinned 8-core time — apples to oranges.
     runs = [json.loads(line) for line in open(hist_path)]
-    # ...and only quiet-window runs: entries that watched /proc/stat steal
-    # during measurement and saw a noisy hypervisor window mark themselves
-    # noisy; pre-steal-aware entries (no flag) were operator-screened.
-    runs = [r for r in runs if r.get("pinned") and not r.get("noisy")]
+    # ...and only quiet-window LEGS: entries that watched /proc/stat steal
+    # during measurement record which legs saw a noisy hypervisor window
+    # (noisy_legs); the merger skips exactly those legs. Legacy entries
+    # with only the boolean flag are treated as all-legs-noisy (their
+    # per-leg attribution is unknown); pre-steal-aware entries (no flag)
+    # were operator-screened.
+    runs = [r for r in runs if r.get("pinned")]
+
+    def _leg_noisy(r, leg):
+        if "noisy_legs" in r:
+            return leg in r["noisy_legs"]
+        return bool(r.get("noisy"))
 
     def _lvl(r, key, c):
         return r[key][str(c)] if str(c) in r[key] else r[key][c]
 
     def _best(key):
-        have = [r for r in runs if key in r]
+        leg = "graph" if key.startswith("graph") else key
+        have = [r for r in runs if key in r and not _leg_noisy(r, leg)]
         if key == "curation":
             # never merge walls measured on different input sizes (legacy
             # entries without the key were 100k-doc runs)
@@ -446,7 +462,7 @@ def main():
         raise SystemExit(
             "no recorded flagship/text legs — run with --legs flagship,text first"
         )
-    qruns = [r for r in runs if "qbench" in r]
+    qruns = [r for r in runs if "qbench" in r and not _leg_noisy(r, "queries")]
     if not qruns:
         raise SystemExit("no recorded queries leg — run with --legs queries first")
 
