@@ -451,7 +451,21 @@ def main():
             ]
         if not have:
             return None
-        return {c: min(_lvl(r, key, c) for r in have) for c in (2, 8, 32)}
+        out = {}
+        for c in (2, 8, 32):
+            vals = [_lvl(r, key, c) for r in have]
+            if key == "graph_marg":
+                # t(k iters) - t(1 iter) can clamp to ~0 when per-iteration
+                # cost sinks below setup run-to-run variance (measured at
+                # 32 cores post-co-partition: iterations ~2 s vs an ~80 s
+                # cache-build whose variance swamps them). Such values are
+                # "unmeasurable here", not "instant" — never best-merge them.
+                vals = [v for v in vals if v > 1.0]
+                if not vals:
+                    out[c] = None
+                    continue
+            out[c] = min(vals)
+        return out
 
     t = _best("flagship")
     td = _best("text")
@@ -647,7 +661,7 @@ def main():
         for c in (2, 8, 32):
             row = f"| local[{c}] | {gd[c]:.2f} | {grate[c]:,.0f} |"
             if gm:
-                row += f" {gm[c]:.2f} |"
+                row += f" {gm[c]:.2f} |" if gm[c] is not None else " n/a* |"
             lines.append(row)
         lines += [
             "",
@@ -658,11 +672,30 @@ def main():
             "  scalar is the only driver-side term (1 row/iteration).",
         ]
         if gm:
-            meff_2_8 = gm[2] / gm[8] / 4
-            meff_8_32 = gm[8] / gm[32] / 4
+            meff_2_8 = (
+                gm[2] / gm[8] / 4 if gm[2] is not None and gm[8] is not None else None
+            )
+            meff_8_32 = (
+                gm[8] / gm[32] / 4
+                if gm[8] is not None and gm[32] is not None
+                else None
+            )
             lines += [
                 f"- Marginal (floor-free) per-iteration: **2 -> 8 cores"
-                f" efficiency {meff_2_8:.2f}**; 8 -> 32: {meff_8_32:.2f}.",
+                + (
+                    f" efficiency {meff_2_8:.2f}**"
+                    if meff_2_8 is not None
+                    else " efficiency n/a*"
+                )
+                + (
+                    f"; 8 -> 32: {meff_8_32:.2f}."
+                    if meff_8_32 is not None
+                    else "; 8 -> 32: n/a* (per-iteration cost sank below"
+                    " the cache-build's run-to-run variance at 32 cores —"
+                    " iterations are ~2 s against an ~80 s one-time"
+                    " co-partition+persist, so the difference is noise;"
+                    " the raw column carries the 32-core signal)."
+                ),
                 f"  Measured as t({GRAPH_ITERS} iters) - t(1 iter) in the",
                 "  SAME warm context — the per-submission floor (Python",
                 "  daemon spin-up, Janino codegen, first persist) cancels",
