@@ -12,17 +12,24 @@ REAL, like BMP/PNG/WAV.
 
 Scope (the baseline process, which is what cameras and the web emit):
 
-- decoder: SOF0 baseline sequential, 8-bit precision, 1-4 components,
-  arbitrary sampling factors (4:4:4, 4:2:2, 4:2:0, ...), multiple
-  tables per DQT/DHT segment, 16-bit quantization tables, restart
-  markers (DRI/RSTn), APPn/COM skipping. Progressive (SOF2),
-  arithmetic coding and hierarchical modes raise NotImplementedError —
-  they are different *processes*, not gaps in this one.
+- decoder: SOF0/1 baseline sequential AND SOF2 progressive (spectral
+  selection, successive approximation, EOB runs — T.81 Annex G), 8-bit
+  precision, 1-4 components, arbitrary sampling factors (4:4:4, 4:2:2,
+  4:2:0, ...), multiple tables per DQT/DHT segment, 16-bit quantization
+  tables, restart markers (DRI/RSTn), 0xFF fill bytes, APPn/COM
+  skipping. Lossless, arithmetic coding and hierarchical modes raise
+  NotImplementedError — they are different *processes*, and essentially
+  absent from web corpora.
 - encoder: quality-scaled Annex K quantization tables, Annex K Huffman
   tables, 4:4:4 or 4:2:0 chroma subsampling, optional restart
-  interval, grayscale or RGB input. The encoder exists to plant real
-  fixtures and pin the decoder against independent math (forward DCT /
-  quantize / RLE vs the decoder's inverse), mirroring encode_png.
+  interval, grayscale or RGB input; ``progressive=True`` emits a
+  spectral-selection SOF2 script (DC scan + per-component AC bands,
+  EOB-run coded with a custom EOBn-capable Huffman table) whose
+  decode is pixel-identical to the baseline twin. The encoder exists
+  to plant real fixtures and pin the decoder against independent math
+  (forward DCT / quantize / RLE vs the decoder's inverse), mirroring
+  encode_png; successive-approximation decode is validated against
+  independently-encoded real progressive files instead.
 
 Everything is deterministic: fixed tables, float64 DCT, numpy rounding.
 
@@ -112,6 +119,23 @@ HUFF_AC_CHROMA = (
      0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
      0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
     # fmt: on
+)
+
+# AC table for the progressive encoder's scans: the Annex K baseline
+# tables carry no EOBn symbols (run<<4 | size=0 for run 1..14), which
+# progressive EOB-run coding needs. Build a complete-enough canonical
+# table with EVERY (run, size) symbol plus EOBn/ZRL at a flat 8-bit
+# length (241 symbols < 256, so the all-ones code stays unused as the
+# spec requires). Deliberately non-optimal — it's a fixture writer; the
+# table travels in DHT so any decoder reads it.
+_PROG_AC_SYMBOLS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {r << 4 for r in range(15)}
+    | {0xF0}
+)  # 176 symbols
+PROG_AC_TABLE = (
+    [0] * 7 + [len(_PROG_AC_SYMBOLS)] + [0] * 8,
+    _PROG_AC_SYMBOLS,
 )
 
 # zigzag scan order (figure 5 of the spec): ZIGZAG[i] = natural (row*8 +
@@ -289,14 +313,24 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode HxW (grayscale) or HxWx3 (RGB) uint8 as baseline JFIF JPEG.
+    """Encode HxW (grayscale) or HxWx3 (RGB) uint8 as a JFIF JPEG —
+    baseline (SOF0) by default, progressive (SOF2) with
+    ``progressive=True``.
 
     ``subsampling``: "444" (every component full resolution, 1 block per
     component per MCU) or "420" (chroma 2x2 box-downsampled, interleaved
     MCUs of 4 Y + 1 Cb + 1 Cr blocks — the common web layout).
     ``restart_interval``: emit DRI + RSTn every that many MCUs (0 = off);
     exists so the decoder's restart path is pinned by real streams.
+    ``progressive``: spectral-selection script (interleaved DC scan, then
+    per-component AC bands 1-5 and 6-63, Ah=Al=0) with EOB-run coding —
+    the same quantized coefficients as baseline reordered into scans, so
+    a progressive stream must decode pixel-identical to its baseline
+    twin (the round-trip pin). Successive-approximation decoding is
+    exercised by independently-encoded real files instead (virtually all
+    real progressive JPEGs use it).
     """
     if img.dtype != np.uint8:
         raise ValueError("expected uint8 image")
@@ -305,6 +339,8 @@ def encode_jpeg(
         raise ValueError("expected HxW or HxWx3")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is a baseline-only option here")
     h, w = img.shape[:2]
     if h < 1 or w < 1 or h > 65535 or w > 65535:
         raise ValueError("bad dimensions")
@@ -357,31 +393,116 @@ def encode_jpeg(
     ac_c = _build_huffman(*HUFF_AC_CHROMA)
     huffs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
 
-    wr = _BitWriter()
-    preds = [0] * len(planes)
-    n_mcus = mcus_x * mcus_y
-    rst = 0
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            wr.align_marker(0xD0 + rst)
-            rst = (rst + 1) & 7
-            preds = [0] * len(planes)
-        my, mx = divmod(m, mcus_x)
-        for ci, (sh, sv) in enumerate(samp):
-            for by in range(sv):
-                for bx in range(sh):
-                    bi = (my * sv + by) * comp_bpr[ci] + (mx * sh + bx)
-                    preds[ci] = _encode_block(
-                        wr,
-                        comp_blocks[ci][bi],
-                        preds[ci],
-                        huffs[ci][0],
-                        huffs[ci][1],
-                    )
-    wr.flush()
-
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    n_mcus = mcus_x * mcus_y
+    scans: list[bytes] = []  # (SOS segment + entropy data) per scan
+    if not progressive:
+        wr = _BitWriter()
+        preds = [0] * len(planes)
+        rst = 0
+        for m in range(n_mcus):
+            if restart_interval and m and m % restart_interval == 0:
+                wr.align_marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(planes)
+            my, mx = divmod(m, mcus_x)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        bi = (my * sv + by) * comp_bpr[ci] + (mx * sh + bx)
+                        preds[ci] = _encode_block(
+                            wr,
+                            comp_blocks[ci][bi],
+                            preds[ci],
+                            huffs[ci][0],
+                            huffs[ci][1],
+                        )
+        wr.flush()
+        sos = bytearray([len(planes)])
+        for ci in range(len(planes)):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += b"\x00\x3f\x00"
+        scans.append(seg(0xDA, bytes(sos)) + bytes(wr.buf))
+    else:
+        # scan 1: interleaved DC, all components (Ss=Se=0, Ah=Al=0)
+        wr = _BitWriter()
+        preds = [0] * len(planes)
+        for m in range(n_mcus):
+            my, mx = divmod(m, mcus_x)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        bi = (my * sv + by) * comp_bpr[ci] + (mx * sh + bx)
+                        dc = int(comp_blocks[ci][bi][0])
+                        size, bits = _magnitude(dc - preds[ci])
+                        code, length = huffs[ci][0][size]
+                        wr.write(code, length)
+                        if size:
+                            wr.write(bits, size)
+                        preds[ci] = dc
+        wr.flush()
+        sos = bytearray([len(planes)])
+        for ci in range(len(planes)):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x10])
+        sos += b"\x00\x00\x00"
+        scans.append(seg(0xDA, bytes(sos)) + bytes(wr.buf))
+        # per-component AC band scans (non-interleaved), Ah=Al=0; all
+        # use the custom EOBn-capable table (declared as AC table 0)
+        prog_ac = _build_huffman(*PROG_AC_TABLE)
+        for ci, (sh, sv) in enumerate(samp):
+            cw = -(-(w * sh) // hmax)
+            ch = -(-(h * sv) // vmax)
+            wb, hb = -(-cw // 8), -(-ch // 8)
+            ac_tbl = prog_ac
+            for ss, se in ((1, 5), (6, 63)):
+                wr = _BitWriter()
+                eobrun = 0
+
+                def flush_eob():
+                    nonlocal eobrun
+                    if eobrun:
+                        r = eobrun.bit_length() - 1
+                        code, length = ac_tbl[r << 4]
+                        wr.write(code, length)
+                        if r:
+                            wr.write(eobrun - (1 << r), r)
+                        eobrun = 0
+
+                for m in range(wb * hb):
+                    zz = comp_blocks[ci][(m // wb) * comp_bpr[ci] + (m % wb)]
+                    nz = np.nonzero(zz[ss : se + 1])[0]
+                    if len(nz) == 0:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    last = ss + int(nz[-1])
+                    run = 0
+                    for k in range(ss, last + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, length = ac_tbl[0xF0]
+                            wr.write(code, length)
+                            run -= 16
+                        size, bits = _magnitude(v)
+                        code, length = ac_tbl[(run << 4) | size]
+                        wr.write(code, length)
+                        wr.write(bits, size)
+                        run = 0
+                    if last < se:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                flush_eob()
+                wr.flush()
+                sos = bytes([1, ci + 1, 0x00, ss, se, 0x00])  # Ta=0: custom
+                scans.append(seg(0xDA, sos) + bytes(wr.buf))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(
@@ -399,18 +520,21 @@ def encode_jpeg(
     sof.append(ncomp)
     for ci in range(ncomp):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1])
-    out += seg(0xC0, bytes(sof))
-    for tc_th, (bits, vals) in (
-        ((0x00), HUFF_DC_LUMA),
-        ((0x10), HUFF_AC_LUMA),
-    ) + (() if gray else (((0x01), HUFF_DC_CHROMA), ((0x11), HUFF_AC_CHROMA))):
+    out += seg(0xC2 if progressive else 0xC0, bytes(sof))
+    if progressive:
+        dhts = ((0x00, HUFF_DC_LUMA), (0x10, PROG_AC_TABLE)) + (
+            () if gray else ((0x01, HUFF_DC_CHROMA),)
+        )
+    else:
+        dhts = ((0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)) + (
+            ()
+            if gray
+            else ((0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA))
+        )
+    for tc_th, (bits, vals) in dhts:
         out += seg(0xC4, bytes([tc_th] + bits + vals))
-    sos = bytearray([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += seg(0xDA, bytes(sos))
-    out += wr.buf
+    for sc in scans:
+        out += sc
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -531,12 +655,15 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> HxWxC uint8 (C=3 for YCbCr, 1 for grayscale).
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG -> HxWxC uint8
+    (C=3 for YCbCr, 1 for grayscale).
 
     Pure numpy + the spec: marker parse, canonical-Huffman entropy
-    decode, dequantize, IDCT, chroma replication-upsample, JFIF color
-    transform. Raises NotImplementedError for the non-baseline
-    processes (progressive, arithmetic, hierarchical, 12-bit)."""
+    decode (progressive: spectral-selection + successive-approximation
+    scans with EOB-run semantics, T.81 Annex G), dequantize, IDCT,
+    chroma replication-upsample, JFIF color transform. Raises
+    NotImplementedError for the remaining processes (lossless,
+    arithmetic, hierarchical, 12-bit)."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -545,6 +672,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     acs: dict[int, tuple] = {}
     frame = None
     dri = 0
+    progressive = False
+    got_scan = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -593,7 +722,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[o + 17 : o + 17 + n])
                 (dcs if tc == 0 else acs)[th] = _decode_tables(bits, vals)
                 o += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(+ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if body[0] != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             fh = int.from_bytes(body[1:3], "big")
@@ -604,7 +733,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG process (SOF{marker - 0xC0}) unsupported"
             )
@@ -618,10 +748,32 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tds = body[1 + 2 * si : 3 + 2 * si]
                 scan.append((cs, tds >> 4, tds & 0xF))
-            return _decode_scan(
-                payload, pos + 2 + size, frame, scan, qts, dcs, acs, dri
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + 2 + size, frame, scan, qts, dcs, acs, dri
+                )
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            pos = _decode_scan_progressive(
+                payload,
+                pos + 2 + size,
+                frame,
+                scan,
+                (ss, se, ah_al >> 4, ah_al & 0xF),
+                dcs,
+                acs,
+                dri,
+                got_scan,
             )
+            got_scan = True
+            continue
         pos += 2 + size
+    if progressive and got_scan:
+        fh, fw, comps = frame
+        for c in comps:
+            c["qt"] = qts[c["tq"]]
+        return _reconstruct(fh, fw, comps)
     raise ValueError("no JPEG scan found")
 
 
@@ -676,10 +828,17 @@ def _decode_scan(payload, pos, frame, scan, qts, dcs, acs, dri):
                         k += 1
                     bi = (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
                     c["coef"][bi] = zz
-    # dequantize + IDCT all blocks per component (vectorized)
+    return _reconstruct(fh, fw, comps)
+
+
+def _reconstruct(fh, fw, comps):
+    """Zigzag coefficient arrays -> pixels: dequantize, IDCT (vectorized
+    over all blocks), chroma replication-upsample, color transform."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
-        nat = np.zeros_like(c["coef"])
+        nat = np.zeros((len(c["coef"]), 64), dtype=np.float64)
         nat[:, ZIGZAG] = c["coef"]
         blocks = nat.reshape(-1, 8, 8) * c["qt"][None]
         pix = np.einsum("ji,njk,kl->nil", DCT_M, blocks, DCT_M) + 128.0
@@ -703,3 +862,178 @@ def _decode_scan(payload, pos, frame, scan, qts, dcs, acs, dri):
     if len(planes) == 3:
         return ycbcr_to_rgb(np.stack(planes, axis=-1))
     raise NotImplementedError(f"{len(planes)}-component JPEG unsupported")
+
+
+def _decode_scan_progressive(payload, pos, frame, scan, band, dcs, acs, dri, had):
+    """One progressive scan (T.81 Annex G, Huffman): updates the frame
+    components' zigzag coefficient arrays in place and returns the
+    stream position of the next marker.
+
+    ``band`` = (Ss, Se, Ah, Al). DC scans (Ss=0) may interleave several
+    components; AC scans carry exactly one and walk that component's own
+    non-interleaved block grid. First scans (Ah=0) code magnitudes
+    shifted left by Al; refinement scans (Ah>0) add one bit of precision
+    per coefficient, with EOB-run correction-bit semantics (G.1.2.3).
+    """
+    fh, fw, comps = frame
+    ss, se, ah, al = band
+    by_id = {c["id"]: c for c in comps}
+    sel = [by_id[cs] for cs, _, _ in scan]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad sampling factors")
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    for c in comps:
+        if "coef" not in c:
+            c["bw"] = mcus_x * c["h"]
+            c["bh"] = mcus_y * c["v"]
+            c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+    if ss > se or se > 63 or al > 13:
+        raise ValueError("bad progressive spectral band")
+    if ss == 0 and not had and ah != 0:
+        raise ValueError("DC refinement before first DC scan")
+    rd = _BitReader(payload, pos)
+    p1, m1 = 1 << al, -1 << al
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        for (cs, td, ta), c in zip(scan, sel):
+            c["dc"] = dcs[td] if ah == 0 else None
+        preds = {c["id"]: 0 for c in sel}
+
+        def _dc_block(c, bi):
+            if ah == 0:
+                s = _huff_decode(rd, c["dc"])
+                preds[c["id"]] += _extend(rd.bits(s), s)
+                c["coef"][bi, 0] = preds[c["id"]] << al
+            elif rd.bit():
+                c["coef"][bi, 0] |= p1
+
+        if len(sel) > 1:  # interleaved MCU walk
+            n_mcus = mcus_x * mcus_y
+            for m in range(n_mcus):
+                if dri and m and m % dri == 0:
+                    rd.restart()
+                    preds = {c["id"]: 0 for c in sel}
+                my, mx = divmod(m, mcus_x)
+                for c in sel:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            _dc_block(
+                                c,
+                                (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx,
+                            )
+        else:  # ns=1: non-interleaved walk of the component's own grid
+            c = sel[0]
+            wb = -(-(-(-(fw * c["h"]) // hmax)) // 8)
+            hb = -(-(-(-(fh * c["v"]) // vmax)) // 8)
+            for m in range(wb * hb):
+                if dri and m and m % dri == 0:
+                    rd.restart()
+                    preds = {c["id"]: 0 for c in sel}
+                _dc_block(c, (m // wb) * c["bw"] + (m % wb))
+        return _skip_to_marker(payload, rd)
+
+    # AC scan: exactly one component, non-interleaved over its own grid
+    if len(sel) != 1:
+        raise ValueError("progressive AC scan must carry one component")
+    c = sel[0]
+    ac = acs[scan[0][2]]
+    cw = -(-(fw * c["h"]) // hmax)  # component pixel dims (ceil-scaled)
+    ch = -(-(fh * c["v"]) // vmax)
+    wb = -(-cw // 8)  # non-interleaved block grid
+    hb = -(-ch // 8)
+    coef = c["coef"]
+    bw = c["bw"]
+    eobrun = 0
+    n_blocks = wb * hb
+    for m in range(n_blocks):
+        if dri and m and m % dri == 0:
+            rd.restart()
+            eobrun = 0
+        bi = (m // wb) * bw + (m % wb)
+        zz = coef[bi]
+        if ah == 0:  # first scan for this band
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_decode(rd, ac)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1  # EOBn: this block + eobrun more
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("corrupt progressive AC run")
+                zz[k] = _extend(rd.bits(s), s) << al
+                k += 1
+        else:  # refinement: one more bit of precision (G.1.2.3)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(rd, ac)
+                    r, s = rs >> 4, rs & 0xF
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r  # EOBn (consumed below)
+                            if r:
+                                eobrun += rd.bits(r)
+                            break
+                        # ZRL: pass 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError("corrupt AC refinement size")
+                        val = p1 if rd.bit() else m1
+                    # advance over the band: emit correction bits for
+                    # already-nonzero coefficients, count down r
+                    # zero-history positions for the new coefficient
+                    while k <= se:
+                        if zz[k]:
+                            if rd.bit() and not (zz[k] & p1):
+                                zz[k] += p1 if zz[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val:
+                        if k > se:
+                            raise ValueError("corrupt AC refinement run")
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:
+                # EOB block: correction bits only, for the rest of the band
+                while k <= se:
+                    if zz[k]:
+                        if rd.bit() and not (zz[k] & p1):
+                            zz[k] += p1 if zz[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+    return _skip_to_marker(payload, rd)
+
+
+def _skip_to_marker(payload, rd) -> int:
+    """Position of the next marker after a decoded scan's entropy data."""
+    pos = rd.pos
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00,):
+            if 0xD0 <= payload[pos + 1] <= 0xD7:
+                pos += 2  # stray RST at scan end
+                continue
+            if payload[pos + 1] == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return len(payload)

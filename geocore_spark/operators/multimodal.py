@@ -4,8 +4,8 @@ Training-data pipelines carry media as opaque ``binary`` columns next to
 typed metadata, exactly like the pages table carries ``html: binary``.
 The Spark-side plumbing here is real and tested — schemas, Arrow batch
 shapes, partition-size control. Codec status: BMP (24/32-bit BI_RGB),
-PNG (8-bit gray/RGB/palette/alpha, all five scanline filters), baseline
-JPEG (SOF0, any sampling factors, restart markers — operators/jpegcodec),
+PNG (8-bit gray/RGB/palette/alpha, all five scanline filters), JPEG
+(baseline + progressive, any sampling factors — operators/jpegcodec),
 GIF (87a/89a LZW, interlace, local palettes — operators/gifcodec),
 MJPEG-AVI video (:func:`encode_avi_mjpeg`/:func:`demux_avi`) and WAV
 (integer/float PCM) decode FOR REAL — BMP/WAV/AVI are fixed

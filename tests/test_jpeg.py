@@ -123,13 +123,74 @@ def test_16bit_dqt_segment_decodes():
     assert np.array_equal(jc.decode_jpeg(bytes(out)), jc.decode_jpeg(enc))
 
 
-def test_progressive_rejected_not_garbled():
-    """Flip SOF0 -> SOF2 (progressive): must raise NotImplementedError,
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_progressive_decodes_pixel_identical_to_baseline(sub):
+    """A progressive (SOF2) stream reorders the SAME quantized
+    coefficients into scans, so decoding it must give exactly the
+    baseline pixels — the strongest possible cross-check of the
+    progressive scan machinery (DC scan, AC band scans, EOB runs)."""
+    img = _gradient(37, 29)
+    base = jc.decode_jpeg(jc.encode_jpeg(img, quality=90, subsampling=sub))
+    prog = jc.decode_jpeg(
+        jc.encode_jpeg(img, quality=90, subsampling=sub, progressive=True)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_grayscale_and_eob_runs():
+    yy, xx = np.mgrid[0:37, 0:29]
+    g = np.clip(127 + 80 * np.sin(yy / 4.0) * np.cos(xx / 6.0), 0, 255).astype(
+        np.uint8
+    )
+    assert np.array_equal(
+        jc.decode_jpeg(jc.encode_jpeg(g, quality=90)),
+        jc.decode_jpeg(jc.encode_jpeg(g, quality=90, progressive=True)),
+    )
+    # flat image: every AC band scan is one long EOB run
+    flat = np.full((40, 24, 3), 77, np.uint8)
+    assert np.array_equal(
+        jc.decode_jpeg(jc.encode_jpeg(flat, 90, progressive=True)),
+        jc.decode_jpeg(jc.encode_jpeg(flat, 90)),
+    )
+    # low quality + noise: dense ZRL/EOBn mix
+    rng = np.random.default_rng(13)
+    big = np.clip(rng.normal(128, 50, (64, 96, 3)), 0, 255).astype(np.uint8)
+    assert np.array_equal(
+        jc.decode_jpeg(jc.encode_jpeg(big, quality=30, subsampling="420")),
+        jc.decode_jpeg(
+            jc.encode_jpeg(big, quality=30, subsampling="420", progressive=True)
+        ),
+    )
+
+
+_SPARK_GRAYSCALE = (
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+    "multi-channel/grayscale.jpg"
+)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_SPARK_GRAYSCALE),
+    reason="Spark distribution sample image not present",
+)
+def test_progressive_real_world_successive_approximation():
+    """The progressive JPEG shipped inside the Spark distribution
+    (encoded by a real encoder with successive approximation, which our
+    fixture writer deliberately does not emit) must decode: this is the
+    refinement-scan path's independent validation."""
+    img = jc.decode_jpeg(open(_SPARK_GRAYSCALE, "rb").read())
+    assert img.shape == (215, 300, 1)
+    assert 100 < float(img.mean()) < 180
+    assert img.min() == 0 and img.max() == 255
+
+
+def test_lossless_sof_rejected_not_garbled():
+    """Flip SOF0 -> SOF3 (lossless): must raise NotImplementedError,
     never mis-decode."""
     enc = bytearray(jc.encode_jpeg(_gradient(16, 16)))
     idx = enc.find(b"\xff\xc0")
     assert idx > 0
-    enc[idx + 1] = 0xC2
+    enc[idx + 1] = 0xC3
     with pytest.raises(NotImplementedError, match="non-baseline"):
         jc.decode_jpeg(bytes(enc))
 
