@@ -4,7 +4,8 @@ Training-data pipelines carry media as opaque ``binary`` columns next to
 typed metadata, exactly like the pages table carries ``html: binary``.
 The Spark-side plumbing here is real and tested — schemas, Arrow batch
 shapes, partition-size control. Codec status: BMP (24/32-bit BI_RGB),
-PNG (8-bit gray/RGB/palette/alpha, all five scanline filters), JPEG
+PNG (gray/RGB/palette/alpha at depth 8 plus 1/2/4-bit gray+palette,
+all five scanline filters, Adam7 interlace), JPEG
 (baseline + progressive, any sampling factors — operators/jpegcodec),
 GIF (87a/89a LZW, interlace, local palettes — operators/gifcodec),
 MJPEG-AVI video (:func:`encode_avi_mjpeg`/:func:`demux_avi`) and WAV
@@ -118,6 +119,18 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+# Adam7 interlace pass origins/strides: (x0, y0, dx, dy) per the spec
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decoder -> HxWxC uint8 (C per color type; palette -> 3).
 
@@ -125,12 +138,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     dependency is DEFLATE, which Python ships, so unlike JPEG this
     compressed format IS implementable for real in this container.
     Covers the common core of the public spec (W3C PNG / RFC 2083):
-    bit depth 8, color types 0/2/3/4/6, non-interlaced, all five
-    scanline filters. Chunk CRCs are verified. Unfiltering is
-    vectorized where the recurrence allows: None and Up are whole-row
-    adds, Sub is a per-byte-lane mod-256 cumulative sum; Average and
-    Paeth carry a true left-to-right dependency, so those rows scan
-    per pixel (all byte lanes of a pixel at once).
+    bit depths 8 (all color types 0/2/3/4/6) and 1/2/4 (gray and
+    palette), non-interlaced AND Adam7 interlaced (each pass is its own
+    independently-filtered sub-image), all five scanline filters. Chunk
+    CRCs are verified. Unfiltering is vectorized where the recurrence
+    allows: None and Up are whole-row adds, Sub is a per-byte-lane
+    mod-256 cumulative sum; Average and Paeth carry a true
+    left-to-right dependency, so those rows scan per pixel (all byte
+    lanes of a pixel at once). Validated against libpng's own
+    interlaced test image where present.
     """
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
@@ -158,63 +174,103 @@ def decode_png(payload: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
     if color not in _PNG_SAMPLES:
         raise ValueError(f"invalid PNG color type {color}")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    if depth == 8:
+        pass
+    elif depth in (1, 2, 4) and color in (0, 3):
+        pass
+    else:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {color} unsupported"
+        )
     if w <= 0 or h <= 0:
         raise ValueError("degenerate PNG dimensions")
     bpp = _PNG_SAMPLES[color]
-    stride = w * bpp
+    fu = bpp if depth == 8 else 1  # filter unit: 1 byte below 8-bit depth
+
+    def row_bytes(pw: int) -> int:
+        return pw * bpp if depth == 8 else (pw * depth + 7) // 8
+
+    def unpack(recon: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        """Unfiltered rows -> (ph, pw, samples) uint8 (gray scaled)."""
+        if depth == 8:
+            return recon.reshape(ph, pw, bpp)
+        bits = np.unpackbits(recon, axis=1)[:, : pw * depth]
+        vals = bits.reshape(ph, pw, depth)
+        sample = np.zeros((ph, pw), dtype=np.uint8)
+        for b in range(depth):
+            sample = (sample << 1) | vals[:, :, b]
+        if color == 0:  # gray: scale to full 8-bit range (exact ints)
+            sample = sample * (255 // ((1 << depth) - 1))
+        return sample[..., None].astype(np.uint8)
+
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (1 + stride):
-        raise ValueError(
-            f"PNG pixel stream {len(raw)} != expected {h * (1 + stride)} bytes"
-        )
-    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
-    ftypes, filt = lines[:, 0], lines[:, 1:]
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f, line = int(ftypes[y]), filt[y]
-        if f == 0:
-            rec = line.copy()
-        elif f == 2:  # Up
-            rec = line + prior  # uint8 add wraps mod 256 per spec
-        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-bpp] — a
-            # mod-256 prefix sum down each byte lane
-            rec = (
-                np.cumsum(line.reshape(w, bpp).astype(np.uint32), axis=0)
-                .astype(np.uint8)
-                .reshape(stride)
-            )
-        elif f in (3, 4):  # Average / Paeth: sequential in x
-            rec = np.zeros(stride, dtype=np.uint8)
-            up = prior.astype(np.int32)
-            ln = line.astype(np.int32)
-            left = np.zeros(bpp, dtype=np.int32)
-            ul = np.zeros(bpp, dtype=np.int32)
-            for x in range(w):
-                sl = slice(x * bpp, (x + 1) * bpp)
-                if f == 3:
-                    pred = (left + up[sl]) >> 1
-                else:
-                    b = up[sl]
-                    p = left + b - ul
-                    pa, pb, pc = abs(p - left), abs(p - b), abs(p - ul)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, ul)
-                    )
-                left = (ln[sl] + pred) & 0xFF
-                rec[sl] = left
-                ul = up[sl]
-        else:
-            raise ValueError(f"invalid PNG filter type {f} on row {y}")
-        recon[y] = rec
-        prior = rec
-    img = recon.reshape(h, w, bpp)
+
+    def unfilter(off: int, ph: int, rb: int) -> tuple[np.ndarray, int]:
+        end = off + ph * (1 + rb)
+        if end > len(raw):
+            raise ValueError("PNG pixel stream shorter than expected")
+        lines = np.frombuffer(raw[off:end], dtype=np.uint8).reshape(ph, 1 + rb)
+        ftypes, filt = lines[:, 0], lines[:, 1:]
+        recon = np.zeros((ph, rb), dtype=np.uint8)
+        prior = np.zeros(rb, dtype=np.uint8)
+        for y in range(ph):
+            f, line = int(ftypes[y]), filt[y]
+            if f == 0:
+                rec = line.copy()
+            elif f == 2:  # Up
+                rec = line + prior  # uint8 add wraps mod 256 per spec
+            elif f == 1:  # Sub: recon[x] = line[x] + recon[x-fu] — a
+                # mod-256 prefix sum down each byte lane
+                rec = (
+                    np.cumsum(line.reshape(rb // fu, fu).astype(np.uint32), axis=0)
+                    .astype(np.uint8)
+                    .reshape(rb)
+                )
+            elif f in (3, 4):  # Average / Paeth: sequential in x
+                rec = np.zeros(rb, dtype=np.uint8)
+                up = prior.astype(np.int32)
+                ln = line.astype(np.int32)
+                left = np.zeros(fu, dtype=np.int32)
+                ul = np.zeros(fu, dtype=np.int32)
+                for x in range(rb // fu):
+                    sl = slice(x * fu, (x + 1) * fu)
+                    if f == 3:
+                        pred = (left + up[sl]) >> 1
+                    else:
+                        b = up[sl]
+                        p = left + b - ul
+                        pa, pb, pc = abs(p - left), abs(p - b), abs(p - ul)
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, ul)
+                        )
+                    left = (ln[sl] + pred) & 0xFF
+                    rec[sl] = left
+                    ul = up[sl]
+            else:
+                raise ValueError(f"invalid PNG filter type {f} on row {y}")
+            recon[y] = rec
+            prior = rec
+        return recon, end
+
+    if interlace == 0:
+        recon, off = unfilter(0, h, row_bytes(w))
+        img = unpack(recon, h, w)
+    elif interlace == 1:  # Adam7: 7 independently-filtered sub-images
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no bytes at all
+            recon, off = unfilter(off, ph, row_bytes(pw))
+            img[y0::dy, x0::dx] = unpack(recon, ph, pw)
+    else:
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if off != len(raw):
+        raise ValueError("PNG pixel stream has trailing bytes")
     if color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/invalid PLTE")
@@ -225,25 +281,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
-def encode_png(img: np.ndarray, filters=None) -> bytes:
-    """Inverse of :func:`decode_png` — fixture writer for the round-trip
-    pins. Accepts HxW or HxWx{1,2,3,4} uint8 (gray / gray+alpha / RGB /
-    RGBA). ``filters`` optionally gives a per-row scanline filter type
-    (0-4, default all 0); forward filtering here is the spec's inverse
-    direction, so a round-trip through :func:`decode_png` exercises each
-    unfilter path against independent math.
-    """
-    if img.ndim == 2:
-        img = img[..., None]
-    if img.ndim != 3 or img.dtype != np.uint8 or img.shape[2] not in (1, 2, 3, 4):
-        raise ValueError("expected HxWx{1,2,3,4} uint8")
+def _png_forward_filter(img: np.ndarray, filters) -> bytes:
+    """Forward-filter an (hh, ww, bpp) uint8 sub-image with one filter
+    type per row — the spec's inverse direction of decode's unfilter."""
     h, w, bpp = img.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[bpp]
     rows = img.reshape(h, w * bpp).astype(np.int32)
-    if filters is None:
-        filters = [0] * h
-    if len(filters) != h:
-        raise ValueError("need one filter type per row")
     out = bytearray()
     prior = np.zeros(w * bpp, dtype=np.int32)
     for y in range(h):
@@ -272,6 +314,45 @@ def encode_png(img: np.ndarray, filters=None) -> bytes:
         out.append(f)
         out += (filt & 0xFF).astype(np.uint8).tobytes()
         prior = cur
+    return bytes(out)
+
+
+def encode_png(img: np.ndarray, filters=None, interlace: bool = False) -> bytes:
+    """Inverse of :func:`decode_png` — fixture writer for the round-trip
+    pins. Accepts HxW or HxWx{1,2,3,4} uint8 (gray / gray+alpha / RGB /
+    RGBA). ``filters`` optionally gives a per-row scanline filter type
+    (0-4, default all 0); forward filtering here is the spec's inverse
+    direction, so a round-trip through :func:`decode_png` exercises each
+    unfilter path against independent math. ``interlace=True`` writes
+    Adam7: seven independently-filtered pass sub-images (the per-row
+    filter list then indexes the concatenated pass rows).
+    """
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.ndim != 3 or img.dtype != np.uint8 or img.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("expected HxWx{1,2,3,4} uint8")
+    h, w, bpp = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[bpp]
+    if not interlace:
+        subs = [img]
+    else:
+        subs = [
+            img[y0::dy, x0::dx]
+            for x0, y0, dx, dy in _ADAM7
+            if img[y0::dy, x0::dx].size
+        ]
+    n_rows = sum(s.shape[0] for s in subs)
+    if filters is None:
+        filters = [0] * n_rows
+    if len(filters) != n_rows:
+        raise ValueError(f"need one filter type per row ({n_rows})")
+    out = bytearray()
+    r0 = 0
+    for s in subs:
+        out += _png_forward_filter(
+            np.ascontiguousarray(s), filters[r0 : r0 + s.shape[0]]
+        )
+        r0 += s.shape[0]
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -284,7 +365,7 @@ def encode_png(img: np.ndarray, filters=None) -> bytes:
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, color, 0, 0, 0])
+        + bytes([8, color, 0, 0, int(interlace)])
     )
     return (
         _PNG_SIG

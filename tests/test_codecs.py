@@ -238,9 +238,10 @@ def test_png_rejects_bad_crc_truncation_interlace_depth():
         return (len(body).to_bytes(4, "big") + ctype + body
                 + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big"))
 
-    for depth, color, inter in ((16, 2, 0), (8, 2, 1)):
+    # still-unsupported depth/color combos (16-bit; sub-8-bit truecolor)
+    for depth, color in ((16, 2), (4, 2)):
         ihdr = ((2).to_bytes(4, "big") + (2).to_bytes(4, "big")
-                + bytes([depth, color, 0, 0, inter]))
+                + bytes([depth, color, 0, 0, 0]))
         bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                + chunk(b"IDAT", zlib.compress(b"\0" * 14)) + chunk(b"IEND", b""))
         with pytest.raises(NotImplementedError):
@@ -506,3 +507,86 @@ def test_decode_wav_truncated_data_raises():
     enc = mm.encode_wav(sig, 8000)
     with pytest.raises(ValueError, match="truncated WAV"):
         mm.decode_wav(enc[: len(enc) - 500])
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7: seven independently-filtered pass sub-images. Interlaced
+    and plain encodings differ on disk but decode identically; filters
+    cycle across pass rows so every unfilter path runs inside passes."""
+    rng = np.random.default_rng(8)
+    for ch in (1, 3, 4):
+        img = rng.integers(0, 256, size=(21, 17, ch), dtype=np.uint8)
+        n_rows = sum(
+            img[y0::dy, x0::dx].shape[0]
+            for x0, y0, dx, dy in mm._ADAM7
+            if img[y0::dy, x0::dx].size
+        )
+        enc = mm.encode_png(
+            img, filters=[i % 5 for i in range(n_rows)], interlace=True
+        )
+        assert np.array_equal(mm.decode_png(enc), img)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    a = mm.encode_png(img)
+    b = mm.encode_png(img, interlace=True)
+    assert a != b
+    assert np.array_equal(mm.decode_png(a), mm.decode_png(b))
+    # tiny image: several Adam7 passes are empty and contribute no bytes
+    tiny = rng.integers(0, 256, size=(1, 3, 3), dtype=np.uint8)
+    assert np.array_equal(
+        mm.decode_png(mm.encode_png(tiny, interlace=True)), tiny
+    )
+
+
+def test_png_sub8bit_gray_and_palette():
+    """Hand-built 1/2/4-bit streams (filter bytes + packed samples per
+    the spec): gray scales to the full 8-bit range, palette indexes
+    look up PLTE. Sub is tested at its 1-byte filter unit."""
+    import zlib as _z
+
+    def chunk(ctype, body):
+        return (len(body).to_bytes(4, "big") + ctype + body
+                + (_z.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    def build(w, h, depth, color, raw, plte=b""):
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([depth, color, 0, 0, 0]))
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b"")
+
+    # 1-bit gray, 10 px wide (2 bytes/row, 6 padding bits), filter 0
+    rows = [0b1010101010, 0b1111100000]
+    raw = b"".join(
+        b"\x00" + ((r << 6) & 0xFFFF).to_bytes(2, "big") for r in rows
+    )
+    img = mm.decode_png(build(10, 2, 1, 0, raw))
+    assert img.shape == (2, 10, 1)
+    want0 = [255, 0] * 5
+    want1 = [255] * 5 + [0] * 5
+    assert list(img[0, :, 0]) == want0 and list(img[1, :, 0]) == want1
+    # 4-bit gray with the Sub filter (1-byte unit): second byte stored
+    # as a delta of the first
+    line = bytes([0x01, bytes([0x23 - 0x01 & 0xFF])[0]])
+    img = mm.decode_png(build(4, 1, 4, 0, b"\x01" + line))
+    assert list(img[0, :, 0]) == [0 * 17, 1 * 17, 2 * 17, 3 * 17]
+    # 2-bit palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    raw = b"\x00" + bytes([0b00011011])  # indexes 0,1,2,3
+    img = mm.decode_png(build(4, 1, 2, 3, raw, plte))
+    assert [tuple(p) for p in img[0]] == [
+        (255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+
+
+_LIBPNG_TEST = "/usr/share/doc/libpng-dev/examples/pngtest.png"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_LIBPNG_TEST),
+    reason="libpng example image not present",
+)
+def test_png_real_world_interlaced():
+    """libpng's own interlaced RGBA test image (independent encoder)."""
+    img = mm.decode_png(open(_LIBPNG_TEST, "rb").read())
+    assert img.shape == (69, 91, 4)
+    assert 0 < float(img[..., :3].mean()) < 128  # dark figure, coherent
