@@ -704,8 +704,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     sample_rate).
 
     Covers the public RIFF/WAVE container with integer PCM (format tag 1:
-    unsigned 8-bit, signed 16/32-bit little-endian) and IEEE float
-    (format tag 3, 32-bit). Chunks are walked by the spec's
+    unsigned 8-bit, signed 16/32-bit little-endian), IEEE float
+    (format tag 3, 32-bit) and G.711 companded telephony audio (tag 7
+    mu-law / tag 6 A-law — decode tables from the published segment
+    formulas, bit-exact vs the stdlib audioop reference for all 256
+    values). Chunks are walked by the spec's
     (fourcc, size) framing — extra chunks (LIST, fact, ...) are skipped;
     multi-channel audio is averaged to mono. No library needed
     (VERDICT r2 item #3).
@@ -735,7 +738,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     bits = int.from_bytes(fmt[14:16], "little")
     if n_ch < 1 or sr <= 0:
         raise ValueError("degenerate WAV header")
-    if tag == 1 and bits == 8:
+    if tag in (6, 7) and bits == 8:
+        # G.711 companded telephony audio (tag 7 = mu-law, 6 = A-law):
+        # 256-entry decode tables built from the published segment
+        # formulas, validated against the stdlib audioop reference in
+        # tests/test_codecs.py
+        table = _alaw_table() if tag == 6 else _ulaw_table()
+        sig = table[np.frombuffer(data, dtype=np.uint8)] / 32768.0
+    elif tag == 1 and bits == 8:
         sig = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     elif tag == 1 and bits == 16:
         sig = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
@@ -748,6 +758,32 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if n_ch > 1:
         sig = sig[: len(sig) - len(sig) % n_ch].reshape(-1, n_ch).mean(axis=1)
     return sig.astype(np.float32), sr
+
+
+def _ulaw_table() -> np.ndarray:
+    """G.711 mu-law byte -> linear int16 (the published expansion:
+    complement, 3-bit exponent segment, 4-bit mantissa, +33 bias)."""
+    u = np.arange(256, dtype=np.int64) ^ 0xFF
+    sign = np.where(u & 0x80, -1, 1)
+    exp = (u >> 4) & 0x7
+    mant = u & 0xF
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return (sign * mag).astype(np.float32)
+
+
+def _alaw_table() -> np.ndarray:
+    """G.711 A-law byte -> linear int16 (even-bit inversion, segment
+    expansion; segment 0 is linear)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = np.where(a & 0x80, 1, -1)  # A-law: set sign bit = positive
+    exp = (a >> 4) & 0x7
+    mant = a & 0xF
+    mag = np.where(
+        exp == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << (np.maximum(exp, 1) - 1),
+    )
+    return (sign * mag).astype(np.float32)
 
 
 def encode_wav(sig: np.ndarray, sr: int) -> bytes:

@@ -590,3 +590,22 @@ def test_png_real_world_interlaced():
     img = mm.decode_png(open(_LIBPNG_TEST, "rb").read())
     assert img.shape == (69, 91, 4)
     assert 0 < float(img[..., :3].mean()) < 128  # dark figure, coherent
+
+
+def test_wav_g711_mulaw_alaw_match_stdlib_reference():
+    """G.711 mu-law / A-law decode tables == the stdlib audioop
+    reference implementation for all 256 byte values, end-to-end
+    through decode_wav (format tags 7 and 6)."""
+    audioop = pytest.importorskip("audioop")
+    every = bytes(range(256))
+    for tag, ref_fn in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        ref = np.frombuffer(ref_fn(every, 2), dtype="<i2").astype(np.float32)
+        fmt = (tag.to_bytes(2, "little") + (1).to_bytes(2, "little")
+               + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+               + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+        blob = (b"RIFF" + (4 + 8 + len(fmt) + 8 + 256).to_bytes(4, "little")
+                + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                + b"data" + (256).to_bytes(4, "little") + every)
+        sig, sr = mm.decode_wav(blob)
+        assert sr == 8000
+        assert np.array_equal(sig * 32768.0, ref), tag
