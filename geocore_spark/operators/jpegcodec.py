@@ -125,14 +125,14 @@ HUFF_AC_CHROMA = (
 # tables carry no EOBn symbols (run<<4 | size=0 for run 1..14), which
 # progressive EOB-run coding needs. Build a complete-enough canonical
 # table with EVERY (run, size) symbol plus EOBn/ZRL at a flat 8-bit
-# length (241 symbols < 256, so the all-ones code stays unused as the
+# length (176 symbols < 256, so the all-ones code stays unused as the
 # spec requires). Deliberately non-optimal — it's a fixture writer; the
 # table travels in DHT so any decoder reads it.
 _PROG_AC_SYMBOLS = sorted(
     {(r << 4) | s for r in range(16) for s in range(1, 11)}
     | {r << 4 for r in range(15)}
     | {0xF0}
-)  # 176 symbols
+)  # 160 (run,size) + 15 EOBn + ZRL = 176 symbols
 PROG_AC_TABLE = (
     [0] * 7 + [len(_PROG_AC_SYMBOLS)] + [0] * 8,
     _PROG_AC_SYMBOLS,
@@ -674,6 +674,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     dri = 0
     progressive = False
     got_scan = False
+    got_dc_scan = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -764,9 +765,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 dcs,
                 acs,
                 dri,
-                got_scan,
+                got_dc_scan,
             )
             got_scan = True
+            if ss == 0:
+                got_dc_scan = True
             continue
         pos += 2 + size
     if progressive and got_scan:
@@ -864,7 +867,9 @@ def _reconstruct(fh, fw, comps):
     raise NotImplementedError(f"{len(planes)}-component JPEG unsupported")
 
 
-def _decode_scan_progressive(payload, pos, frame, scan, band, dcs, acs, dri, had):
+def _decode_scan_progressive(
+    payload, pos, frame, scan, band, dcs, acs, dri, had_dc
+):
     """One progressive scan (T.81 Annex G, Huffman): updates the frame
     components' zigzag coefficient arrays in place and returns the
     stream position of the next marker.
@@ -892,7 +897,7 @@ def _decode_scan_progressive(payload, pos, frame, scan, band, dcs, acs, dri, had
             c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
     if ss > se or se > 63 or al > 13:
         raise ValueError("bad progressive spectral band")
-    if ss == 0 and not had and ah != 0:
+    if ss == 0 and ah != 0 and not had_dc:
         raise ValueError("DC refinement before first DC scan")
     rd = _BitReader(payload, pos)
     p1, m1 = 1 << al, -1 << al

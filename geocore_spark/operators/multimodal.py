@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import zlib
 from collections.abc import Iterator
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 import pandas as pd
@@ -760,6 +761,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return sig.astype(np.float32), sr
 
 
+@_lru_cache(maxsize=1)
 def _ulaw_table() -> np.ndarray:
     """G.711 mu-law byte -> linear int16 (the published expansion:
     complement, 3-bit exponent segment, 4-bit mantissa, +33 bias)."""
@@ -771,6 +773,7 @@ def _ulaw_table() -> np.ndarray:
     return (sign * mag).astype(np.float32)
 
 
+@_lru_cache(maxsize=1)
 def _alaw_table() -> np.ndarray:
     """G.711 A-law byte -> linear int16 (even-bit inversion, segment
     expansion; segment 0 is linear)."""

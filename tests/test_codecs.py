@@ -222,7 +222,7 @@ def test_png_palette():
         mm.decode_png(bad)
 
 
-def test_png_rejects_bad_crc_truncation_interlace_depth():
+def test_png_rejects_bad_crc_truncation_unsupported_depth():
     import zlib
 
     img = _gradient_img(h=4, w=4)
@@ -592,14 +592,35 @@ def test_png_real_world_interlaced():
     assert 0 < float(img[..., :3].mean()) < 128  # dark figure, coherent
 
 
+# sha256 of the little-endian int16 expansion of bytes 0..255, computed
+# FROM the stdlib audioop reference (python 3.11) — keeps the pin alive
+# on runtimes where audioop was removed (3.13+)
+_G711_REF_SHA = {
+    7: "3dab54339e520bb2c924826e3b72a917a2b612e9fd12fc867500f1d983a75827",
+    6: "e04788d110e58ff8c70c93b8480190d973e3b67876b6119abbaec766cc75c174",
+}
+
+
 def test_wav_g711_mulaw_alaw_match_stdlib_reference():
     """G.711 mu-law / A-law decode tables == the stdlib audioop
     reference implementation for all 256 byte values, end-to-end
-    through decode_wav (format tags 7 and 6)."""
-    audioop = pytest.importorskip("audioop")
+    through decode_wav (format tags 7 and 6). Where audioop is gone
+    (3.13+), the comparison is against its recorded sha256."""
+    import hashlib
+
+    try:
+        import audioop
+        refs = {7: audioop.ulaw2lin, 6: audioop.alaw2lin}
+    except ImportError:
+        refs = None
     every = bytes(range(256))
-    for tag, ref_fn in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
-        ref = np.frombuffer(ref_fn(every, 2), dtype="<i2").astype(np.float32)
+    for tag in (7, 6):
+        if refs is not None:
+            ref_bytes = refs[tag](every, 2)
+            assert hashlib.sha256(ref_bytes).hexdigest() == _G711_REF_SHA[tag]
+            ref = np.frombuffer(ref_bytes, dtype="<i2").astype(np.float32)
+        else:
+            ref = None
         fmt = (tag.to_bytes(2, "little") + (1).to_bytes(2, "little")
                + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
                + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
@@ -608,4 +629,7 @@ def test_wav_g711_mulaw_alaw_match_stdlib_reference():
                 + b"data" + (256).to_bytes(4, "little") + every)
         sig, sr = mm.decode_wav(blob)
         assert sr == 8000
-        assert np.array_equal(sig * 32768.0, ref), tag
+        lin = (sig * 32768.0).astype("<i2")
+        assert hashlib.sha256(lin.tobytes()).hexdigest() == _G711_REF_SHA[tag]
+        if ref is not None:
+            assert np.array_equal(sig * 32768.0, ref), tag

@@ -234,3 +234,29 @@ def test_fill_bytes_before_markers_accepted():
     assert np.array_equal(
         jc.decode_jpeg(padded_rst), jc.decode_jpeg(enc_rst)
     )
+
+
+def test_dc_refinement_before_first_dc_scan_rejected():
+    """Malformed progressive scan order (AC band scans first, then a DC
+    scan marked as refinement) must raise, not OR refinement bits into
+    all-zero DC coefficients."""
+    enc = jc.encode_jpeg(_gradient(16, 16), quality=90, progressive=True)
+    parts = enc.split(b"\xff\xda")
+    assert len(parts) >= 3  # header, DC scan, AC band scans
+    header, dc_scan, ac_scans = parts[0], parts[1], parts[2:]
+    assert ac_scans[-1].endswith(b"\xff\xd9")
+    ac_scans[-1] = ac_scans[-1][:-2]
+    # flip the DC scan's Ah nibble to 1 (refinement): the approximation
+    # byte is the last byte of the SOS segment body
+    size = int.from_bytes(dc_scan[:2], "big")
+    dc_ref = bytearray(dc_scan)
+    dc_ref[size - 1] = 0x10
+    evil = (
+        header
+        + b"".join(b"\xff\xda" + s for s in ac_scans)
+        + b"\xff\xda"
+        + bytes(dc_ref)
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="DC refinement"):
+        jc.decode_jpeg(evil)

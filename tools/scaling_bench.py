@@ -680,6 +680,16 @@ def main():
                 if gm[8] is not None and gm[32] is not None
                 else None
             )
+            na_levels = [c for c in (2, 8, 32) if gm[c] is None]
+            na_note = (
+                f" (*t({GRAPH_ITERS})-t(1) clamped to ~0 at"
+                f" {'/'.join(str(c) for c in na_levels)} cores:"
+                " per-iteration cost sank below the one-time cache-build's"
+                " run-to-run variance, so the difference is noise and the"
+                " raw column carries that level's signal)"
+                if na_levels
+                else ""
+            )
             lines += [
                 f"- Marginal (floor-free) per-iteration: **2 -> 8 cores"
                 + (
@@ -690,11 +700,7 @@ def main():
                 + (
                     f"; 8 -> 32: {meff_8_32:.2f}."
                     if meff_8_32 is not None
-                    else "; 8 -> 32: n/a* (per-iteration cost sank below"
-                    " the cache-build's run-to-run variance at 32 cores —"
-                    " iterations are ~2 s against an ~80 s one-time"
-                    " co-partition+persist, so the difference is noise;"
-                    " the raw column carries the 32-core signal)."
+                    else f"; 8 -> 32: n/a*{na_note}."
                 ),
                 f"  Measured as t({GRAPH_ITERS} iters) - t(1 iter) in the",
                 "  SAME warm context — the per-submission floor (Python",
