@@ -2341,6 +2341,7 @@ _MAGIC_PREFIXES = [
     "49443300",  # ID3 (mp3)
     "FFFB0000",  # mp3 frame sync
     "0000002066747970",  # ....ftyp (mp4)
+    "49492A000800",  # II*. little-endian TIFF (real decode: tiffcodec)
     "424D0000",  # BM (bmp — decodable for real, operators/multimodal.py)
     "00",  # unknown
 ]
@@ -2384,6 +2385,7 @@ SELECT doc_id,
          WHEN hx LIKE '52494646%' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
          WHEN hx LIKE '494433%' OR hx LIKE 'FFFB%' THEN 'mp3'
          WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+         WHEN hx LIKE '49492A00%' OR hx LIKE '4D4D002A%' THEN 'tiff'
          WHEN hx LIKE '424D%' THEN 'bmp'
          ELSE 'unknown'
        END AS format

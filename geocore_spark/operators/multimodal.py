@@ -8,6 +8,7 @@ PNG (gray/RGB/palette/alpha at depth 8 plus 1/2/4-bit gray+palette,
 all five scanline filters, Adam7 interlace), JPEG
 (baseline + progressive, any sampling factors — operators/jpegcodec),
 GIF (87a/89a LZW, interlace, local palettes — operators/gifcodec),
+TIFF (strips, LZW/PackBits, predictor — operators/tiffcodec),
 MJPEG-AVI video (:func:`encode_avi_mjpeg`/:func:`demux_avi`) and WAV
 (integer/float PCM) decode FOR REAL — BMP/WAV/AVI are fixed
 little-endian structs, PNG's only algorithmic dependency is DEFLATE
@@ -416,9 +417,13 @@ def _decode_image_stub(payload: bytes, fake: bool) -> np.ndarray:
             from geocore_spark.operators import gifcodec
 
             return gifcodec.decode_gif(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from geocore_spark.operators import tiffcodec
+
+            return _to_rgb3(tiffcodec.decode_tiff(payload))
         if not fake:
             raise NotImplementedError(
-                "non-BMP/PNG/JPEG/GIF image codec not available in this "
+                "non-BMP/PNG/JPEG/GIF/TIFF image codec not available in this "
                 "environment; pass fake=True or deploy with PIL/libvips"
             )
     except Exception:
@@ -689,6 +694,10 @@ def sniff_format(payload) -> F.Column:
         )
         .when(hx.startswith("494433") | hx.startswith("FFFB"), F.lit("mp3"))
         .when(F.substring(hx, 9, 8) == "66747970", F.lit("mp4"))  # ....ftyp
+        .when(
+            hx.startswith("49492A00") | hx.startswith("4D4D002A"),
+            F.lit("tiff"),  # II*. / MM.*
+        )
         .when(hx.startswith("424D"), F.lit("bmp"))  # BM
         .otherwise(F.lit("unknown"))
     )
@@ -918,7 +927,8 @@ def synth_encoded_media(
     codecs, not just the fake path. Images cycle BMP / PNG (content-seeded
     pixels, per-row filter mix covering all five types) / baseline JPEG
     (4:2:0, quality 90 — operators/jpegcodec) / GIF (8-color palette,
-    alternating interlace — operators/gifcodec) / WebP-magic fake; audio
+    alternating interlace — operators/gifcodec) / TIFF (LZW + horizontal
+    predictor — operators/tiffcodec) / WebP-magic fake; audio
     alternates real WAV PCM (id-dependent tone) and MP3-magic fake; video
     alternates real MJPEG-AVI (4 content-seeded frames) and MP4-magic
     fake. Arrow-batched pandas UDF; the encoders are the same fixture
@@ -935,7 +945,7 @@ def synth_encoded_media(
             i = int(i)
             rng = np.random.default_rng(i)
             if kind == "image":
-                k = i % 5
+                k = i % 6
                 if k == 0:
                     out.append(
                         encode_bmp(
@@ -965,6 +975,16 @@ def synth_encoded_media(
                             pal[rng.integers(0, 8, size=(14, 11))],
                             palette_bits=3,
                             interlace=bool(i % 2),
+                        )
+                    )
+                elif k == 4:
+                    from geocore_spark.operators.tiffcodec import encode_tiff
+
+                    out.append(
+                        encode_tiff(
+                            rng.integers(0, 256, size=(13, 10, 3), dtype=np.uint8),
+                            compression="lzw",
+                            predictor=True,
                         )
                     )
                 else:  # genuinely lib-bound: WebP magic -> fake path

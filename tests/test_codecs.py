@@ -355,24 +355,24 @@ def test_mixed_real_and_fake_batch(spark):
 
 def test_synth_encoded_media_real_payloads(spark):
     """The driver-query fixture generator emits payloads the real codecs
-    decode: BMP/PNG/JPEG/GIF fifths decode for real (fake=False works on
-    them), the WebP-magic fifth needs the fake path; audio evens are
-    real WAV."""
-    ids = spark.range(15).withColumnRenamed("id", "doc_id")
+    decode: BMP/PNG/JPEG/GIF/TIFF sixths decode for real (fake=False
+    works on them), the WebP-magic sixth needs the fake path; audio
+    evens are real WAV."""
+    ids = spark.range(18).withColumnRenamed("id", "doc_id")
     imgs = mm.synth_encoded_media(ids, kind="image")
     by_id = {r["doc_id"]: bytes(r["payload"]) for r in imgs.collect()}
     for i, p in by_id.items():
-        if i % 5 == 0:
+        if i % 6 == 0:
             got = mm.decode_bmp(p)
             want = np.random.default_rng(i).integers(
                 0, 256, size=(16, 16, 3), dtype=np.uint8)
             assert np.array_equal(got, want)
-        elif i % 5 == 1:
+        elif i % 6 == 1:
             got = mm.decode_png(p)
             want = np.random.default_rng(i).integers(
                 0, 256, size=(12, 9, 3), dtype=np.uint8)
             assert np.array_equal(got, want)
-        elif i % 5 == 2:
+        elif i % 6 == 2:
             from geocore_spark.operators.jpegcodec import decode_jpeg
 
             rng = np.random.default_rng(i)
@@ -383,18 +383,24 @@ def test_synth_encoded_media_real_payloads(spark):
             assert got.shape == want.shape
             # lossy: decoded within quality-90 4:2:0 tolerance of the source
             assert np.abs(got.astype(int) - want.astype(int)).mean() < 25
-        elif i % 5 == 3:
+        elif i % 6 == 3:
             from geocore_spark.operators.gifcodec import decode_gif
 
             rng = np.random.default_rng(i)
             pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
             want = pal[rng.integers(0, 8, size=(14, 11))]
             assert np.array_equal(decode_gif(p), want)  # lossless
+        elif i % 6 == 4:
+            from geocore_spark.operators.tiffcodec import decode_tiff
+
+            rng = np.random.default_rng(i)
+            want = rng.integers(0, 256, size=(13, 10, 3), dtype=np.uint8)
+            assert np.array_equal(decode_tiff(p), want)  # lossless
         else:
             assert p[:4] == b"RIFF" and p[8:12] == b"WEBP"
-    # real/fake routing end-to-end: only the WebP fifth requires fake
-    real_only = imgs.filter(F.col("doc_id") % 5 != 4)
-    assert mm.image_features(real_only, fake=False).count() == 12
+    # real/fake routing end-to-end: only the WebP sixth requires fake
+    real_only = imgs.filter(F.col("doc_id") % 6 != 5)
+    assert mm.image_features(real_only, fake=False).count() == 15
     aud = mm.synth_encoded_media(ids, kind="audio")
     wavs = aud.filter(F.col("doc_id") % 2 == 0)
     feats = {r["doc_id"]: r for r in mm.audio_features(wavs, fake=False).collect()}
