@@ -465,6 +465,8 @@ def test_sniff_format_detects_real_fixtures(spark):
     """encode_bmp / encode_wav / encode_avi_mjpeg output sniffs to the
     right format tag."""
     sig = np.zeros(100, dtype=np.float32)
+    from geocore_spark.operators.tiffcodec import encode_tiff
+
     avi = mm.encode_avi_mjpeg(
         np.zeros((1, 8, 8, 3), dtype=np.uint8), fps=5, quality=80
     )
@@ -473,6 +475,7 @@ def test_sniff_format_detects_real_fixtures(spark):
             (1, bytearray(mm.encode_wav(sig, 8000))),
             (2, bytearray(mm.encode_bmp(_gradient_img(4, 4)))),
             (3, bytearray(avi)),
+            (4, bytearray(encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8)))),
         ],
         "doc_id long, payload binary",
     )
@@ -482,7 +485,7 @@ def test_sniff_format_detects_real_fixtures(spark):
             "doc_id", mm.sniff_format(F.col("payload")).alias("f")
         ).collect()
     }
-    assert got == {1: "wav", 2: "bmp", 3: "avi"}
+    assert got == {1: "wav", 2: "bmp", 3: "avi", 4: "tiff"}
 
 
 def test_fake_true_never_raises_on_corrupt_real_formats():
