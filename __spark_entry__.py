@@ -2544,20 +2544,22 @@ def q_stream_rollup(spark, sf_dir):
 def q_bpe_learned(spark, sf_dir):
     """Learned-BPE token budgeting (rows-only: the greedy merge encoder is
     a Python kernel no SQL engine replays — functions/bpe.py). Merges are
-    learned driver-side on a deterministic 10% sample (a fixed-cost
-    artifact build, same pattern as the IVF codebook at
-    operators/similarity.py:build_ivf_index), then closure-shipped to an
-    Arrow-batched counter. Output pairs the learned count with the regex
-    approximation (functions/text.py:bpe_ish_token_count) so the drift of
-    the cheap estimator is visible per document."""
+    learned from a deterministic 10% sample through the DISTRIBUTED path:
+    Spark extracts the word-frequency summary (one explode + one hash
+    agg) and only that bounded table reaches the driver's merge loop —
+    never the raw texts (a fixed-cost artifact build, same pattern as the
+    IVF codebook at operators/similarity.py:build_ivf_index; identical
+    merges to the collect-texts path, pinned by tests/test_bpe.py). The
+    merge table is then closure-shipped to an Arrow-batched counter.
+    Output pairs the learned count with the regex approximation
+    (functions/text.py:bpe_ish_token_count) so the drift of the cheap
+    estimator is visible per document."""
     from geocore_spark.functions import bpe
 
     d = _t(spark, sf_dir, "documents")
-    sample = [
-        r["text"]
-        for r in d.filter(F.col("doc_id") % 10 == 0).select("text").collect()
-    ]
-    merges = bpe.learn_bpe(sample, n_merges=150)
+    merges = bpe.learn_bpe_distributed(
+        d.filter(F.col("doc_id") % 10 == 0), "text", n_merges=150
+    )
     counter = bpe.bpe_token_count_udf(merges)
     return d.select(
         "doc_id",

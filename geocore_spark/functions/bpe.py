@@ -44,6 +44,26 @@ def learn_bpe(texts: list[str], n_merges: int = 200) -> list[tuple[str, str]]:
     for t in texts:
         for w in _PRETOK.findall((t or "").lower()):
             vocab[_word_symbols(w)] += 1
+    return _merge_loop(vocab, n_merges)
+
+
+def learn_bpe_from_word_freqs(
+    freqs: list[tuple[str, int]], n_merges: int = 200
+) -> list[tuple[str, str]]:
+    """Merge loop over a ``(pre_token, frequency)`` summary instead of raw
+    texts. The words MUST already be pre-tokens (``_PRETOK`` matches on
+    lowercased text) — :func:`word_freq_table` produces exactly that, so
+    the distributed path learns the identical merge list ``learn_bpe``
+    would (pinned by tests/test_bpe.py). The summary is the scale move:
+    the corpus scan stays in Spark and only the frequency table — bounded
+    by distinct words, not corpus bytes — reaches the driver."""
+    vocab: Counter = Counter()
+    for w, f in freqs:
+        vocab[_word_symbols(w)] += f
+    return _merge_loop(vocab, n_merges)
+
+
+def _merge_loop(vocab: Counter, n_merges: int) -> list[tuple[str, str]]:
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: Counter = Counter()
@@ -71,6 +91,48 @@ def learn_bpe(texts: list[str], n_merges: int = 200) -> list[tuple[str, str]]:
     return merges
 
 
+def word_freq_table(
+    df, text_col: str = "text", top_k: int | None = None
+) -> list[tuple[str, int]]:
+    """Distributed pre-token frequency extraction — the input half of
+    :func:`learn_bpe_from_word_freqs`. Segmentation runs through the SAME
+    compiled ``_PRETOK`` as the driver learner and the encoder (an
+    Arrow-batched UDF, not a JVM regex: Java ``\\s`` is ASCII-only vs
+    Python's Unicode whitespace, the classify.py train/apply-skew trap —
+    one regex object on both sides makes the skew impossible). One
+    explode + one hash aggregate; ``top_k`` caps the collected table
+    deterministically (freq desc, word asc — a distributed
+    TakeOrderedAndProject, never a single-task sort)."""
+
+    @F.pandas_udf("array<string>")
+    def _pretok(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: _PRETOK.findall((t or "").lower()))
+
+    wf = (
+        df.select(F.explode(_pretok(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if top_k is not None:
+        wf = wf.orderBy(F.col("freq").desc(), "word").limit(top_k)
+    rows = wf.collect()
+    # canonical order so the returned artifact is reproducible
+    # independent of partitioning (the merge loop itself is
+    # order-insensitive, but artifacts should diff cleanly)
+    return sorted(((r["word"], r["freq"]) for r in rows), key=lambda x: (-x[1], x[0]))
+
+
+def learn_bpe_distributed(
+    df, text_col: str = "text", n_merges: int = 200, top_k: int | None = None
+) -> list[tuple[str, str]]:
+    """100-TB-shaped BPE training: Spark scans the corpus once and ships
+    only the word-frequency summary to the driver's merge loop. With
+    ``top_k=None`` the result is identical to ``learn_bpe`` over the
+    collected texts (pinned); set ``top_k`` on huge corpora to bound the
+    driver table — head words carry virtually all the pair mass."""
+    return learn_bpe_from_word_freqs(word_freq_table(df, text_col, top_k), n_merges)
+
+
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Greedy BPE: repeatedly merge the lowest-rank adjacent pair."""
     syms = list(_word_symbols(word))
@@ -91,6 +153,35 @@ def encode_text(text: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     for w in _PRETOK.findall((text or "").lower()):
         out.extend(encode_word(w, ranks))
     return out
+
+
+def bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched encoder: text -> array<string> of BPE tokens (the
+    </w> sentinel kept, so joining tokens and stripping it reconstructs
+    the pre-token stream). Same closure-shipped merge table and per-batch
+    word memo as the counter below; use this when downstream needs the
+    tokens themselves (packing inspection, vocab audits), the counter
+    when only budgets matter — the counter's output is 8 bytes/doc, this
+    one's is the tokenized corpus."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def _encode(s: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def enc(t):
+            out: list[str] = []
+            for w in _PRETOK.findall((t or "").lower()):
+                toks = memo.get(w)
+                if toks is None:
+                    toks = encode_word(w, ranks)
+                    memo[w] = toks
+                out.extend(toks)
+            return out
+
+        return s.map(enc)
+
+    return _encode
 
 
 def bpe_token_count_udf(merges: list[tuple[str, str]]):

@@ -149,6 +149,17 @@ def pipe():
     c["ranged"].unpersist()
     return r
 """,
+    # distributed-BPE training input (functions/bpe.word_freq_table):
+    # Arrow-batched pretokenizer -> explode -> one hash aggregate ->
+    # distributed top-k; only the bounded word-freq summary reaches the
+    # driver. The merge loop itself is a fixed-cost artifact build
+    # (corpus-size-independent) and is excluded from the timing.
+    "bpe_freq": f"""
+d = spark.read.parquet("{DOCS}")
+from geocore_spark.functions import bpe
+def pipe():
+    return len(bpe.word_freq_table(d, top_k=30_000))
+""",
     # real-codec media path over 20k mixed BMP/PNG/JPEG/GIF/fake payloads
     # (operators/multimodal.py + jpegcodec + gifcodec) — per-row Python
     # decode in Arrow-batched mapInPandas, embarrassingly parallel: the
@@ -209,6 +220,7 @@ def main() -> None:
         "classifier": "200k docs",
         "dup_spans": "200k docs w=8",
         "ntile": "100M rows",
+        "bpe_freq": "200k docs top_k=30k",
         "media": "20k payloads",
     }
     entry = {"ts": time.time(), "pinned": True, "ops": {}}
