@@ -215,7 +215,10 @@ def q_decile_stats(spark, sf_dir):
     formulation, value-identical to SQL ntile but with no single-task
     global sort (VERDICT r2 item #2); the remaining global window runs
     over the 10-row bucket table, bounded by the bucket count."""
-    o = _t(spark, sf_dir, "orders")
+    # prune BEFORE exact_ntile: it persists + range-shuffles its input
+    # twice, so feeding the full-width orders frame would materialize all
+    # nine columns when the aggregate below reads only these two
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
     deciled = metrics.exact_ntile(
         o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10, col="decile"
     )

@@ -46,8 +46,12 @@ def h3_parse(cell_str: Column) -> Column:
     Accepts 1-16 hex chars, any case (h3ToString strips leading zeros, so
     round-trips are exact for valid cells — their value is < 2^60)."""
     s = F.lower(F.trim(cell_str))
+    # \A/\z absolute anchors, NOT ^/$: Java's '$' also matches just
+    # before a trailing line terminator, so '8828308281fffff\n' (lines
+    # read with terminators kept) would silently pass validation and
+    # F.conv would longest-prefix-parse it instead of returning NULL
     return F.when(
-        s.rlike("^[0-9a-f]{1,15}$") | s.rlike("^0[0-9a-f]{15}$"),
+        s.rlike(r"\A[0-9a-f]{1,15}\z") | s.rlike(r"\A0[0-9a-f]{15}\z"),
         F.conv(s, 16, 10).cast("bigint"),
     )
 

@@ -54,6 +54,17 @@ def test_parse_rejects_garbage(spark):
         assert _one(spark, hi.h3_parse(F.col("s")), s=bad) is None
 
 
+def test_parse_rejects_trailing_line_terminators(spark):
+    # Java '$' matches BEFORE a final line terminator, so a '^...$'
+    # rlike would silently accept cells read from files with their \n /
+    # \r\n kept (F.trim strips only spaces) and conv would parse the
+    # prefix — the validator must use absolute \A/\z anchors instead
+    for bad in (SF9 + "\n", SF9 + "\r\n", SF9 + "\r", "\n" + SF9):
+        assert _one(spark, hi.h3_parse(F.col("s")), s=bad) is None
+    # plain surrounding spaces are still trimmed and accepted
+    assert _one(spark, hi.h3_parse(F.col("s")), s=f"  {SF9} ") == SF9_INT
+
+
 def test_resolution_and_base_cell(spark):
     assert _one(spark, hi.h3_resolution(F.col("v")), v=SF9_INT) == 9
     assert _one(spark, hi.h3_base_cell(F.col("v")), v=SF9_INT) == 20

@@ -75,6 +75,18 @@ def test_empty_input(spark):
     assert metrics.exact_ntile(empty, [F.asc("v"), F.asc("k")], 10).count() == 0
 
 
+def test_internal_persist_bounded_without_cache_hook(spark, scored):
+    # callers that pass no cache hook (the three entry metric queries)
+    # must not accumulate one persisted input-sized frame per call: the
+    # module releases its previous internally-owned frame on each new
+    # call, so N invocations leave at most ONE live internal persist
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        metrics.exact_ntile(scored, [F.asc("v"), F.asc("k")], 5).count()
+    grown = spark.sparkContext._jsc.getPersistentRDDs().size() - base
+    assert grown <= 1, f"internal persists accumulated: +{grown}"
+
+
 def test_cache_hook_releases(spark, scored):
     cache = {}
     df = metrics.exact_ntile(
