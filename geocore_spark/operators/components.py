@@ -32,12 +32,17 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # every round self-joins against this frame — without the persist
+        # the whole upstream pairs pipeline (for LSH dedup: the banded
+        # self-join) re-executes once per round x max_iter
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         # propagate: every node adopts min(own label, neighbors' labels)
         neigh = (
@@ -66,6 +71,7 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
         # label shortcut (pointer jumping): relabel via the label's label,
         # which doubles convergence speed on chains
@@ -79,6 +85,16 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+    edges.unpersist()
+    if not converged:
+        # returning unconverged labels would silently split one duplicate
+        # cluster into several keeper_ids — duplicates survive dedup with
+        # no signal anywhere; fail loudly instead (hash-to-min + pointer
+        # jumping covers any realistic diameter in far fewer rounds)
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} rounds; "
+            "raise max_iter (graph diameter is pathologically large)"
+        )
     return labels.withColumnRenamed("label", "component")
 
 
@@ -91,9 +107,13 @@ def dedup_clusters(
 ) -> DataFrame:
     """Full dedup resolution: every row keeps ``keeper_id`` = the min id
     of its near-duplicate cluster (itself when unpaired)."""
-    comp = connected_components(pairs, id_a, id_b)
+    comp = connected_components(pairs, id_a, id_b).select(
+        # reserved name: df may legitimately carry a 'component' column
+        F.col("node").alias(id_col),
+        F.col("component").alias("__cc_component"),
+    )
     return (
-        df.join(comp.withColumnRenamed("node", id_col), id_col, "left")
-        .withColumn("keeper_id", F.coalesce("component", F.col(id_col)))
-        .drop("component")
+        df.join(comp, id_col, "left")
+        .withColumn("keeper_id", F.coalesce("__cc_component", F.col(id_col)))
+        .drop("__cc_component")
     )

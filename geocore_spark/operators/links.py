@@ -22,8 +22,26 @@ from pyspark.sql import functions as F
 
 from geocore_spark.functions import urls
 
-_HREF = r'href\s*=\s*["\']([^"\']+)["\']'
-_A_TAG = r'<a\s[^>]*href\s*=\s*["\']([^"\']+)["\'][^>]*>(.*?)</a>'
+# (?i) — real HTML mixes <A HREF=...>; (?s) lets anchor text cross
+# newlines. _HREF requires tag context (<...href=) so 'href=' appearing
+# in page TEXT (code samples) is not extracted as a link.
+_HREF = r'(?is)<[^>]*?href\s*=\s*["\']([^"\']+)["\']'
+_A_TAG = r'(?is)<a\s[^>]*?href\s*=\s*["\']([^"\']+)["\'][^>]*>(.*?)</a>'
+
+
+def _href_host(href: Column) -> Column:
+    """Host of an href ONLY when the href is absolute (scheme:// or
+    protocol-relative //host); NULL otherwise. urls.url_host alone is
+    wrong here: on scheme-less input it falls back to the first path
+    segment, so mailto:/javascript:/relative hrefs would fabricate fake
+    hosts, while //cdn.example.com/x (a real cross-host link) would
+    yield ''."""
+    return F.when(
+        href.rlike(r"\A[A-Za-z][A-Za-z0-9+.\-]*://"), urls.url_host(href)
+    ).when(
+        href.rlike(r"\A//[^/]"),
+        urls.url_host(F.concat(F.lit("https:"), href)),
+    )
 
 
 def anchor_texts(html: Column) -> Column:
@@ -40,20 +58,21 @@ def anchor_texts(html: Column) -> Column:
     )
 
 
-def anchor_corpus(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
-) -> DataFrame:
+def anchor_corpus(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """(dst_host, anchor, n_refs) — anchor-text aggregation per target.
 
     The anchor-text corpus builder: every page contributes the text it
     uses to describe its link targets; aggregation is one shuffle keyed
-    by (dst_host, anchor). Empty/whitespace anchors and hostless (relative)
-    targets are dropped."""
+    by (dst_host, anchor). Empty/whitespace anchors and non-absolute
+    (relative / mailto: / javascript:) targets are dropped; nested markup
+    inside the anchor (<a href=x><b>T</b></a>) is stripped to its text."""
     pairs = pages.select(
         F.explode(anchor_texts(F.col(html_col))).alias("a")
     ).select(
-        urls.url_host(F.col("a.href")).alias("dst_host"),
-        F.trim(F.col("a.anchor")).alias("anchor"),
+        _href_host(F.col("a.href")).alias("dst_host"),
+        F.trim(F.regexp_replace(F.col("a.anchor"), r"(?s)<[^>]*>", "")).alias(
+            "anchor"
+        ),
     )
     return (
         pairs.filter(
@@ -80,13 +99,15 @@ def host_edges(
 ) -> DataFrame:
     """(src_host, dst_host, n_links) aggregated host-level edge list.
 
-    Relative hrefs (no host) and self-links are dropped — the graph
-    models cross-host endorsement, the signal quality priors care about.
+    Non-absolute hrefs (relative paths, mailto:, javascript:) and
+    self-links are dropped; protocol-relative //host links count — the
+    graph models cross-host endorsement, the signal quality priors care
+    about.
     """
     src = urls.url_host(F.col(url_col)).alias("src_host")
     e = (
         pages.select(src, F.explode(extract_links(F.col(html_col))).alias("href"))
-        .select("src_host", urls.url_host(F.col("href")).alias("dst_host"))
+        .select("src_host", _href_host(F.col("href")).alias("dst_host"))
         .filter(
             F.col("dst_host").isNotNull()
             & (F.col("dst_host") != "")

@@ -1,6 +1,8 @@
 """Connected components vs a driver-side union-find reference."""
 
 import numpy as np
+import pytest
+
 from geocore_spark.operators import components
 
 
@@ -55,3 +57,24 @@ def test_dedup_clusters_assigns_keepers(spark):
     pairs = spark.createDataFrame([(1, 5), (5, 7), (2, 3)], "id_a long, id_b long")
     out = {r["doc_id"]: r["keeper_id"] for r in components.dedup_clusters(df, pairs).collect()}
     assert out == {0: 0, 1: 1, 2: 2, 3: 2, 4: 4, 5: 1, 6: 6, 7: 1}
+
+
+def test_dedup_clusters_survives_user_component_column(spark):
+    # curation metadata may legitimately carry a column named 'component'
+    df = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(4)], "doc_id long, component string"
+    )
+    pairs = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    rows = components.dedup_clusters(df, pairs).collect()
+    got = {r["doc_id"]: (r["keeper_id"], r["component"]) for r in rows}
+    assert got == {0: (0, "c0"), 1: (1, "c1"), 2: (2, "c2"), 3: (1, "c3")}
+
+
+def test_nonconvergence_raises_loudly(spark):
+    # max_iter too small for the diameter must not silently return split
+    # clusters (duplicates would survive dedup undetected)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        components.connected_components(chain, max_iter=1)

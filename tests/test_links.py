@@ -28,6 +28,31 @@ def test_extract_links_and_host_edges(spark):
     } == set(got)
 
 
+def test_host_edges_href_validation(spark):
+    # scheme-less hrefs must NOT fabricate hosts (url_host's first-path-
+    # segment fallback); protocol-relative //host IS a real cross-host
+    # link; uppercase tags/attrs and newlines inside the tag still match
+    html = (
+        '<a href="mailto:bob@x.com">m</a> <a href="javascript:void(0)">j</a>'
+        ' <a href="docs/page.html">rel</a> <a href="//cdn.b.com/a.js">cdn</a>'
+        ' <A\n HREF="https://up.com/x">up</A>'
+    )
+    pages = spark.createDataFrame(
+        [("https://a.com/p", html)], "url string, html string"
+    )
+    got = {(r.src_host, r.dst_host) for r in links.host_edges(pages).collect()}
+    assert got == {("a.com", "cdn.b.com"), ("a.com", "up.com")}
+
+
+def test_anchor_corpus_strips_nested_markup_and_crosses_newlines(spark):
+    html = '<a href="https://b.com/x"><b>Read\nthis</b></a>'
+    pages = spark.createDataFrame([(html,)], "html string")
+    rows = links.anchor_corpus(pages).collect()
+    assert [(r.dst_host, r.anchor, r.n_refs) for r in rows] == [
+        ("b.com", "Read\nthis", 1)
+    ]
+
+
 def test_anchor_corpus(spark):
     html = (
         '<a href="https://b.com/x">Read this</a>'

@@ -58,6 +58,17 @@ def test_overlap_inclusion_exclusion(spark):
     assert abs(row.n_intersection - 10_000) / 10_000 < 0.15  # 3 estimates compound
 
 
+def test_overlap_empty_side_returns_zeros_not_nulls(spark):
+    # hll_sketch_agg over zero rows yields an EMPTY sketch (estimate 0),
+    # not NULL — pin it so downstream ratio arithmetic never null-poisons
+    a = spark.range(0).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    row = sk.overlap_distinct(a, b, "k").collect()[0]
+    assert (row.n_a, row.n_union, row.n_intersection) == (0, 100, 0)
+    both = sk.overlap_distinct(a, a, "k").collect()[0]
+    assert tuple(both) == (0, 0, 0, 0)
+
+
 def test_plan_stays_jvm_side(ids):
     plan = (
         sk.estimate_distinct(sk.sketch_distinct(ids, "key", by=["shard"]))
