@@ -67,7 +67,10 @@ def sessionize(
     # timezone-free, so the result is identical under any session tz
     # (epoch casts of NTZ would shift with the caller's session timezone)
     prev = F.lag(F.col(ts_col)).over(w)
-    gap = F.expr(f"INTERVAL {int(gap_minutes * 60)} SECONDS")
+    # microsecond interval, not int(seconds): truncation would silently
+    # turn a sub-minute fractional gap (gap_minutes=0.025 -> 1.5 s) into
+    # 1 s — or 0 s below 1/60, making every positive gap a session break
+    gap = F.expr(f"INTERVAL {int(round(gap_minutes * 60 * 1_000_000))} MICROSECONDS")
     is_break = F.when(prev.isNull() | (F.col(ts_col) - prev > gap), 1).otherwise(0)
     return df.withColumn("__brk", is_break).withColumn(
         "session_no",
@@ -91,46 +94,52 @@ def asof_join(
 
     Spark has no native ASOF JOIN; this is the union + ordered-window
     backfill composition: tag sides, union on (entity, ts), carry the
-    last-seen right values forward with ``last(ignorenulls)`` over an
+    last-seen right ROW forward with ``last(ignorenulls)`` over an
     entity-ordered window, keep left rows. One shuffle on the entity —
     no range explosion, exact semantics (right rows at the same ts sort
     before left rows, so ties are inclusive).
+
+    The backfill carries ONE struct of all value columns, never the
+    columns independently: per-column last(ignorenulls) would mix fields
+    from different right rows whenever a right value is legitimately
+    NULL (a chimera row no engine's ASOF produces) and would skip that
+    NULL instead of returning it. Right rows tied on (entity, ts) are
+    ordered by the value struct, so the winner is deterministic (the
+    greatest value tuple — matching the oracle's max-per-ts reading).
     """
     from pyspark.sql import Window
 
     rts = right_ts_col or ts_col
-    lt = left.select(
-        F.col(entity_col),
-        F.col(ts_col).alias("__ts"),
-        F.lit(1).alias("__is_left"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-    )
     rt = right.select(
         F.col(entity_col),
         F.col(rts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rrow"),
     )
+    lt = left.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(rt.schema["__rrow"].dataType).alias("__rrow"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    rt = rt.withColumn("__lrow", F.lit(None).cast(lt.schema["__lrow"].dataType))
     unioned = lt.unionByName(rt)
     w = (
         Window.partitionBy(entity_col)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(
+            F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__rrow").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
         entity_col,
-        "__ts",
         "__is_left",
         "__lrow",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__rrow"),
     ).filter(F.col("__is_left") == 1)
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
-    out_cols += [F.col(f"__r_{c}").alias(f"{c}_asof") for c in value_cols]
+    out_cols += [F.col(f"__rrow.{c}").alias(f"{c}_asof") for c in value_cols]
     return filled.select(*out_cols)
 
 

@@ -74,10 +74,14 @@ def _frontier_fn(delay_us: int):
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         nxt = state.get[0] if state.exists else 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            out, nxt = _schedule_batch(pdf, nxt, delay_us)
+        # accumulate ALL Arrow chunks before scheduling: a host group
+        # larger than arrow.maxRecordsPerBatch arrives as several chunks,
+        # and per-chunk scheduling would order chunk 1 wholly before
+        # chunk 2 — breaking the documented (priority DESC, url ASC)
+        # order and making output depend on chunk boundaries
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            out, nxt = _schedule_batch(pd.concat(chunks, ignore_index=True), nxt, delay_us)
             yield out[["host", "url", "priority", "discovered_ts", "scheduled_ts"]]
         state.update((nxt,))
 
@@ -111,8 +115,12 @@ def crawl_frontier(
     same kernel (zero state carried in, for oracle-style checks).
     """
     delay_us = int(delay_seconds * _US)
+    if host_col != "host":
+        # kernels and OUT_SCHEMA name the key 'host'; a custom host_col
+        # must be renamed here or every task KeyErrors on pdf["host"]
+        discovered = discovered.withColumnRenamed(host_col, "host")
     if discovered.isStreaming:
-        return discovered.groupBy(host_col).applyInPandasWithState(
+        return discovered.groupBy("host").applyInPandasWithState(
             _frontier_fn(delay_us),
             outputStructType=OUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
@@ -124,4 +132,4 @@ def crawl_frontier(
         out, _ = _schedule_batch(pdf, 0, delay_us)
         return out[["host", "url", "priority", "discovered_ts", "scheduled_ts"]]
 
-    return discovered.groupBy(host_col).applyInPandas(batch_fn, schema=OUT_SCHEMA)
+    return discovered.groupBy("host").applyInPandas(batch_fn, schema=OUT_SCHEMA)

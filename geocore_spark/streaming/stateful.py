@@ -1,16 +1,21 @@
 """Custom stateful streaming: cross-batch first-seen dedup per key group.
 
-A crawl stream re-delivers URLs across micro-batches; exact streaming
-dedup needs per-group state that outlives a batch. Spark's built-in
+A crawl stream re-delivers URLs across micro-batches; streaming dedup
+needs per-group state that outlives a batch. Spark's built-in
 ``dropDuplicates`` on a stream keeps unbounded state keyed by the dedup
 column; this operator instead manages state explicitly with
 ``applyInPandasWithState`` — the engine's pattern for custom stateful
 operators (harness contract): state = the set of seen 64-bit url hashes
-per host-group, stored as a packed int64 list, with group-level timeout
-handling left to the caller's watermark policy.
+per hash-shard group, stored as a packed int64 list, with group-level
+timeout handling left to the caller's watermark policy.
 
-At scale the state key is ``pmod(xxhash64(host), n_groups)`` so state
-shards evenly; the seen-set is hashes (8 B/url), not urls.
+The state key is ``pmod(xxhash64(url), n_groups)`` — URL-hash sharding,
+NOT host sharding: it distributes state evenly regardless of host skew,
+at the (deliberate) cost that per-host state policies can't be built on
+this key. The dedup is PROBABILISTIC, not exact: two distinct urls
+colliding on the 64-bit pandas hash drop the later one (birthday bound
+~1e-4 at ~78M urls per group); the seen-set is hashes (8 B/url), not
+urls, which is the trade that makes the state executor-sized.
 """
 
 from __future__ import annotations
@@ -30,29 +35,32 @@ STATE_SCHEMA = "seen array<long>"
 def _dedup_fn(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    seen = set(state.get[0]) if state.exists else set()
+    # vectorized first-seen mask — no per-row Python on the hot path:
+    # within-chunk dupes via Series.duplicated (keeps first), cross-batch
+    # dupes via sorted-membership isin against the state array
+    seen = (
+        np.asarray(state.get[0], dtype=np.int64)
+        if state.exists
+        else np.empty(0, dtype=np.int64)
+    )
     for pdf in batches:
         h = pd.util.hash_array(pdf["url"].to_numpy(dtype=object)).astype(np.int64)
-        fresh_mask = []
-        for v in h:
-            v = int(v)
-            if v in seen:
-                fresh_mask.append(False)
-            else:
-                seen.add(v)
-                fresh_mask.append(True)
-        out = pdf.loc[fresh_mask, ["url", "warc_ts"]].copy()
+        fresh = ~pd.Series(h).duplicated().to_numpy() & ~np.isin(h, seen)
+        out = pdf.loc[fresh, ["url", "warc_ts"]].copy()
         out["group_id"] = key[0]
+        seen = np.concatenate([seen, h[fresh]])
         if len(out):
             yield out
-    state.update((list(seen),))
+    state.update((seen.tolist(),))
 
 
 def streaming_url_dedup(pages: DataFrame, n_groups: int = 64) -> DataFrame:
     """First-seen URL filter over a streaming pages DataFrame.
 
-    Emits each url exactly once across all micro-batches. Grouping key is
-    a stable hash shard so state distributes evenly over executors.
+    Emits each url once across all micro-batches (probabilistic: a
+    64-bit hash collision between distinct urls drops the later one —
+    see the module docstring). Grouping key is a stable hash shard so
+    state distributes evenly over executors.
     """
     keyed = pages.withColumn("group_id", F.pmod(F.xxhash64("url"), F.lit(n_groups)))
     return keyed.groupBy("group_id").applyInPandasWithState(

@@ -138,6 +138,87 @@ def test_session_rollup_stream_drain_matches_batch(spark, tmp_path):
     assert sorted(per_cell["c1"]) == [2, 3] and per_cell["c2"] == [4]
 
 
+def test_batch_frontier_custom_host_col(spark):
+    df = _disc(spark, [("a.com", "u1", 1.0, 0), ("a.com", "u2", 1.0, 0)]) \
+        .withColumnRenamed("host", "domain")
+    out = frontier.crawl_frontier(df, delay_seconds=5.0, host_col="domain")
+    rows = out.orderBy("scheduled_ts").collect()
+    assert [r["url"] for r in rows] == ["u1", "u2"]
+    assert (rows[1]["scheduled_ts"] - rows[0]["scheduled_ts"]).total_seconds() == 5.0
+    assert rows[0]["host"] == "a.com"  # OUT_SCHEMA names the key 'host'
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for kernel-level unit tests."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def test_frontier_fn_accumulates_arrow_chunks():
+    """A host group split across Arrow chunks must schedule as ONE
+    ordered batch: a high-priority URL in chunk 2 goes first, not after
+    everything in chunk 1 (chunk boundaries are an Arrow transport
+    artifact, never semantics)."""
+    import pandas as pd
+
+    from geocore_spark.streaming.frontier import _frontier_fn
+
+    def chunk(urls_prios):
+        return pd.DataFrame(
+            {
+                "host": "h",
+                "url": [u for u, _ in urls_prios],
+                "priority": [p for _, p in urls_prios],
+                "discovered_ts": pd.Timestamp("2025-03-01 12:00:00"),
+            }
+        )
+    state = _FakeState()
+    outs = list(
+        _frontier_fn(5_000_000)(
+            ("h",),
+            iter([chunk([("u1", 1.0), ("u2", 1.0)]), chunk([("u9", 9.0)])]),
+            state,
+        )
+    )
+    assert len(outs) == 1  # one scheduled frame, not one per chunk
+    order = outs[0].sort_values("scheduled_ts")["url"].tolist()
+    assert order == ["u9", "u1", "u2"]
+    assert state.exists  # politeness watermark advanced
+
+
+def test_dedup_fn_vectorized_first_seen_semantics():
+    """Kernel-level: in-chunk dupes keep the first, cross-batch dupes
+    drop, state accumulates."""
+    import pandas as pd
+
+    from geocore_spark.streaming.stateful import _dedup_fn
+
+    def chunk(urls):
+        return pd.DataFrame(
+            {"url": urls, "warc_ts": pd.Timestamp("2025-03-01 12:00:00")}
+        )
+
+    state = _FakeState()
+    outs = list(_dedup_fn((3,), iter([chunk(["a", "b", "a"]), chunk(["b", "c"])]), state))
+    assert [o["url"].tolist() for o in outs] == [["a", "b"], ["c"]]
+    assert all((o["group_id"] == 3).all() for o in outs)
+    # second invocation with carried state: everything seen already
+    outs2 = list(_dedup_fn((3,), iter([chunk(["c", "a"])]), state))
+    assert outs2 == []
+
+
 def test_schedule_batch_matches_naive_reference():
     """The linearized running-max schedule must equal the obvious
     sequential loop on random inputs (property test, no Spark)."""

@@ -58,6 +58,48 @@ def test_asof_join_inclusive_tie(spark):
     assert out["v_asof"] == 7.0  # equal timestamps match (>= semantics)
 
 
+def test_sessionize_fractional_subminute_gap(spark):
+    # gap_minutes=0.025 = 1.5 s; int-second truncation would make it 1 s
+    # and split the 1.2 s pair below into two sessions
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base),
+        (2, 1, base + datetime.timedelta(seconds=1.2)),  # within 1.5 s
+        (3, 1, base + datetime.timedelta(seconds=4.0)),  # 2.8 s gap -> break
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["event_id"]: r["session_no"]
+           for r in temporal.sessionize(df, "user_id", "ts", 0.025, "event_id").collect()}
+    assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_asof_join_no_chimera_rows_and_null_values_carried(spark):
+    # the latest right row's legitimate NULL must be RETURNED, not
+    # backfilled per-column from an older row (which would fabricate a
+    # (a=5, b=2) combination that exists in no right row)
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(1), 1.0, 2.0), (1, _ts(5), 5.0, None)],
+        "user_id long, ts timestamp, a double, b double",
+    )
+    row = temporal.asof_join(left, right, "user_id", "ts", ["a", "b"]).first()
+    assert row["a_asof"] == 5.0 and row["b_asof"] is None
+
+
+def test_asof_join_equal_ts_tiebreak_deterministic(spark):
+    # two right rows at the same (entity, ts): the greatest value tuple
+    # wins, every run
+    left = spark.createDataFrame([(1, 1, _ts(5))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 3.0), (1, _ts(5), 9.0)], "user_id long, ts timestamp, v double"
+    )
+    for _ in range(3):
+        row = temporal.asof_join(left, right, "user_id", "ts", ["v"]).first()
+        assert row["v_asof"] == 9.0
+
+
 def test_asof_join_keeps_all_left_rows(spark):
     left = spark.createDataFrame(
         [(i, 1, _ts(i)) for i in range(20)], "event_id long, user_id long, ts timestamp"
