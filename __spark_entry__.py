@@ -452,7 +452,7 @@ def q_salted_agg(spark, sf_dir):
         ev,
         "event_type",
         {
-            "n": ("value", "count"),
+            "n": ("*", "count"),  # COUNT(*) — the oracle counts rows
             "sum_value": ("value", "sum"),
             "min_value": ("value", "min"),
             "max_value": ("value", "max"),
@@ -495,7 +495,7 @@ def q_skew_split_agg(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(20,2)")).alias("s"),
     )
     return (
-        partial.withColumn("cell", skew.reparent(partial, "work_cell"))
+        partial.withColumn("cell", skew.reparent("work_cell"))
         .groupBy("cell")
         .agg(
             F.sum("n").alias("n_points"),
@@ -937,19 +937,32 @@ WHERE NOT EXISTS (
 
 
 def q_zonal_stats(spark, sf_dir):
-    """G10: raster sample at event points + per-cell zonal statistics."""
+    """G10: raster sample at event points + per-cell zonal statistics.
+
+    Mean in exact BIGINT micro-units on both sides (raster values are
+    1e-6-quantized): double AVG drifts by partial-agg order and flips
+    round(.,6) boundaries — the group_transform class."""
     pts = _event_points(spark, sf_dir)
     sampled = pts.withColumn("value", rst.sample_expr(F.col("lat"), F.col("lon")))
-    return zonal.zonal_stats(sampled, res=5)
+    return zonal.zonal_stats(sampled, res=5, exact_micro_units=True)
 
 
 _SQL_ZONAL = f"""
-SELECT {orc.cell_sql('lat', 'lon', 5)} AS cell, COUNT(*) AS n,
-       round(AVG(v), 6) AS avg_value, round(MIN(v), 6) AS min_value,
-       round(MAX(v), 6) AS max_value
-FROM (SELECT lat, lon, {rst.sample_sql('lat', 'lon')} AS v
-      FROM {_EVENT_POINTS_SQL} p)
-GROUP BY 1
+WITH g AS (
+  SELECT {orc.cell_sql('lat', 'lon', 5)} AS cell, COUNT(*) AS n,
+         CAST(SUM(CAST(round(v * 1000000.0) AS BIGINT)) AS BIGINT) AS s6,
+         COUNT(v) AS c,
+         round(MIN(v), 6) AS min_value, round(MAX(v), 6) AS max_value
+  FROM (SELECT lat, lon, {rst.sample_sql('lat', 'lon')} AS v
+        FROM {_EVENT_POINTS_SQL} p)
+  GROUP BY 1)
+SELECT cell, n,
+       CASE WHEN c > 0 THEN
+         CAST((CASE WHEN s6 < 0 THEN -1 ELSE 1 END)
+              * ((2 * abs(s6) + c) // (2 * c)) AS DOUBLE) / 1000000.0
+       END AS avg_value,
+       min_value, max_value
+FROM g
 """
 
 

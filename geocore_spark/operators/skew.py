@@ -10,8 +10,11 @@ Two complementary strategies:
 1. **Salted two-phase aggregation** (algebraic aggs): shuffle key becomes
    (cell, salt) with salt = pmod(xxhash64(row-key), n); partial aggregates
    per salted key, then a second tiny shuffle re-combines per cell. The
-   result is bit-identical to the naive plan for decomposable aggregates
-   (count/sum/min/max; avg as sum/count).
+   result is identical to the naive plan for integral aggregates
+   (count/min/max and integer/decimal sums); DOUBLE sums/avgs regroup the
+   summation order, so they agree only to ~1e-12 relative (the float
+   partial-agg drift class documented in CLAUDE.md) — round or use
+   decimal accumulation when comparing.
 
 2. **Adaptive cell splitting** (holistic work, e.g. per-cell pandas UDFs):
    cells whose count exceeds a threshold are re-encoded at finer
@@ -38,22 +41,35 @@ def salted_agg(
     n_salts: int = 16,
     salt_source: str | Column | None = None,
 ) -> DataFrame:
-    """Two-phase salted aggregation, result identical to df.groupBy(key).
+    """Two-phase salted aggregation, result equal to df.groupBy(key)
+    (exactly for integral aggregates; float sums to summation-order
+    drift — see the module docstring).
 
     ``aggs`` maps output column -> (input column, fn) with fn in
-    {count, sum, min, max, avg}. Phase 1 groups on (key, salt); phase 2
-    merges partials per key. avg is decomposed into sum+count so the merge
-    is exact.
+    {count, sum, min, max, avg}; ``('*', 'count')`` counts rows, a named
+    column counts its non-null values (SQL COUNT semantics). Phase 1
+    groups on (key, salt); phase 2 merges partials per key. avg is
+    decomposed into sum+count so the merge is exact.
+
+    ``salt_source`` seeds the salt hash; pass a unique row id when you
+    have one. The default hashes ALL columns — DETERMINISTIC under task
+    retry, which the previous monotonically_increasing_id default was
+    not (a retried map task would re-id its rows, re-routing them across
+    reduce partitions mid-shuffle and silently corrupting counts — the
+    classic nondeterministic-shuffle-key hazard). The trade: fully
+    identical rows share a salt, so a mega-key consisting of BYTE-EQUAL
+    duplicate rows still lands on one salt.
     """
-    salt = F.pmod(
-        F.xxhash64(salt_source if salt_source is not None else F.monotonically_increasing_id()),
-        F.lit(n_salts),
-    )
+    if salt_source is not None:
+        salt_in = [salt_source]
+    else:
+        salt_in = [F.col(c) for c in df.columns]
+    salt = F.pmod(F.xxhash64(*salt_in), F.lit(n_salts))
     partial_exprs = []
     final_exprs = []
     for out, (col, fn) in aggs.items():
         if fn == "count":
-            partial_exprs.append(F.count("*").alias(f"__p_{out}"))
+            partial_exprs.append(F.count(col).alias(f"__p_{out}"))
             final_exprs.append(F.sum(f"__p_{out}").alias(out))
         elif fn == "sum":
             partial_exprs.append(F.sum(col).alias(f"__p_{out}"))
@@ -92,6 +108,7 @@ def split_mega_cells(
     lon: str = "lon",
     cell_col: str = "cell",
     delta_res: int = 2,
+    res: int = tl.DEFAULT_RES,
 ) -> DataFrame:
     """Re-key rows in mega-cells to children cells at res + delta_res.
 
@@ -99,22 +116,27 @@ def split_mega_cells(
     cell otherwise. Downstream per-cell work groups on ``work_cell``;
     results re-parent with :func:`tl.cell_to_parent` to the original key.
     The mega set is tiny -> broadcast flag join, no extra shuffle.
+
+    ``res`` must be the resolution the frame is keyed at (the guard
+    only splits rows whose cell is actually at ``res``, so a mismatched
+    ``res`` means NO row splits — pass it explicitly for non-default
+    keyed frames, e.g. zonal tables at res 5).
     """
     flagged = df.join(
         F.broadcast(mega.withColumn("__mega", F.lit(True))), cell_col, "left"
     )
     res_of = tl.cell_resolution(F.col(cell_col))
     # arithmetic re-encode at finer res from raw coordinates
-    finer = tl.latlng_to_cell(F.col(lat), F.col(lon), tl.DEFAULT_RES + delta_res)
+    finer = tl.latlng_to_cell(F.col(lat), F.col(lon), res + delta_res)
     return flagged.withColumn(
         "work_cell",
-        F.when(F.col("__mega").isNotNull() & (res_of == tl.DEFAULT_RES), finer).otherwise(
+        F.when(F.col("__mega").isNotNull() & (res_of == res), finer).otherwise(
             F.col(cell_col)
         ),
     ).drop("__mega")
 
 
-def reparent(df: DataFrame, work_cell: str = "work_cell", res: int = tl.DEFAULT_RES) -> Column:
+def reparent(work_cell: str = "work_cell", res: int = tl.DEFAULT_RES) -> Column:
     """Column mapping work_cell back to its original-resolution parent."""
     r = tl.cell_resolution(F.col(work_cell))
     return F.when(r > res, tl.cell_to_parent(F.col(work_cell), res)).otherwise(

@@ -24,16 +24,31 @@ from geocore_spark.sources import raster as rst
 
 
 def sample_points_join(
-    points: DataFrame, raster: DataFrame, lat: str = "lat", lon: str = "lon"
+    points: DataFrame,
+    raster: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    out_col: str = "value",
 ) -> DataFrame:
-    """Nearest-cell raster sample via broadcast equi-join on (row, col)."""
-    pts = points.withColumn(
-        "__row", F.floor((F.col(lat) - F.lit(rst.LAT0)) / F.lit(rst.DLAT)).cast("long")
-    ).withColumn(
-        "__col", F.floor((F.col(lon) - F.lit(rst.LON0)) / F.lit(rst.DLON)).cast("long")
+    """Nearest-cell raster sample via broadcast equi-join on (row, col).
+
+    Grid coordinates come from raster.grid_row/grid_col — the ONE affine
+    transform the analytic fast path also uses, so the two strategies
+    cannot drift. The sampled value lands in ``out_col``; a name already
+    present on ``points`` is an error (a silent duplicate 'value' column
+    would make the natural follow-up zonal_stats ambiguous-reference)."""
+    if out_col in points.columns:
+        raise ValueError(
+            f"sample_points_join: points already has a column {out_col!r}; "
+            "pass out_col= to name the sampled value"
+        )
+    pts = points.withColumn("__row", rst.grid_row(F.col(lat))).withColumn(
+        "__col", rst.grid_col(F.col(lon))
     )
     r = raster.select(
-        F.col("row").alias("__row"), F.col("col").alias("__col"), "value"
+        F.col("row").alias("__row"),
+        F.col("col").alias("__col"),
+        F.col("value").alias(out_col),
     )
     return pts.join(F.broadcast(r), ["__row", "__col"], "left").drop("__row", "__col")
 
@@ -44,19 +59,43 @@ def zonal_stats(
     res: int = tl.DEFAULT_RES,
     lat: str = "lat",
     lon: str = "lon",
+    exact_micro_units: bool = False,
 ) -> DataFrame:
     """Per-cell min/max/avg/count of a sampled value — the zonal-stats
     groupBy (SURVEY §2 G10). Partial aggregation (map-side combine) comes
-    free from Catalyst's hash aggregate."""
-    return (
-        points.withColumn("cell", tl.latlng_to_cell(F.col(lat), F.col(lon), res))
-        .groupBy("cell")
-        .agg(
+    free from Catalyst's hash aggregate.
+
+    ``exact_micro_units=True`` computes the mean in exact BIGINT
+    micro-units (requires ``value_col`` quantized at 1e-6, which every
+    raster fixture value is): double AVG partial-aggregation order
+    differs between engines and can land on a round(.,6) boundary — the
+    group_transform drift class from CLAUDE.md. Sign is handled via
+    abs + reapply because Spark's ``div`` truncates toward zero while
+    DuckDB's ``//`` floors; on non-negative operands they agree."""
+    grouped = points.withColumn(
+        "cell", tl.latlng_to_cell(F.col(lat), F.col(lon), res)
+    ).groupBy("cell")
+    if not exact_micro_units:
+        return grouped.agg(
             F.count("*").alias("n"),
             F.round(F.avg(value_col), 6).alias("avg_value"),
             F.round(F.min(value_col), 6).alias("min_value"),
             F.round(F.max(value_col), 6).alias("max_value"),
         )
+    base = grouped.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col(value_col) * 1e6).cast("long")).alias("__s6"),
+        F.count(value_col).alias("__c"),
+        F.round(F.min(value_col), 6).alias("min_value"),
+        F.round(F.max(value_col), 6).alias("max_value"),
+    )
+    sign = F.when(F.col("__s6") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    half_away = F.expr("(2 * abs(__s6) + __c) div (2 * __c)")
+    avg = F.when(
+        F.col("__c") > 0, (sign * half_away).cast("double") / F.lit(1e6)
+    )
+    return base.select(
+        "cell", "n", avg.alias("avg_value"), "min_value", "max_value"
     )
 
 

@@ -19,19 +19,35 @@ DLAT, DLON = 0.5, 0.5
 NROWS, NCOLS = 240, 720  # covers lat [-60, 60), lon [-180, 180)
 
 
+# rounded at 6 decimals, not 8: Java Math.sin/cos (Spark) and C libm
+# (DuckDB oracle) can disagree by 1 ulp, and a value within ~1e-16 of a
+# rounding boundary then flips the last digit on one engine only — the
+# same flake class CLAUDE.md documents for pow in temperature_weights.
+# 6 decimals matches the repo's round(…, ≤6) oracle guidance and cuts
+# the boundary-hit probability 100x.
 def value_expr(row: Column, col: Column) -> Column:
     return F.round(
         F.sin(row.cast("double") / 7.0) * F.cos(col.cast("double") / 11.0)
         + row.cast("double") * 1e-4,
-        8,
+        6,
     )
 
 
 def value_sql(row: str, col: str) -> str:
     return (
         f"round(sin(CAST({row} AS DOUBLE) / 7.0) * cos(CAST({col} AS DOUBLE) / 11.0)"
-        f" + CAST({row} AS DOUBLE) * 1e-4, 8)"
+        f" + CAST({row} AS DOUBLE) * 1e-4, 6)"
     )
+
+
+def grid_row(lat: Column) -> Column:
+    """Raster row of a latitude — THE affine transform, shared by the
+    analytic fast path and the join path so they can never diverge."""
+    return F.floor((lat - F.lit(LAT0)) / F.lit(DLAT)).cast("long")
+
+
+def grid_col(lon: Column) -> Column:
+    return F.floor((lon - F.lit(LON0)) / F.lit(DLON)).cast("long")
 
 
 def raster_table(spark: SparkSession) -> DataFrame:
@@ -54,13 +70,25 @@ def sample_expr(lat: Column, lon: Column) -> Column:
     (row, col) lookup collapses into the value expression. This is the
     degenerate-fast path; :func:`raster_table` + join is the general path
     for real rasters.
+
+    NULL outside the raster's coverage ([-60, 60) lat, [-180, 180) lon) —
+    the same answer the join path gives for an unmatched (row, col). An
+    unguarded analytic expression would happily EXTRAPOLATE the surface
+    for polar points, silently fabricating features the general path
+    would report as missing.
     """
-    row = F.floor((lat - F.lit(LAT0)) / F.lit(DLAT)).cast("long")
-    col = F.floor((lon - F.lit(LON0)) / F.lit(DLON)).cast("long")
-    return value_expr(row, col)
+    row, col = grid_row(lat), grid_col(lon)
+    in_bounds = (
+        (row >= 0) & (row < F.lit(NROWS)) & (col >= 0) & (col < F.lit(NCOLS))
+    )
+    return F.when(in_bounds, value_expr(row, col))
 
 
 def sample_sql(lat: str, lon: str) -> str:
     row = f"CAST(floor((({lat}) - ({LAT0})) / {DLAT}) AS BIGINT)"
     col = f"CAST(floor((({lon}) - ({LON0})) / {DLON}) AS BIGINT)"
-    return value_sql(row, col)
+    return (
+        f"(CASE WHEN {row} >= 0 AND {row} < {NROWS}"
+        f" AND {col} >= 0 AND {col} < {NCOLS}"
+        f" THEN {value_sql(row, col)} END)"
+    )

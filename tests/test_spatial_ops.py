@@ -173,9 +173,42 @@ def test_zonal_sampling_closed_form(spark):
     rows = sampled.select("id", "value").collect()
     row_idx = np.floor((lat - rst.LAT0) / rst.DLAT).astype(int)
     col_idx = np.floor((lon - rst.LON0) / rst.DLON).astype(int)
-    want = np.round(np.sin(row_idx / 7.0) * np.cos(col_idx / 11.0) + row_idx * 1e-4, 8)
+    want = np.round(np.sin(row_idx / 7.0) * np.cos(col_idx / 11.0) + row_idx * 1e-4, 6)
     for r in rows:
         assert abs(r["value"] - want[r["id"]]) < 1e-9
+
+
+def test_sample_expr_null_outside_coverage_matches_join_path(spark):
+    # the analytic fast path must agree with the join path EVERYWHERE,
+    # including outside the raster's [-60,60) x [-180,180) coverage —
+    # an unguarded expression would extrapolate a fabricated value there
+    pts = spark.createDataFrame(
+        [(0, 61.0, 10.0), (1, -60.5, 10.0), (2, 10.0, 179.9), (3, 59.9, -180.0)],
+        "id long, lat double, lon double",
+    )
+    analytic = {
+        r["id"]: r["v"]
+        for r in pts.select(
+            "id", rst.sample_expr(F.col("lat"), F.col("lon")).alias("v")
+        ).collect()
+    }
+    joined = {
+        r["id"]: r["value"]
+        for r in zonal.sample_points_join(pts, rst.raster_table(spark)).collect()
+    }
+    assert analytic == joined
+    assert analytic[0] is None and analytic[1] is None  # polar: missing
+    assert analytic[2] is not None and analytic[3] is not None
+
+
+def test_sample_points_join_rejects_value_collision(spark):
+    pts = spark.createDataFrame([(0, 10.0, 10.0, 1.0)], "id long, lat double, lon double, value double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out_col"):
+        zonal.sample_points_join(pts, rst.raster_table(spark))
+    out = zonal.sample_points_join(pts, rst.raster_table(spark), out_col="f_raster")
+    assert {"value", "f_raster"} <= set(out.columns)
 
 
 def test_zonal_stats_groups(spark):
@@ -219,6 +252,49 @@ def test_salted_agg_equals_plain_groupby(spark):
         assert plain[k][2:] == salted[k][2:]
 
 
+def test_salted_agg_default_salt_deterministic_and_count_semantics(spark):
+    # default salt (no salt_source) hashes all columns — deterministic,
+    # so two runs agree exactly; named-column count skips nulls while
+    # ('*', 'count') counts rows, both matching the plain groupBy
+    df = spark.createDataFrame(
+        [(i % 3, float(i) if i % 4 else None) for i in range(40)], "k int, v double"
+    )
+    runs = [
+        {
+            r["k"]: (r["n_rows"], r["n_v"], r["mx"])
+            for r in skew.salted_agg(
+                df,
+                "k",
+                {"n_rows": ("*", "count"), "n_v": ("v", "count"), "mx": ("v", "max")},
+                n_salts=8,
+            ).collect()
+        }
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
+    plain = {
+        r["k"]: (r["n_rows"], r["n_v"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n_rows"), F.count("v").alias("n_v"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert runs[0] == plain
+
+
+def test_split_mega_cells_nondefault_res(spark):
+    from geocore_spark.functions import tiling as tl
+
+    pts, _, _ = _points_df(spark, 200, seed=16)
+    df = pts.withColumn("cell", tl.latlng_to_cell(F.col("lat"), F.col("lon"), 5))
+    mega = skew.find_mega_cells(df, threshold=0)
+    # res must be passed for non-default keyed frames — the guard only
+    # splits rows whose cell resolution matches
+    split = skew.split_mega_cells(df, mega, res=5)
+    assert split.filter(F.col("work_cell") != F.col("cell")).count() == 200
+    back = split.withColumn("cell2", skew.reparent("work_cell", res=5))
+    assert back.filter(F.col("cell2") != F.col("cell")).count() == 0
+
+
 def test_mega_cell_split_reparent_roundtrip(spark):
     from geocore_spark.functions import tiling as tl
 
@@ -226,7 +302,7 @@ def test_mega_cell_split_reparent_roundtrip(spark):
     df = pts.withColumn("cell", tl.latlng_to_cell(F.col("lat"), F.col("lon"), tl.DEFAULT_RES))
     mega = skew.find_mega_cells(df, threshold=0)  # every cell is "mega"
     split = skew.split_mega_cells(df, mega)
-    back = split.withColumn("cell2", skew.reparent(split, "work_cell"))
+    back = split.withColumn("cell2", skew.reparent("work_cell"))
     assert back.filter(F.col("cell2") != F.col("cell")).count() == 0
     # and the split actually went finer
     finer = split.filter(F.col("work_cell") != F.col("cell")).count()
