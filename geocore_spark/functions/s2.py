@@ -76,21 +76,24 @@ def _xyz_to_face_uv(x, y, z):
     )  # negative axis -> faces 3..5
     u = np.empty_like(x)
     v = np.empty_like(x)
+    # divide only each face's subset (mask operands FIRST): a global
+    # batch touches all 6 faces, and dividing full arrays then masking
+    # paid 12 full-length divisions per batch instead of ~2
     for f, (uf, vf) in enumerate(
         [
-            (lambda: y / x, lambda: z / x),
-            (lambda: -x / y, lambda: z / y),
-            (lambda: -x / z, lambda: -y / z),
-            (lambda: z / x, lambda: y / x),
-            (lambda: z / y, lambda: -x / y),
-            (lambda: -y / z, lambda: -x / z),
+            (lambda x, y, z: y / x, lambda x, y, z: z / x),
+            (lambda x, y, z: -x / y, lambda x, y, z: z / y),
+            (lambda x, y, z: -x / z, lambda x, y, z: -y / z),
+            (lambda x, y, z: z / x, lambda x, y, z: y / x),
+            (lambda x, y, z: z / y, lambda x, y, z: -x / y),
+            (lambda x, y, z: -y / z, lambda x, y, z: -x / z),
         ]
     ):
         m = face == f
         if m.any():
-            with np.errstate(divide="ignore", invalid="ignore"):
-                u[m] = uf()[m]
-                v[m] = vf()[m]
+            xm, ym, zm = x[m], y[m], z[m]
+            u[m] = uf(xm, ym, zm)
+            v[m] = vf(xm, ym, zm)
     return face.astype(np.int64), u, v
 
 
@@ -218,10 +221,31 @@ def cell_parent(ids: np.ndarray, level: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# Null/NaN discipline for the UDF surface: a single null in an Arrow
+# batch makes pandas hand the kernel float64 — int64 ids above 2^53 then
+# ROUND to a different cell and nulls become INT64_MIN garbage (measured:
+# pd.Series([2^60+1, None]).to_numpy(int64) alters the valid id too).
+# Every kernel therefore masks invalid rows out BEFORE conversion and
+# emits null for them.
+
+
+def _masked_int64(ids: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    ok = ids.notna().to_numpy()
+    vals = ids[ok].to_numpy(np.int64) if ok.any() else np.empty(0, np.int64)
+    return ok, vals
+
+
 def s2_cell_udf(level: int = DEFAULT_LEVEL):
     @F.pandas_udf("long")
     def _encode(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        return pd.Series(cell_id(lat.to_numpy(float), lon.to_numpy(float), level))
+        la = lat.to_numpy(float)
+        lo = lon.to_numpy(float)
+        ok = np.isfinite(la) & np.isfinite(lo)
+        out = pd.array(np.zeros(len(la), np.int64), dtype="Int64")
+        out[~ok] = None
+        if ok.any():
+            out[ok] = cell_id(la[ok], lo[ok], level)
+        return pd.Series(out)
 
     return _encode
 
@@ -229,7 +253,12 @@ def s2_cell_udf(level: int = DEFAULT_LEVEL):
 def s2_level_udf():
     @F.pandas_udf("int")
     def _level(ids: pd.Series) -> pd.Series:
-        return pd.Series(cell_level(ids.to_numpy(np.int64)).astype(np.int32))
+        ok, vals = _masked_int64(ids)
+        out = pd.array(np.zeros(len(ids), np.int32), dtype="Int32")
+        out[~ok] = None
+        if ok.any():
+            out[ok] = cell_level(vals).astype(np.int32)
+        return pd.Series(out)
 
     return _level
 
@@ -237,7 +266,11 @@ def s2_level_udf():
 def s2_center_udf():
     @F.pandas_udf("struct<lat:double,lon:double>")
     def _center(ids: pd.Series) -> pd.DataFrame:
-        lat, lon = cell_center_latlng(ids.to_numpy(np.int64))
+        ok, vals = _masked_int64(ids)
+        lat = np.full(len(ids), np.nan)
+        lon = np.full(len(ids), np.nan)
+        if ok.any():
+            lat[ok], lon[ok] = cell_center_latlng(vals)
         return pd.DataFrame({"lat": lat, "lon": lon})
 
     return _center

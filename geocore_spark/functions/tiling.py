@@ -67,21 +67,36 @@ def nrows(res: int) -> int:
 
 
 def cell_ix(lon: Column, res: int = DEFAULT_RES) -> Column:
-    """Column index of a longitude. Clamped so lon=180.0 stays in range."""
+    """Column index of a longitude. Finite out-of-range values clamp to
+    the edge column (so lon=180.0 stays in range — deliberate); NULL and
+    NaN propagate as NULL. Without the guard, least/greatest SKIP nulls
+    and floor(NaN) casts to 0, so every bad-coordinate row silently
+    encoded to the valid corner cell — one phantom hot cell at (-90,-180)
+    corrupting rollups, grid_disk joins and kNN."""
     e = edge_deg(res)
     ix = F.floor((lon + F.lit(180.0)) / F.lit(e)).cast("long")
-    return F.least(F.greatest(ix, F.lit(0)), F.lit(ncols(res) - 1))
+    clamped = F.least(F.greatest(ix, F.lit(0)), F.lit(ncols(res) - 1))
+    # isNotNull is explicit: Spark isnan(NULL) is FALSE, not NULL
+    return F.when(lon.isNotNull() & ~F.isnan(lon.cast("double")), clamped)
 
 
 def cell_iy(lat: Column, res: int = DEFAULT_RES) -> Column:
     e = edge_deg(res)
     iy = F.floor((lat + F.lit(90.0)) / F.lit(e)).cast("long")
-    return F.least(F.greatest(iy, F.lit(0)), F.lit(nrows(res) - 1))
+    clamped = F.least(F.greatest(iy, F.lit(0)), F.lit(nrows(res) - 1))
+    return F.when(lat.isNotNull() & ~F.isnan(lat.cast("double")), clamped)
 
 
 def latlng_to_cell(lat: Column, lon: Column, res: int = DEFAULT_RES) -> Column:
-    """lat/lon -> cell-id string "r:ix:iy" (G1; role of H3_LATLNG_TO_CELL_STRING)."""
-    return F.concat_ws(":", F.lit(res), cell_ix(lon, res), cell_iy(lat, res))
+    """lat/lon -> cell-id string "r:ix:iy" (G1; role of H3_LATLNG_TO_CELL_STRING).
+
+    NULL when either coordinate is NULL/NaN — guarded explicitly because
+    concat_ws SKIPS null arguments (a null ix would otherwise yield a
+    malformed two-part id, not NULL)."""
+    ix, iy = cell_ix(lon, res), cell_iy(lat, res)
+    return F.when(
+        ix.isNotNull() & iy.isNotNull(), F.concat_ws(":", F.lit(res), ix, iy)
+    )
 
 
 def latlng_to_cell_long(lat: Column, lon: Column, res: int = DEFAULT_RES) -> Column:
@@ -94,8 +109,11 @@ def latlng_to_cell_long(lat: Column, lon: Column, res: int = DEFAULT_RES) -> Col
 
 
 def cell_long_to_string(cell: Column) -> Column:
-    r = F.floor(cell / F.lit(1 << 56))
-    ix = F.floor(cell / F.lit(1 << 28)) % F.lit(1 << 28)
+    # exact bitwise unpack — double division + floor was only
+    # accident-of-range safe (ulp up to 256 at res 26 rested on a
+    # non-obvious boundary proof; shifts cannot drift)
+    r = F.shiftright(cell, 56)
+    ix = F.shiftright(cell, 28) % F.lit(1 << 28)
     iy = cell % F.lit(1 << 28)
     return F.concat_ws(":", r, ix, iy)
 
@@ -127,10 +145,19 @@ def cell_to_parent(cell: Column, parent_res: int) -> Column:
     """Coarsen a cell to ``parent_res`` (h3.cell_to_parent analogue).
 
     floor-divide both indices by 2^(r - parent_res); pure arithmetic.
+    A cell already AT parent_res passes through; a cell COARSER than
+    parent_res yields NULL (no parent exists upward) — unguarded, the
+    negative exponent made shift 0 and the division aborted the whole
+    stage with DIVIDE_BY_ZERO under ANSI mode.
     """
     r, ix, iy = _parts(cell)
     shift = F.pow(F.lit(2.0), (r - F.lit(parent_res)).cast("double")).cast("long")
-    return F.concat_ws(":", F.lit(parent_res), F.floor(ix / shift), F.floor(iy / shift))
+    coarsened = F.concat_ws(
+        ":", F.lit(parent_res), F.floor(ix / shift), F.floor(iy / shift)
+    )
+    return F.when(r > F.lit(parent_res), coarsened).when(
+        r == F.lit(parent_res), cell
+    )
 
 
 def cell_to_children(cell: Column, child_res: int) -> Column:
@@ -232,10 +259,22 @@ def bbox_to_cells(
     lat_min: float, lat_max: float, lon_min: float, lon_max: float, res: int = DEFAULT_RES
 ) -> list[str]:
     """All cell ids intersecting a bounding box (driver-side; polygon covers
-    start from this then refine). Matches h3.polygon_to_cells' role (G9)."""
+    start from this then refine). Matches h3.polygon_to_cells' role (G9).
+
+    ``lon_min > lon_max`` means the box crosses the antimeridian: the
+    column range wraps (…, ncols-1, 0, …) — previously this silently
+    returned an EMPTY cover, so a Pacific-region candidate join matched
+    nothing."""
+    if lat_min > lat_max:
+        raise ValueError(f"bbox_to_cells: lat_min {lat_min} > lat_max {lat_max}")
     ix0, iy0 = np_encode(np.array([lat_min]), np.array([lon_min]), res)
     ix1, iy1 = np_encode(np.array([lat_max]), np.array([lon_max]), res)
-    xs = np.arange(ix0[0], ix1[0] + 1)
+    if lon_min > lon_max:  # antimeridian crossing: wrap the column range
+        xs = np.concatenate(
+            [np.arange(ix0[0], ncols(res)), np.arange(0, ix1[0] + 1)]
+        )
+    else:
+        xs = np.arange(ix0[0], ix1[0] + 1)
     ys = np.arange(iy0[0], iy1[0] + 1)
     gx, gy = np.meshgrid(xs, ys)
     return [f"{res}:{x}:{y}" for x, y in zip(gx.ravel(), gy.ravel())]

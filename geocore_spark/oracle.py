@@ -52,7 +52,13 @@ def cell_sql(lat_sql: str, lon_sql: str, res: int = tl.DEFAULT_RES) -> str:
         f"least(greatest(CAST(floor((({lat_sql}) + 90.0) / {e}) AS BIGINT), 0),"
         f" {tl.nrows(res) - 1})"
     )
-    return f"concat({res}, ':', {ix}, ':', {iy})"
+    # NULL/NaN coordinates -> NULL, mirroring tiling.latlng_to_cell's
+    # guard (DuckDB's concat would otherwise swallow a NULL index)
+    return (
+        f"(CASE WHEN ({lat_sql}) IS NULL OR ({lon_sql}) IS NULL"
+        f" OR isnan({lat_sql}) OR isnan({lon_sql}) THEN NULL"
+        f" ELSE concat({res}, ':', {ix}, ':', {iy}) END)"
+    )
 
 
 def cell_iy_sql(lat_sql: str, res: int = tl.DEFAULT_RES) -> str:

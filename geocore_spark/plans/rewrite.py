@@ -61,9 +61,20 @@ def _dwithin_regex() -> re.Pattern:
         r" \+ \(\(\(COS\(RADIANS\((?P=lat1)\)\) \* COS\(RADIANS\((?P=lat2)\)\)\)"
         r" \* SIN\({dlon}\)\) \* SIN\({dlon_b}\)\)\)"
     ).format(dlat=dlat, dlat_b=dlat_b, dlon=dlon, dlon_b=dlon_b)
+    # second occurrence of the a-term: all column groups as backrefs
+    a_b = (
+        r"\(\(SIN\({dlat_b}\) \* SIN\({dlat_b}\)\)"
+        r" \+ \(\(\(COS\(RADIANS\((?P=lat1)\)\) \* COS\(RADIANS\((?P=lat2)\)\)\)"
+        r" \* SIN\({dlon_b}\)\) \* SIN\({dlon_b}\)\)\)"
+    ).format(dlat_b=dlat_b, dlon_b=dlon_b)
+    # haversine_km clamps the term as (a - greatest(a - 1.0, 0.0))
+    # (null-preserving antipodal NaN guard, geodesy.py) — the pattern
+    # must include it or the rule silently stops matching and every
+    # dwithin stays cartesian
+    clamp = r"\({a} - greatest\(\({a_b} - 1\.0D?\), 0\.0D?\)\)".format(a=a, a_b=a_b)
     return re.compile(
-        r"^\(\((?P<coef>{num})D? \* ASIN\(SQRT\({a}\)\)\) (?P<op><=?) (?P<km>{num})D?\)$".format(
-            num=_NUM, a=a
+        r"^\(\((?P<coef>{num})D? \* ASIN\(SQRT\({clamp}\)\)\) (?P<op><=?) (?P<km>{num})D?\)$".format(
+            num=_NUM, clamp=clamp
         )
     )
 

@@ -47,6 +47,29 @@ def test_nearby_points_share_cell_far_points_do_not():
     assert ids[0] != ids[2]
 
 
+def test_udfs_null_and_nan_safe(spark):
+    # one null in an Arrow batch turns the pandas series float64 —
+    # int64 ids above 2^53 then ROUND to a different cell and nulls
+    # become INT64_MIN garbage; the kernels must mask before converting
+    big = int(s2.cell_id(np.array([0.001]), np.array([0.001]), 30)[0])
+    assert big > 2**53  # the hazard is only real for fine-level ids
+    df = spark.createDataFrame(
+        [(0, 40.0, -74.0, big), (1, None, -74.0, None), (2, float("nan"), 1.0, big)],
+        "id long, lat double, lon double, cell long",
+    )
+    enc = df.select("id", s2.s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("c")).collect()
+    got = {r["id"]: r["c"] for r in enc}
+    assert got[0] is not None and got[1] is None and got[2] is None
+    lv = df.select("id", s2.s2_level_udf()(F.col("cell")).alias("l")).collect()
+    lvm = {r["id"]: r["l"] for r in lv}
+    assert lvm[0] == 30 and lvm[2] == 30  # valid ids in a null-bearing batch survive
+    assert lvm[1] is None
+    ctr = df.filter("id = 1").select(s2.s2_center_udf()(F.col("cell")).alias("p")).first()["p"]
+    # Arrow maps the kernel's NaN to SQL NULL on the way out — either
+    # way, no fabricated coordinate for a null id
+    assert ctr["lat"] is None or ctr["lat"] != ctr["lat"]
+
+
 def test_spark_udf_matches_numpy(spark):
     rng = np.random.default_rng(9)
     lat = rng.uniform(-85, 85, 300)
