@@ -28,6 +28,12 @@ from geocore_spark.functions.geodesy import haversine_km
 
 _LOG = logging.getLogger(__name__)
 
+# per-round persisted top-k frames, keyed by applicationId (the bounded
+# registry pattern of operators/metrics.py): each knn_join call releases
+# the previous call's frames, so repeated gate/bench runs in one context
+# never accumulate input-sized caches
+_LIVE: dict[str, list] = {}
+
 
 def knn_candidates(
     queries: DataFrame,
@@ -75,10 +81,23 @@ def knn_join(
 
     Returns query columns + ``neighbor_id``, ``dist_km``, ``rank``.
     Exactness guard: a query's top-k is provably correct once its k-th
-    candidate distance <= the ring's guaranteed-covered radius; queries
-    failing that re-join with a doubled ring (up to ``max_expansions``).
-    Ties broken by neighbor id for determinism (matches the SQL oracle).
+    candidate distance <= the ring's guaranteed-covered radius AT THE
+    QUERY'S LATITUDE — the covered radius shrinks with cos(lat) because
+    longitude cells narrow (a blanket factor like the old 0.45 is WRONG
+    above ~63 deg: cos(66) = 0.407 < 0.45, so polar queries converged
+    with unverified neighbors). Queries failing the guard re-join with a
+    doubled ring (up to ``max_expansions``); whatever still remains goes
+    to the exact brute-force fallback, so high latitudes stay exact, just
+    via the slower path. Ties broken by neighbor id for determinism
+    (matches the SQL oracle).
     """
+    app = queries.sparkSession.sparkContext.applicationId
+    for kk in list(_LIVE):
+        if kk != app:  # stopped contexts: their JVM cache died with them
+            _LIVE.pop(kk)
+    for old in _LIVE.setdefault(app, []):
+        old.unpersist()
+    _LIVE[app] = []
     remaining = queries
     results = []
     ring = k_ring
@@ -87,18 +106,33 @@ def knn_join(
         if exclude_self:
             cand = cand.filter(F.col(query_id) != F.col("__nid"))
         w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col("__nid").asc())
-        topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-        # guaranteed radius: ring count * min cell dimension at this res
-        edge_km = tl.edge_deg(res) * 111.195
-        safe_km = ring * edge_km * 0.45  # conservative: cos(66 deg) lon shrink
+        # persisted: referenced by counts, the results join AND (via
+        # done_ids) the next round's anti-join — unpersisted, round i
+        # re-executes every previous round's candidate join; released
+        # on the next knn_join call in this context (bounded registry)
+        topk = cand.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        ).persist()
+        _LIVE[app].append(topk)
+        # guaranteed covered radius at this query's latitude: ring *
+        # edge, shrunk by cos of the worst-case |lat| inside the disk
+        edge_deg = tl.edge_deg(res)
+        edge_km = edge_deg * 111.195
+        worst_lat = F.least(F.abs(F.col("__qlat")) + F.lit(ring * edge_deg), F.lit(90.0))
+        safe_km = F.lit(ring * edge_km) * F.cos(F.radians(worst_lat))
         counts = topk.groupBy(query_id).agg(
-            F.count("*").alias("__n"), F.max("dist_km").alias("__maxd")
+            F.count("*").alias("__n"),
+            F.max("dist_km").alias("__maxd"),
+            F.max(F.abs(F.col(lat))).alias("__qlat"),
         )
         done_ids = counts.filter(
             (F.col("__n") >= k) & (F.col("__maxd") <= safe_km)
         ).select(query_id)
+        # no broadcast hint: done_ids scales with |queries| (most
+        # converge round 1) — a forced broadcast is a driver OOM at
+        # scale; AQE picks the strategy from actual sizes
         results.append(
-            topk.join(F.broadcast(done_ids), query_id, "inner").select(
+            topk.join(done_ids, query_id, "inner").select(
                 F.col(query_id), F.col("__nid").alias("neighbor_id"), "dist_km", "rank"
             )
         )

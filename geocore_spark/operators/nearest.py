@@ -22,6 +22,27 @@ from pyspark.sql import functions as F
 from geocore_spark.geometry import pip as pip_mod
 
 
+# one broadcast per (applicationId, layer content) instead of one per
+# CALL: repeated gate/bench invocations on the same coastline previously
+# leaked a fresh broadcast each time for the life of the application
+_BC_CACHE: dict[tuple, object] = {}
+
+
+def _layer_broadcast(spark, wkb_layer: list[bytes]):
+    import hashlib
+
+    app = spark.sparkContext.applicationId
+    key = (app, hashlib.sha1(b"\x00".join(wkb_layer)).hexdigest())
+    for k in list(_BC_CACHE):
+        if k[0] != app:  # stopped contexts: broadcasts died with them
+            _BC_CACHE.pop(k)
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(pip_mod.wkb_segments(wkb_layer))
+        _BC_CACHE[key] = bc
+    return bc
+
+
 def distance_to_layer(
     points: DataFrame,
     wkb_layer: list[bytes],
@@ -31,9 +52,8 @@ def distance_to_layer(
 ) -> DataFrame:
     """Min degree-space distance from each point to any segment of the
     layer (matches the reference's shapely degree units)."""
-    seg_a, seg_b = pip_mod.wkb_segments(wkb_layer)
     spark = points.sparkSession
-    bc = spark.sparkContext.broadcast((seg_a, seg_b))
+    bc = _layer_broadcast(spark, wkb_layer)
 
     @F.pandas_udf("double")
     def _dist(lat_s: pd.Series, lon_s: pd.Series) -> pd.Series:
@@ -76,8 +96,11 @@ def coastline_segments_sql() -> str:
 
 def point_segment_dist_sql(lon: str, lat: str) -> str:
     """Planar point-to-segment distance, identical formula to the numpy
-    kernel (clamped projection), for one segment row (ax, ay, bx, by)."""
-    ab2 = "((bx - ax) * (bx - ax) + (by - ay) * (by - ay))"
+    kernel (clamped projection), for one segment row (ax, ay, bx, by).
+    The greatest(..., 1e-300) mirrors the kernel's zero-length-segment
+    guard (pip.py:73) — without it a degenerate segment divides by zero
+    in the oracle while numpy returns the point-to-point distance."""
+    ab2 = "greatest(((bx - ax) * (bx - ax) + (by - ay) * (by - ay)), 1e-300)"
     t = (
         f"least(greatest(((({lon}) - ax) * (bx - ax) + (({lat}) - ay) * (by - ay))"
         f" / {ab2}, 0.0), 1.0)"

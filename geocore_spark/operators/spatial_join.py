@@ -135,9 +135,12 @@ def polygon_cover_cells(
         e = tl.edge_deg(r)
         cx = -180.0 + ix * e
         cy = -90.0 + iy * e
-        # A cell is "full" only when all 4 corners are inside AND the
-        # geometry is a single hole-free ring (a hole could pierce the
-        # interior without touching a corner).
+        # A cell is "full" only when all 4 corners are inside AND no ring
+        # boundary touches the cell. The corner test alone is NOT enough
+        # even for a single hole-free ring: a thin slit/spike can dip into
+        # the cell interior without containing any corner, and an
+        # undemoted full flag would skip the exact refine for points
+        # inside the slit (silent false positives).
         gtype, polys = wkb_mod.decode(wkb)
         simple = gtype == "Polygon" and len(polys) == 1 and len(polys[0]) == 1
         all_in = np.full(len(cells), simple)
@@ -147,20 +150,22 @@ def polygon_cover_cells(
                 inside = pip_mod.points_in_wkb(cx + dx * e, cy + dy * e, wkb)
                 all_in &= inside
                 any_corner |= inside
-        # Exact intersection pruning: a cell intersects the polygon iff
-        # (a) a cell corner is inside, (b) a polygon vertex is inside the
-        # cell, or (c) a polygon edge crosses the cell rectangle. Cells
-        # failing all three are provably disjoint and never enter the
+        # boundary-touch test per cell: (b) a polygon vertex inside the
+        # cell, or (c) a polygon edge crossing the cell rectangle. Serves
+        # two purposes: it DEMOTES the full flag (above), and with (a)
+        # corner-inside it prunes provably-disjoint cells from the
         # candidate join (bbox covers of rotated polygons are mostly such
-        # corners — this cuts executor-side refine work, not correctness).
-        keep = any_corner.copy()
+        # corners — that part cuts refine work, not correctness).
+        boundary = np.zeros(len(cells), dtype=bool)
         for rings in polys:
             for ring in rings:
                 vx, vy = ring[:-1, 0], ring[:-1, 1]
                 in_cell_x = (vx[None, :] >= cx[:, None]) & (vx[None, :] < (cx + e)[:, None])
                 in_cell_y = (vy[None, :] >= cy[:, None]) & (vy[None, :] < (cy + e)[:, None])
-                keep |= (in_cell_x & in_cell_y).any(axis=1)
-                keep |= _segments_cross_cells(ring, cx, cy, e, skip=keep)
+                boundary |= (in_cell_x & in_cell_y).any(axis=1)
+                boundary |= _segments_cross_cells(ring, cx, cy, e, skip=boundary)
+        all_in &= ~boundary
+        keep = any_corner | boundary
         out_cell.extend(np.asarray(cells, dtype=object)[keep])
         out_pid.extend([row["polygon_id"]] * int(keep.sum()))
         out_full.extend(bool(b) for b in all_in[keep])
@@ -422,6 +427,7 @@ def buffer_anti_join(
     lat: str = "lat",
     lon: str = "lon",
     res: int | None = None,
+    max_abs_lat: float = 66.0,
 ) -> DataFrame:
     """Rows of ``left`` farther than ``distance_km`` from EVERY right row.
 
@@ -429,8 +435,19 @@ def buffer_anti_join(
     cells near test cells via the cross-join ST_DWITHIN then null-masks
     (build.py:165-177,201); here it is a left-anti join against the
     distance-join candidates — same semantics, no cartesian.
+
+    ``max_abs_lat`` forwards to distance_join's cover sizing — data above
+    it would get an undersized k-ring cover and silently RETAIN rows that
+    are actually within the buffer (broken train/test separation). The
+    anti-join condition is NULL-SAFE on every left column: plain equality
+    would never match a row carrying a NULL attribute, silently keeping
+    it no matter how close it sits to a right row.
     """
-    near = distance_join(left, right, distance_km, lat, lon, res).select(
-        *[F.col(c) for c in left.columns]
-    ).dropDuplicates(left.columns)
-    return left.join(near, on=left.columns, how="left_anti")
+    near = distance_join(
+        left, right, distance_km, lat, lon, res, max_abs_lat=max_abs_lat
+    ).select(*[F.col(c) for c in left.columns]).dropDuplicates(left.columns)
+    cond = None
+    for c in left.columns:
+        eq = left[c].eqNullSafe(near[c])
+        cond = eq if cond is None else (cond & eq)
+    return left.join(near, on=cond, how="left_anti")

@@ -1,8 +1,10 @@
 """Spatial operators vs brute-force ground truth on synthetic points."""
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
+from geocore_spark.functions import tiling as tl
 from geocore_spark.functions.geodesy import EARTH_RADIUS_KM
 from geocore_spark.geometry import pip as pip_mod
 from geocore_spark.operators import knn, skew, spatial_join, zonal
@@ -100,6 +102,77 @@ def test_buffer_anti_join_complement(spark):
     dm = _haversine_np(lat[:, None], lon[:, None], lat2[None, :], lon2[None, :])
     want = {int(i) for i in range(len(lat)) if (dm[i] > dist_km).all()}
     assert got == want
+
+
+def test_pip_slit_polygon_not_marked_full(spark):
+    """A single hole-free ring with a thin slit dipping into a cell's
+    interior without touching any corner: the cover must NOT mark that
+    cell full, and points inside the slit must NOT join (the corner-only
+    full test silently emitted them)."""
+    from geocore_spark.geometry import wkb as wkb_mod
+    from geocore_spark.operators.spatial_join import (
+        pip_polygon_join,
+        polygon_cover_cells,
+    )
+
+    res = 5  # edge 5.625 deg
+    e = tl.edge_deg(res)
+    # cell containing the origin-ish area: pick the cell for (2.0, 2.0)
+    cx = (2.0 + 180.0) // e * e - 180.0
+    cy = (2.0 + 90.0) // e * e - 90.0
+    # big square around the cell, with a slit cut from the left edge to
+    # the cell's center band (enters the cell, touches no corner)
+    slit_y0, slit_y1 = cy + 0.45 * e, cy + 0.55 * e
+    ring = np.array([
+        (cx - 2 * e, cy - 2 * e), (cx + 3 * e, cy - 2 * e),
+        (cx + 3 * e, cy + 3 * e), (cx - 2 * e, cy + 3 * e),
+        (cx - 2 * e, slit_y1), (cx + 0.5 * e, slit_y1),
+        (cx + 0.5 * e, slit_y0), (cx - 2 * e, slit_y0),
+        (cx - 2 * e, cy - 2 * e),
+    ])
+    wkb = wkb_mod.encode_polygon([ring])
+    pdf = pd.DataFrame({"polygon_id": [1], "wkb": [wkb]})
+    cover = polygon_cover_cells(pdf, res=res, max_cover_cells=4096)
+    cell_id = f"{res}:{int((cx + 180) / e)}:{int((cy + 90) / e)}"
+    row = cover[cover["cell"] == cell_id]
+    assert len(row) == 1 and not bool(row["full"].iloc[0])
+    # end-to-end: one point in the slit (outside polygon), one beside it
+    pts = spark.createDataFrame(
+        [(0, cy + 0.5 * e, cx + 0.25 * e),   # inside the slit -> NOT a hit
+         (1, cy + 0.25 * e, cx + 0.25 * e)], # below the slit -> hit
+        "id long, lat double, lon double",
+    )
+    polys = spark.createDataFrame(pdf.assign(wkb=[bytearray(wkb)]))
+    got = {r["id"] for r in pip_polygon_join(pts, polys, res=res).collect()}
+    assert got == {1}
+
+
+def test_knn_exact_at_high_latitude(spark):
+    """cos(lat) < 0.45 above ~63 deg: the old blanket convergence factor
+    declared polar queries done with unverified neighbors."""
+    pts, lat, lon = _points_df(spark, 100, seed=31, lat_range=(66, 80))
+    out = knn.knn_join(pts, pts, k=3, res=6, k_ring=1).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["id"], []).append((r["rank"], r["neighbor_id"]))
+    dm = _haversine_np(lat[:, None], lon[:, None], lat[None, :], lon[None, :])
+    np.fill_diagonal(dm, np.inf)
+    for i in range(len(lat)):
+        order = np.lexsort((np.arange(len(lat)), dm[i]))[:3]
+        assert [nid for _, nid in sorted(got[i])] == [int(j) for j in order], i
+
+
+def test_buffer_anti_join_null_attributes_still_excluded(spark):
+    from geocore_spark.operators.spatial_join import buffer_anti_join
+
+    left = spark.createDataFrame(
+        [(0, None, 10.0, 10.0), (1, "a", 10.0, 10.0), (2, "b", 30.0, 30.0)],
+        "id long, name string, lat double, lon double",
+    )
+    right = spark.createDataFrame([(10.01, 10.01)], "lat double, lon double")
+    kept = {r["id"] for r in buffer_anti_join(left, right, 50.0).collect()}
+    # rows 0 (NULL attribute!) and 1 are within 50 km -> excluded
+    assert kept == {2}
 
 
 def test_knn_simple_matches_brute_force(spark):
