@@ -33,10 +33,16 @@ _BUCKETS = 1_000_000
 
 def hash_bucket(id_col: Column, salt: int = 0) -> Column:
     """Deterministic bucket in [0, 10^6) for an INTEGRAL id column:
-    ((id + salt) mod 2^31) * K mod 2^31, scaled into 10^6. Pure integer
-    Column arithmetic — identical in Spark and ANSI SQL. A null id yields
-    a null bucket (callers define the policy; see stratified_sample)."""
-    folded = F.pmod(id_col.cast("long") + F.lit(salt), F.lit(1 << 31))
+    ((id mod 2^31) + salt) mod 2^31, * K mod 2^31, scaled into 10^6.
+    Pure integer Column arithmetic — identical in Spark and ANSI SQL.
+    A null id yields a null bucket (callers define the policy; see
+    stratified_sample). The id is folded BEFORE the salt addition:
+    ``id + salt`` first would overflow for ids near 2^63 (wrapping in
+    Spark, erroring in the DuckDB twin — the exact divergence the fold
+    exists to prevent); for non-overflowing inputs the two orders are
+    congruent mod 2^31, so bucket values are unchanged."""
+    s = salt % (1 << 31)
+    folded = F.pmod(F.pmod(id_col.cast("long"), F.lit(1 << 31)) + F.lit(s), F.lit(1 << 31))
     return F.pmod(folded * F.lit(_KNUTH), F.lit(1 << 31)) % F.lit(_BUCKETS)
 
 
@@ -77,11 +83,11 @@ def _bucket_for(df: DataFrame, id_col: str, salt: int) -> Column:
 
 
 def hash_bucket_sql(id_expr: str, salt: int = 0) -> str:
-    """The oracle twin of :func:`hash_bucket` (same arithmetic, ANSI SQL)."""
-    return (
-        f"((((({id_expr} + {salt}) % 2147483648 + 2147483648) % 2147483648)"
-        f" * {_KNUTH}) % 2147483648) % {_BUCKETS}"
-    )
+    """The oracle twin of :func:`hash_bucket` (same arithmetic, ANSI SQL;
+    id folded before the salt addition, see hash_bucket)."""
+    s = salt % (1 << 31)
+    folded = f"((({id_expr}) % 2147483648 + 2147483648) % 2147483648 + {s}) % 2147483648"
+    return f"((({folded}) * {_KNUTH}) % 2147483648) % {_BUCKETS}"
 
 
 def stratified_sample(
@@ -133,7 +139,11 @@ def train_shuffle(
         raise ValueError("n_shards must be >= 1")
     from pyspark.sql import Window
 
-    key = hash_bucket(F.col(id_col), salt)
+    # _bucket_for, not hash_bucket directly: a STRING id cast to long is
+    # NULL for every row (ANSI off), which made __key NULL everywhere —
+    # one NULL shard, pos ordered by raw id, i.e. no shuffle at all and
+    # no warning. The router falls back to xxhash64 loudly instead.
+    key = _bucket_for(df, id_col, salt)
     out = df.withColumn("__key", key).withColumn(
         "shard", F.col("__key") % F.lit(n_shards)
     )

@@ -49,6 +49,68 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# bounded per-application registry of persisted frames (the
+# operators/metrics.py pattern): each new call releases the previous
+# call's frames so gate/bench loops never accumulate input-sized caches
+_LIVE: dict[str, list] = {}
+
+
+def _release_then_track(df: DataFrame) -> DataFrame:
+    app = df.sparkSession.sparkContext.applicationId
+    for k in list(_LIVE):
+        if k != app:  # stopped contexts: their JVM cache died with them
+            _LIVE.pop(k)
+    for old in _LIVE.setdefault(app, []):
+        old.unpersist()
+    out = df.persist()
+    _LIVE[app] = [out]
+    return out
+
+
+def _drop_null_vecs(df: DataFrame, vec_col: str) -> DataFrame:
+    # the Arrow kernels np.stack the batch — ONE null embedding aborts
+    # the whole stage (retried 4x, job dies); a null can never be a
+    # neighbor anyway, so every search path drops them up front
+    return df.filter(F.col(vec_col).isNotNull())
+
+
+def _rank_topk(scored: DataFrame, k: int, query_id: str) -> DataFrame:
+    """The ONE (cos desc, nid asc) top-k tail every search path shares —
+    a tie-break or output-schema change lands everywhere at once."""
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("nid").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+def _train_codebook(
+    corpus: DataFrame, corpus_id: str, vec_col: str, train_sample: int, n_lists: int
+) -> np.ndarray:
+    """Driver-side IVF codebook from a DETERMINISTIC sample: orderBy(id)
+    + limit is a distributed TakeOrdered (a bare limit() picks whatever
+    rows arrive first, so the codebook — and every downstream top-k —
+    changed with input partitioning). n_lists clamps to the sample size:
+    requesting 16 lists over a 10-vector corpus previously IndexError'd."""
+    rows = (
+        _drop_null_vecs(corpus, vec_col)
+        .orderBy(corpus_id)
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("IVF: corpus has no non-null embeddings to train on")
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return _kmeans_centroids(sample, min(n_lists, len(sample)))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -56,27 +118,32 @@ def brute_force_topk(
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k per query over a broadcast corpus.
 
     Physical shape: BroadcastNestedLoopJoin + codegen'd dot product +
     per-query window top-k. Right for corpus sizes up to ~1M x small dims;
     beyond that use :func:`lsh_topk` (bucketed) — same output contract.
+    Pass ``exclude_self=False`` when queries and corpus are DIFFERENT
+    tables: the default id-equality exclusion would silently drop a
+    legitimate neighbor whose id coincides with the query's.
     """
-    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("nid"), F.col(vec_col).alias("nv"))
-    pairs = q.crossJoin(F.broadcast(c)).filter(F.col("qid") != F.col("nid"))
+    q = _drop_null_vecs(queries, vec_col).select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    c = _drop_null_vecs(corpus, vec_col).select(
+        F.col(corpus_id).alias("nid"), F.col(vec_col).alias("nv")
+    )
+    pairs = q.crossJoin(F.broadcast(c))
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col("nid"))
     scored = pairs.select(
         "qid",
         "nid",
         F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("qid").alias(query_id), F.col("nid").alias("neighbor_id"), "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k, query_id)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
@@ -109,31 +176,33 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     n_tables: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: union of ``n_tables`` hyperplane-LSH
     bucket joins, exact re-rank of candidates. Recall grows with tables;
-    shuffle is bounded by bucket-collision pairs, never |Q| x |C|."""
+    shuffle is bounded by bucket-collision pairs, never |Q| x |C|.
+    ``exclude_self=False`` for distinct query/corpus tables (see
+    brute_force_topk)."""
+    qin = _drop_null_vecs(queries, vec_col)
+    cin = _drop_null_vecs(corpus, vec_col)
     cands = None
     for t in range(n_tables):
         sig = signature_udf(dim, n_planes, seed=11 + t)
-        q = queries.select(
+        q = qin.select(
             F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"), sig(F.col(vec_col)).alias("b")
         )
-        c = corpus.select(
+        c = cin.select(
             F.col(corpus_id).alias("nid"), F.col(vec_col).alias("nv"), sig(F.col(vec_col)).alias("b")
         )
-        j = q.join(c, "b").filter(F.col("qid") != F.col("nid")).drop("b")
+        j = q.join(c, "b").drop("b")
+        if exclude_self:
+            j = j.filter(F.col("qid") != F.col("nid"))
         cands = j if cands is None else cands.unionByName(j)
     scored = (
         cands.dropDuplicates(["qid", "nid"])
         .select("qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("qid").alias(query_id), F.col("nid").alias("neighbor_id"), "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k, query_id)
 
 
 def _kmeans_centroids(sample: np.ndarray, n_lists: int, n_iter: int = 8) -> np.ndarray:
@@ -177,6 +246,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     train_sample: int = 2048,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: k-means codebook partitions the
     corpus into inverted lists; each query probes its ``n_probe``
@@ -187,35 +257,26 @@ def ivf_topk(
     of the full corpus. Recall rises with n_probe -> n_lists (n_probe ==
     n_lists degenerates to exact brute force).
     """
-    sample = np.stack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in corpus.select(vec_col).limit(train_sample).collect()
-        ]
-    )
-    centroids = _kmeans_centroids(sample, n_lists)
+    centroids = _train_codebook(corpus, corpus_id, vec_col, train_sample, n_lists)
     c_assign = assign_udf(centroids, 1)
-    q_assign = assign_udf(centroids, n_probe)
-    c = corpus.select(
+    q_assign = assign_udf(centroids, min(n_probe, len(centroids)))
+    c = _drop_null_vecs(corpus, vec_col).select(
         F.col(corpus_id).alias("nid"),
         F.col(vec_col).alias("nv"),
         F.element_at(c_assign(F.col(vec_col)), 1).alias("list_id"),
     )
-    q = queries.select(
+    q = _drop_null_vecs(queries, vec_col).select(
         F.col(query_id).alias("qid"),
         F.col(vec_col).alias("qv"),
         F.explode(q_assign(F.col(vec_col))).alias("list_id"),
     )
-    cand = q.join(c, "list_id").filter(F.col("qid") != F.col("nid"))
+    cand = q.join(c, "list_id")
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("nid"))
     scored = cand.select(
         "qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim")
     ).dropDuplicates(["qid", "nid"])
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("qid").alias(query_id), F.col("nid").alias("neighbor_id"), "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k, query_id)
 
 
 def near_dup_cosine(
@@ -227,15 +288,29 @@ def near_dup_cosine(
     n_planes: int = 12,
     n_tables: int = 6,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine >= threshold) via LSH blocks."""
+    """Embedding near-duplicate pairs (cosine >= threshold) via LSH blocks.
+
+    All table signatures are computed in ONE kernel pass over one
+    PERSISTED frame (CLAUDE.md: '.persist() before self-joins') — the
+    per-table self-join previously re-ran the corpus-wide signature
+    kernel twice per table (12 full passes at n_tables=6). The persisted
+    frame is released by the next call in this context (bounded
+    registry)."""
+    sig_cols = [
+        signature_udf(dim, n_planes, seed=101 + t)(F.col(vec_col)).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    s = _release_then_track(
+        _drop_null_vecs(df, vec_col).select(
+            F.col(id_col), F.col(vec_col).alias("v"), *sig_cols
+        )
+    )
     cands = None
     for t in range(n_tables):
-        sig = signature_udf(dim, n_planes, seed=101 + t)
-        s = df.select(F.col(id_col), F.col(vec_col).alias("v"), sig(F.col(vec_col)).alias("b"))
         l, r = s.alias("l"), s.alias("r")
         j = l.join(
             r,
-            (F.col("l.b") == F.col("r.b")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            (F.col(f"l.b{t}") == F.col(f"r.b{t}")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         ).select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
@@ -314,20 +389,14 @@ def build_ivf_index(
     inline :func:`ivf_topk` shuffles the corpus per query-set instead.)
     """
     spark = corpus.sparkSession
-    sample = np.stack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in corpus.select(vec_col).limit(train_sample).collect()
-        ]
-    )
-    centroids = _kmeans_centroids(sample, n_lists)
+    centroids = _train_codebook(corpus, corpus_id, vec_col, train_sample, n_lists)
     spark.createDataFrame(
-        [(i, centroids[i].tolist()) for i in range(n_lists)],
+        [(i, centroids[i].tolist()) for i in range(len(centroids))],
         "list_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     assign = assign_udf(centroids, 1)
     (
-        corpus.select(
+        _drop_null_vecs(corpus, vec_col).select(
             F.col(corpus_id).alias("nid"),
             F.col(vec_col).alias("nv"),
             F.element_at(assign(F.col(vec_col)), 1).alias("list_id"),
@@ -361,10 +430,17 @@ def ivf_index_topk(
     """
     spark = queries.sparkSession
     centroids = load_ivf_centroids(spark, path)
-    q = queries.select(
-        F.col(query_id).alias("qid"),
-        F.col(vec_col).alias("qv"),
-        F.explode(assign_udf(centroids, n_probe)(F.col(vec_col))).alias("list_id"),
+    # persisted: the probe-id collect below evaluates the assign kernel
+    # once; without the persist the final action re-runs it over every
+    # query row (released by the next tracked call in this context)
+    q = _release_then_track(
+        _drop_null_vecs(queries, vec_col).select(
+            F.col(query_id).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.explode(
+                assign_udf(centroids, min(n_probe, len(centroids)))(F.col(vec_col))
+            ).alias("list_id"),
+        )
     )
     probe_ids = sorted(r["list_id"] for r in q.select("list_id").distinct().collect())
     lists = spark.read.parquet(f"{path}/lists").filter(
@@ -376,17 +452,7 @@ def ivf_index_topk(
     scored = cand.select(
         "qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim")
     ).dropDuplicates(["qid", "nid"])
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias(query_id),
-            F.col("nid").alias("neighbor_id"),
-            "cos_sim",
-            "rank",
-        )
-    )
+    return _rank_topk(scored, k, query_id)
 
 
 # -- int8 quantization: the at-rest / on-the-wire scale path -----------------
@@ -572,22 +638,33 @@ def semantic_decontam(
     never collected, never self-joined; at 100 TB this is one pass over
     the corpus with an E-row broadcast.
     """
+    if evalset.isEmpty():
+        # the inner cross join would return ZERO rows for an empty eval
+        # set — the contract is one row per corpus item, everything clean
+        return corpus.select(
+            F.col(id_col),
+            F.lit(None).cast(evalset.schema[id_col].dataType).alias("closest_eval_id"),
+            F.lit(None).cast("double").alias("max_cos"),
+            F.lit(0).alias("contaminated"),
+        )
     c = corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
     e = evalset.select(
         F.col(id_col).alias("__eid"), F.col(vec_col).alias("__e")
     )
-    # max_by over the (cos, -eval_id) struct: highest cosine wins, equal
+    # min_by over the (-cos, eval_id) struct: highest cosine wins, equal
     # cosines resolve to the SMALLEST eval id — identical to a rank
-    # ordered by (cos DESC, eval_id ASC). The order key is unique per
-    # (corpus row, eval row), so max_by is deterministic. Struct order
-    # keys fall back to SortAggregate, but the PARTIAL stage still
-    # collapses the N*E product to N rows before the exchange (the whole
-    # point — a window rank would shuffle the full product), and the
-    # pre-agg sort sees input already grouped by __id (the broadcast
-    # join emits each corpus row's E candidates consecutively), so it is
-    # a near-free pass.
+    # ordered by (cos DESC, eval_id ASC). The cosine (always numeric) is
+    # negated, NOT the eval id: negating a STRING id implicit-casts to
+    # NULL and the tie-break silently becomes nondeterministic. The
+    # order key is unique per (corpus row, eval row), so min_by is
+    # deterministic. Struct order keys fall back to SortAggregate, but
+    # the PARTIAL stage still collapses the N*E product to N rows before
+    # the exchange (the whole point — a window rank would shuffle the
+    # full product), and the pre-agg sort sees input already grouped by
+    # __id (the broadcast join emits each corpus row's E candidates
+    # consecutively), so it is a near-free pass.
     best = (
         c.join(F.broadcast(e))
         .select(
@@ -598,8 +675,8 @@ def semantic_decontam(
         .groupBy("__id")
         .agg(
             F.max("__cos").alias("max_cos"),
-            F.max_by(
-                "__eid", F.struct(F.col("__cos"), (-F.col("__eid")))
+            F.min_by(
+                "__eid", F.struct((-F.col("__cos")), F.col("__eid"))
             ).alias("closest_eval_id"),
         )
     )

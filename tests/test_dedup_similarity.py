@@ -189,6 +189,66 @@ def test_brute_force_topk_matches_numpy(spark, sf_dir):
         assert have == want, qi
 
 
+def test_null_embeddings_dropped_not_fatal(spark, sf_dir):
+    # one NULL embedding used to np.stack-crash every kernel path; and
+    # exclude_self=False must keep a corpus row whose id collides with a
+    # query id in a DIFFERENT table
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    dirty = emb.unionByName(
+        spark.createDataFrame([(99_999, None)], emb.schema)
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    for fn in (
+        lambda: similarity.lsh_topk(q, dirty, dim=64, k=3, n_planes=4, n_tables=2),
+        lambda: similarity.ivf_topk(q, dirty, k=3, n_lists=4, n_probe=2),
+        lambda: similarity.brute_force_topk(q, dirty, k=3),
+        lambda: similarity.near_dup_cosine(dirty, threshold=0.99, n_planes=4, n_tables=2),
+    ):
+        fn().collect()  # must not raise
+    # distinct-table search: self-id exclusion off keeps the true match
+    out = similarity.brute_force_topk(q, emb, k=1, exclude_self=False).collect()
+    assert all(r["neighbor_id"] == r["vec_id"] and r["cos_sim"] == 1.0 for r in out)
+
+
+def test_ivf_smaller_corpus_than_lists(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(10)
+    # n_lists > corpus rows: codebook clamps instead of IndexError
+    out = similarity.ivf_topk(emb, emb, k=3, n_lists=16, n_probe=16)
+    assert out.count() > 0
+    import pytest as _pytest
+
+    empty = emb.filter(F.lit(False))
+    with _pytest.raises(ValueError, match="no non-null"):
+        similarity.ivf_topk(emb, empty, k=3)
+
+
+def test_semantic_decontam_empty_evalset_and_string_ids(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    empty = emb.filter(F.lit(False))
+    out = similarity.semantic_decontam(emb, empty).collect()
+    assert len(out) == 50
+    assert all(r["contaminated"] == 0 and r["max_cos"] is None for r in out)
+    # string ids: the tie-break must stay deterministic (negating a
+    # string id implicit-casts to NULL — the old max_by key lost order)
+    s = emb.withColumn("vec_id", F.concat(F.lit("v"), F.col("vec_id")))
+    dup_evals = s.limit(3).unionByName(
+        s.limit(3).withColumn("vec_id", F.concat(F.col("vec_id"), F.lit("_copy")))
+    )
+    runs = [
+        {(r["vec_id"], r["closest_eval_id"]) for r in
+         similarity.semantic_decontam(s, dup_evals, threshold=0.99).collect()}
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
+    # every duplicated-eval tie resolves to the ASCENDING id ('vX' < 'vX_copy')
+    closest = dict(runs[0])
+    assert all(not c.endswith("_copy") for c in closest.values() if c is not None)
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)

@@ -121,6 +121,43 @@ def test_train_shuffle_shards_balanced_and_positions_dense(spark):
     out.unpersist()
 
 
+def test_train_shuffle_string_ids_route_to_fallback(spark):
+    # string doc_id cast to long is NULL (ANSI off) — direct hash_bucket
+    # would put EVERY row in one NULL shard ordered by raw id (no
+    # shuffle at all, silently); the xxhash64 fallback must kick in
+    df = spark.createDataFrame(
+        [(f"https://ex.org/{i}",) for i in range(4000)], ["doc_id"]
+    )
+    out = sampling.train_shuffle(df, n_shards=8)
+    sizes = {r["shard"]: r["n"] for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert None not in sizes
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) / min(sizes.values()) < 1.5
+
+
+def test_bucket_huge_ids_match_sql_twin(spark):
+    import duckdb
+
+    # ids near 2^63: salt addition BEFORE the fold overflowed (Spark
+    # wrapped, the DuckDB twin errored) — folding first keeps both
+    # engines in range and identical
+    ids = [2**63 - 1, 2**63 - 12345, -(2**63) + 7]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", sampling.hash_bucket(F.col("doc_id"), salt=7919).alias("b")
+        ).collect()
+    }
+    expr = sampling.hash_bucket_sql("doc_id", salt=7919)
+    want = dict(
+        duckdb.sql(
+            f"SELECT doc_id, {expr} AS b FROM (SELECT unnest({ids}::BIGINT[]) AS doc_id)"
+        ).fetchall()
+    )
+    assert got == want and all(v is not None for v in got.values())
+
+
 def test_train_shuffle_deterministic_and_shard_stable(spark):
     df = spark.range(5_000).withColumnRenamed("id", "doc_id")
     a = sorted(map(tuple, sampling.train_shuffle(df, n_shards=4).collect()))
