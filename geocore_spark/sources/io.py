@@ -32,6 +32,32 @@ except ImportError:
     HAS_GEOPANDAS = False
 
 
+def _is_parquet_dir(path: str) -> bool:
+    """A local directory counts as a parquet layer only when it looks
+    like one (_SUCCESS marker or part files) — a bare isdir() check
+    misrouted ESRI shapefile DIRECTORIES (layer.shp/.dbf/.shx) to
+    spark.read.parquet, which fails instead of using geopandas."""
+    if not os.path.isdir(path):
+        return False
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return True
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return False
+    return any(n.endswith(".parquet") or n.startswith("part-") for n in names)
+
+
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API: driver-local
+    os.path.exists is always False for s3a://... / hdfs://... roots,
+    which silently turned mode='ignore' into recompute-and-overwrite."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def read_vector_layer(spark: SparkSession, path: str) -> DataFrame:
     """Vector layer -> (geom_id long, wkb binary, attrs...) DataFrame.
 
@@ -40,7 +66,7 @@ def read_vector_layer(spark: SparkSession, path: str) -> DataFrame:
     broadcast-side inputs (85 KB coastline in the reference), so the
     driver-side read is fine.
     """
-    if path.endswith(".parquet") or os.path.isdir(path):
+    if path.endswith(".parquet") or _is_parquet_dir(path):
         return spark.read.parquet(path)
     if not HAS_GEOPANDAS:
         raise ImportError(
@@ -74,7 +100,7 @@ def materialize(
     this is ``df.writeTo(name).createOrReplace()``.
     """
     path = os.path.join(root, name)
-    exists = os.path.exists(os.path.join(path, "_SUCCESS"))
+    exists = _hadoop_path_exists(df.sparkSession, os.path.join(path, "_SUCCESS"))
     if not exists or mode == "overwrite":
         df.write.mode("overwrite").parquet(path)
     out = df.sparkSession.read.parquet(path)
@@ -92,7 +118,11 @@ def describe(df: DataFrame) -> list[tuple[str, str]]:
 
 
 def drop_table(spark: SparkSession, name: str, root: str | None = None) -> None:
-    spark.catalog.dropTempView(name)
+    # dropTempView returns False when `name` is a CATALOG table (e.g.
+    # written by write_bucketed's saveAsTable) — fall through to DROP
+    # TABLE so the call doesn't silently no-op with files left behind
+    if not spark.catalog.dropTempView(name):
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
     if root is not None:
         import shutil
 

@@ -75,13 +75,18 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             break
+        if length < 0:
+            # a negative Content-Length (corrupt/malicious) would move
+            # pos BACKWARDS — re-parsing the same record forever and
+            # growing `out` unboundedly (executor hang then OOM)
+            break
         body_start = head_end + 4
         body = data[body_start : body_start + length]
         if len(body) < length:
             break  # truncated record
         wtype = headers.get("warc-type", "")
         html = body
-        if wtype == "response" and body[:5] in (b"HTTP/",):
+        if wtype == "response" and body.startswith(b"HTTP/"):
             # strip the HTTP response header block
             he = body.find(b"\r\n\r\n")
             if he >= 0:
@@ -106,15 +111,18 @@ def read_warc(spark: SparkSession, path_glob: str, responses_only: bool = True) 
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # one yield PER ARCHIVE, not per Arrow batch: binaryFile
+            # packs many small archives into one partition, and
+            # accumulating them all before yielding multiplies peak
+            # task memory by the archive count
             for content in pdf["content"]:
-                rows.extend(parse_warc_bytes(bytes(content)))
-            out = pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "warc_type"]
-            )
-            if len(out):
-                out["warc_ts"] = pd.to_datetime(out["warc_ts"]).dt.tz_localize(None)
-            yield out
+                rows = parse_warc_bytes(bytes(content))
+                out = pd.DataFrame(
+                    rows, columns=["url", "warc_ts", "html", "warc_type"]
+                )
+                if len(out):
+                    out["warc_ts"] = pd.to_datetime(out["warc_ts"]).dt.tz_localize(None)
+                yield out
 
     df = files.mapInPandas(_parse, PAGES_SCHEMA)
     if responses_only:

@@ -54,6 +54,35 @@ def test_h3compat_gated():
         h3compat.latlng_to_cell_udf(7)
 
 
+def test_drop_table_drops_catalog_tables_too(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(F.col("id").alias("cell"), F.col("id").alias("v"))
+    gio.write_bucketed(df, "bk_drop_me", "cell", 4)
+    assert gio.table_exists(spark, "bk_drop_me")
+    # dropTempView returns False for a catalog table — drop_table must
+    # fall through to DROP TABLE instead of silently no-opping
+    gio.drop_table(spark, "bk_drop_me")
+    assert not gio.table_exists(spark, "bk_drop_me")
+
+
+def test_shapefile_style_directory_not_misrouted_to_parquet(spark, tmp_path):
+    d = tmp_path / "layer"
+    d.mkdir()
+    (d / "layer.shp").write_bytes(b"\x00" * 8)
+    (d / "layer.dbf").write_bytes(b"\x00" * 8)
+    import pytest as _pytest
+
+    # without geopandas this must hit the geopandas ImportError path,
+    # NOT spark.read.parquet on a directory of .shp files
+    if not gio.HAS_GEOPANDAS:
+        with _pytest.raises(ImportError, match="geopandas"):
+            gio.read_vector_layer(spark, str(d))
+    else:
+        with _pytest.raises(Exception):
+            gio.read_vector_layer(spark, str(d))  # junk bytes, but routed to gpd
+
+
 def test_bucketed_join_is_shuffle_free(spark):
     """Bucketed-by-cell tables must join with zero shuffle exchanges —
     the SCALE.md co-location claim, pinned on the physical plan."""

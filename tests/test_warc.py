@@ -113,6 +113,19 @@ def test_wat_json_extraction(spark, tmp_path):
     assert row["status"] == "200"
 
 
+def test_parse_negative_content_length_terminates(tmp_path):
+    # a Content-Length of minus the record's own header size lands pos
+    # back at the record start — unguarded, the parser loops forever
+    evil = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -54\r\n\r\n"
+    assert warc.parse_warc_bytes(evil) == []
+    # a good record FOLLOWED by a negative-length one keeps the prefix
+    p = str(tmp_path / "g.warc")
+    warc.write_warc(RECS[:1], p)
+    blob = open(p, "rb").read() + evil
+    got = warc.parse_warc_bytes(blob)
+    assert len(got) == 1 and got[0]["url"] == RECS[0][0]
+
+
 def test_parse_never_raises_on_truncation(tmp_path):
     """Crash-safety contract: ANY byte-level truncation of a valid
     archive parses to a prefix of the full record list (never raises) —
