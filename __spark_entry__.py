@@ -2020,7 +2020,8 @@ tf AS (
   FROM trm GROUP BY doc_id, term),
 dfreq AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term),
-n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE doc_id IS NOT NULL),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
          round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 6)

@@ -88,7 +88,22 @@ def score_docs(docs: DataFrame, c12: DataFrame, c1: DataFrame,
     in nats, rounded to 6 decimals (lower = more like the training slice;
     perplexity = exp(xent)). Only documents with >= 2 tokens appear.
     """
-    vocab = c1.agg(F.count(F.lit(1)).alias("__v"))
+    # empty model -> every denominator (c1 + V) is 0: with ANSI on the
+    # stage aborts with an opaque DIVIDE_BY_ZERO mid-pipeline; raise a
+    # diagnosable error at the source instead (lazy, the
+    # temperature_weights raise_error idiom)
+    vocab = c1.agg(F.count(F.lit(1)).alias("__raw_v")).select(
+        F.when(
+            F.col("__raw_v") > 0, F.col("__raw_v")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "score_docs: empty language model — the training slice "
+                    "produced no bigrams (every training doc has < 2 tokens)"
+                )
+            ).cast("long")
+        ).alias("__v")
+    )
     bg = doc_bigrams(docs, text_col, id_col)
     lp = (
         bg.join(c12, ["w1", "w2"], "left")

@@ -66,20 +66,35 @@ def bm25_topk(
     matching no query term are absent (their score is exactly 0).
 
     ``N`` counts every input document and ``avgdl`` averages token counts
-    over all of them, including empty ones — the standard corpus-wide
-    statistics, not match-conditioned ones.
+    over all of them, including empty and null-text ones (length 0) —
+    the standard corpus-wide statistics, not match-conditioned ones.
+    Query-term MULTIPLICITY is ignored (each distinct term contributes
+    once — the ``IN``-filter formulation has set semantics by
+    construction; this dedupe just makes that explicit).
+
+    Plan note: the corpus is scanned + tokenized for the stats aggregate
+    and again for the match explode (different downstream partitionings,
+    so Catalyst plans independent scans) — capacity-plan for 2x the
+    tokenize cost per query, or persist the token frame across a query
+    batch.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    terms = [t.lower() for t in query_terms]
+    terms = sorted({t.lower() for t in query_terms})
 
     toks = docs.select(
         F.col(id_col).alias("__id"),
         cleaning.tokens(F.col(text_col)).alias("__w"),
     )
-    dl = toks.select("__id", F.size("__w").alias("dl"))
+    # explicit 0 for null token arrays: size(NULL) is NULL under ANSI
+    # (harmlessly skipped by the sums) but -1 with ansi off — which
+    # would silently DEFLATE sum_dl and shift every score in the corpus
+    dl = toks.select(
+        "__id",
+        F.when(F.col("__w").isNull(), F.lit(0)).otherwise(F.size("__w")).alias("dl"),
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),

@@ -17,9 +17,13 @@ target; select the top fraction (or Gumbel-resample) for training.
 
 Spark shape: two vocabulary-sized count aggregates (Zipf: tiny next to
 the corpus), LEFT-joined onto the raw token stream — AQE broadcasts them
-when they fit — then one per-document micro-nat sum. One explode + one
-doc-keyed shuffle over the raw corpus; the target corpus is read twice
-(once for counts, once for vocab) but is small by construction.
+when they fit — then one per-document micro-nat sum. The RAW corpus is
+scanned + tokenized twice (once for the count aggregate, once for the
+scoring join — the branches feed different partitionings, so Catalyst
+plans independent scans); the doc-keyed shuffle happens once. The
+target corpus is likewise read twice but is small by construction.
+Capacity-plan for 2x the raw tokenize cost, or persist the token stream
+when the corpus fits your cache tier.
 
 Float parity (the :mod:`operators.lm` trick): per-token log-ratios snap
 to integer micro-nats, ``CAST(round((ln(pt) - ln(pr)) * 1e6) AS
@@ -32,7 +36,7 @@ Beyond-reference capability (training-data pipeline set); the reference
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # the one micro-unit constant of the integer-accumulation trick —
@@ -74,10 +78,27 @@ def dsir_logweights(
         .distinct()
         .agg(F.count(F.lit(1)).alias("v"))
     )
+    def _positive(name: str, side: str) -> Column:
+        # a token-less corpus makes the SUM NULL -> every logw NULL:
+        # exact select then returns ARBITRARY docs with null weights and
+        # threshold mode dies inside the KLL sketch with an opaque
+        # buffer error — raise a diagnosable error at the source (NULL
+        # > 0 is NULL, so the otherwise branch fires for NULL and 0)
+        return (
+            F.when(F.col(name) > 0, F.col(name))
+            .otherwise(
+                F.raise_error(
+                    F.lit(f"dsir_logweights: {side} corpus has no tokens")
+                ).cast("long")
+            )
+            .alias(name)
+        )
+
     totals = (
         rcnt.agg(F.sum("cr").alias("nr"))
         .crossJoin(tcnt.agg(F.sum("ct").alias("nt")))
         .crossJoin(vocab)
+        .select(_positive("nr", "raw"), _positive("nt", "target"), "v")
     )
 
     pt = (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double") / (
@@ -122,9 +143,11 @@ def dsir_select(
     (1-frac) quantile of ``logw`` with a mergeable KLL sketch and keep
     everything at or above it — one extra aggregate, NO global sort, no
     driver-sized limit. The cut count is approximate within the sketch's
-    rank-error bound (~0.6% at k=200), which is the right trade for a
-    corpus selector; at small N the sketch stores every value and the
-    cut is exact.
+    rank-error bound (~0.6% at k=200), PLUS ties: every document sharing
+    the threshold logw is kept inclusively, so a duplicate-heavy corpus
+    whose mass piles on one weight can overshoot ``frac`` by the size of
+    that tie group (dedup before select if that matters). At small N the
+    sketch stores every value and the cut itself is exact.
 
     ``mode="exact"``: exact top-``ceil(frac*N)`` rows via a global
     TakeOrderedAndProject (ties by id asc) — bit-reproducible, but the

@@ -42,19 +42,25 @@ def tfidf_top_terms(
 
     tf = term count within the document; idf = ln(N / df_t) where df_t is
     the number of distinct documents containing the term and N counts every
-    input document (including token-less ones). Returns
-    ``(id_col, term, tf, doc_freq, tfidf)`` with tfidf rounded to 6
-    decimals and ties broken by term ascending.
+    input document (including token-less ones). Rows with a NULL id are
+    DROPPED up front: they would inflate doc_freq (forming a groupBy(null)
+    tf group) while being invisible to N, allowing df_t > N and NEGATIVE
+    idf. Returns ``(id_col, term, tf, doc_freq, tfidf)`` with tfidf
+    rounded to 6 decimals and ties broken by term ascending.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    df = df.filter(F.col(id_col).isNotNull())
     terms = df.select(
         F.col(id_col).alias("__id"),
         F.explode(cleaning.tokens(F.col(text_col))).alias("term"),
     )
     tf = terms.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    n = df.agg(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+    # count, not count_distinct: after the null drop N == row count for
+    # any sane corpus (unique ids), without an extra distinct aggregate;
+    # matches bm25_topk's N semantics
+    n = df.agg(F.count(F.lit(1)).alias("__n_docs"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))

@@ -113,3 +113,15 @@ def test_lm_separates_gibberish_on_fixture(spark, sf_dir):
     gib_x = [r.xent for r in scored if r.doc_id >= 10_000]
     real_x = [r.xent for r in scored if r.doc_id < 10_000]
     assert min(gib_x) > max(real_x)
+
+
+def test_empty_model_raises_diagnosable_error(spark):
+    # every training doc < 2 tokens -> no bigrams -> V=0: unguarded,
+    # scoring died with an opaque ANSI DIVIDE_BY_ZERO mid-pipeline
+    import pytest as _pytest
+
+    short = spark.createDataFrame([(1, "one"), (2, "x")], "doc_id long, text string")
+    docs = spark.createDataFrame([(3, "some longer text here")], "doc_id long, text string")
+    c12, c1 = lm.train_bigram_lm(short)
+    with _pytest.raises(Exception, match="empty language model"):
+        lm.score_docs(docs, c12, c1).collect()

@@ -97,6 +97,33 @@ RAW = [
 TARGET = [(100, "code compiler parse code code compiler")]
 
 
+def test_bm25_duplicate_query_terms_are_set_semantics(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark runs fast"), (2, "spark spark spark"), (3, "slow job")],
+        "doc_id long, text string",
+    )
+    once = {(r["doc_id"], r["score"]) for r in retrieval.bm25_topk(docs, ["spark"]).collect()}
+    twice = {(r["doc_id"], r["score"]) for r in retrieval.bm25_topk(docs, ["spark", "SPARK"]).collect()}
+    assert once == twice  # multiplicity explicitly ignored (documented)
+
+
+def test_bm25_null_text_counts_as_length_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark fast"), (2, None), (3, "spark")], "doc_id long, text string"
+    )
+    out = retrieval.bm25_topk(docs, ["spark"]).collect()
+    assert {r["doc_id"] for r in out} == {1, 3}  # null-text doc just never matches
+
+
+def test_dsir_empty_target_raises_loudly(spark):
+    raw = spark.createDataFrame([(1, "a b c"), (2, "d e")], "doc_id long, text string")
+    empty = spark.createDataFrame([(9, "   ")], "doc_id long, text string")
+    with pytest.raises(Exception, match="target corpus has no tokens"):
+        selection.dsir_logweights(raw, empty).collect()
+    with pytest.raises(Exception, match="target corpus has no tokens"):
+        selection.dsir_select(raw, empty, 0.5, mode="exact").collect()
+
+
 def test_dsir_matches_reference_formula(spark):
     raw = spark.createDataFrame(RAW, ["doc_id", "text"])
     tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])

@@ -59,3 +59,14 @@ def test_inverted_index_semantics(spark):
 
     with pytest.raises(ValueError):
         tm.inverted_index(df, min_df=0)
+
+
+def test_null_id_rows_dropped_not_df_inflating(spark):
+    # a null-id row's terms inflated doc_freq while being invisible to
+    # N -> df > N -> NEGATIVE idf mis-ranking the term
+    rows = [(1, "apple banana"), (2, "apple"), (None, "apple apple")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = terms.tfidf_top_terms(df, k=5).collect()
+    assert all(r["doc_id"] is not None for r in out)
+    apple = [r for r in out if r["term"] == "apple"]
+    assert apple and all(r["doc_freq"] == 2 and r["tfidf"] >= 0.0 for r in apple)
