@@ -32,6 +32,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _GROUP_SHIFT = 1 << 40  # pack ids: group_id * 2^40 + local pack ordinal
 
@@ -40,22 +41,58 @@ def _ffd_pack(counts: list[int], budget: int) -> list[int]:
     """First-fit-decreasing over (count, position) pairs; returns the pack
     ordinal per input position. A chunk larger than the budget gets a pack
     of its own (callers decide whether to truncate upstream). Pure Python
-    loop, but runs once per *group*, not per row, and only over ints."""
-    order = sorted(range(len(counts)), key=lambda i: (-counts[i], i))
-    pack_of = [0] * len(counts)
-    loads: list[int] = []
+    loop, but runs once per *group*, not per row, and only over ints.
+
+    Leftmost-fit lookup uses a max segment tree over pack remaining
+    capacities: the naive scan is O(n·packs) — quadratic in group size
+    since packs grow with n — which is the difference between seconds and
+    hours when one task packs a whole salt group. Tree descent (left child
+    first) finds the same leftmost fitting pack, so assignments are
+    identical to the naive loop."""
+    n = len(counts)
+    order = sorted(range(n), key=lambda i: (-counts[i], i))
+    pack_of = [0] * n
+    # segment tree sized for the worst case (every chunk its own pack)
+    size = 1
+    while size < max(n, 1):
+        size *= 2
+    # max remaining capacity per subtree; -1 marks unopened or overloaded
+    # packs so that zero-count chunks (rem >= 0 fits them) never land on one
+    tree = [-1] * (2 * size)
+    n_packs = 0
+
+    def _open_pack() -> int:
+        nonlocal n_packs
+        p = n_packs
+        n_packs += 1
+        return p
+
+    def _update(p: int, rem: int) -> None:
+        i = size + p
+        tree[i] = rem
+        i //= 2
+        while i:
+            tree[i] = tree[2 * i] if tree[2 * i] >= tree[2 * i + 1] else tree[2 * i + 1]
+            i //= 2
+
+    rems = [0] * max(n, 1)
     for i in order:
         c = counts[i]
-        placed = False
-        for p, load in enumerate(loads):
-            if load + c <= budget:
-                loads[p] = load + c
-                pack_of[i] = p
-                placed = True
-                break
-        if not placed:
-            loads.append(c)
-            pack_of[i] = len(loads) - 1
+        if n_packs and tree[1] >= c:
+            # descend to the LEFTMOST pack with remaining >= c
+            node = 1
+            while node < size:
+                node *= 2
+                if tree[node] < c:
+                    node += 1
+            p = node - size
+            rems[p] -= c
+            _update(p, rems[p])
+        else:
+            p = _open_pack()
+            rems[p] = budget - c  # negative for oversized chunks —
+            _update(p, rems[p] if rems[p] >= 0 else -1)  # -1: closed to all
+        pack_of[i] = p
     return pack_of
 
 
@@ -75,28 +112,35 @@ def pack_sequences(
     if budget < 1:
         raise ValueError("budget must be >= 1")
     key_a, key_b = id_cols
-    # integral id columns only (cast up-front so the applyInPandas schema
-    # is stable regardless of the caller's int width)
+    # id columns keep their ORIGINAL types: casting them to long would
+    # silently NULL every non-numeric string id (the train_shuffle bug
+    # class), making packs unjoinable back to text. Only the token count
+    # is normalized, so the applyInPandas schema stays caller-stable.
     salted = chunks.select(
-        F.col(key_a).cast("long").alias(key_a),
-        F.col(key_b).cast("long").alias(key_b),
+        F.col(key_a),
+        F.col(key_b),
         F.col(token_col).cast("long").alias(token_col),
         (F.pmod(F.xxhash64(key_a, key_b), F.lit(n_groups))).alias("group_id"),
     )
 
-    schema = (
-        f"{key_a} long, {key_b} long, {token_col} long, "
-        "group_id long, pack_id long"
+    out_schema = T.StructType(
+        list(salted.schema.fields) + [T.StructField("pack_id", T.LongType())]
     )
+    # NULL token counts (e.g. null text upstream) get a pack of their own —
+    # the oversized-chunk policy — instead of leaking NaN into the packer.
+    _own_pack = budget + 1
 
     def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([key_a, key_b]).reset_index(drop=True)
-        pack_of = _ffd_pack(pdf[token_col].tolist(), budget)
+        counts = [
+            _own_pack if pd.isna(c) else int(c) for c in pdf[token_col].tolist()
+        ]
+        pack_of = _ffd_pack(counts, budget)
         gid = int(pdf["group_id"].iloc[0])
         pdf["pack_id"] = [gid * _GROUP_SHIFT + p for p in pack_of]
         return pdf
 
-    return salted.groupBy("group_id").applyInPandas(_pack_group, schema=schema)
+    return salted.groupBy("group_id").applyInPandas(_pack_group, schema=out_schema)
 
 
 def pack_stats(packed: DataFrame, token_col: str = "n_tokens") -> DataFrame:

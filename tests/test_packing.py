@@ -114,3 +114,53 @@ def test_ffd_kernel_invariants(counts, budget):
 @settings(max_examples=200, deadline=None)
 def test_ffd_kernel_deterministic(counts, budget):
     assert packing._ffd_pack(counts, budget) == packing._ffd_pack(counts, budget)
+
+
+def _naive_first_fit(counts, budget):
+    # reference model: the plain O(n·packs) first-fit-decreasing walk the
+    # segment-tree kernel must replicate assignment-for-assignment
+    order = sorted(range(len(counts)), key=lambda i: (-counts[i], i))
+    pack_of = [0] * len(counts)
+    loads = []
+    for i in order:
+        c = counts[i]
+        for p, load in enumerate(loads):
+            if load + c <= budget:
+                loads[p] = load + c
+                pack_of[i] = p
+                break
+        else:
+            loads.append(c)
+            pack_of[i] = len(loads) - 1
+    return pack_of
+
+
+@given(st.lists(st.integers(0, 120), max_size=80), st.integers(1, 70))
+@settings(max_examples=300, deadline=None)
+def test_ffd_kernel_matches_naive_first_fit(counts, budget):
+    # includes zeros and oversized chunks: zeros must join the leftmost
+    # NON-overloaded pack, never an oversized singleton
+    assert packing._ffd_pack(counts, budget) == _naive_first_fit(counts, budget)
+
+
+def test_string_ids_round_trip(spark):
+    # id columns must keep their type: a long cast would NULL string ids
+    rows = [(f"doc-{i}", f"s{j}", 5 + (i * 7 + j) % 60) for i in range(20) for j in range(3)]
+    chunks = spark.createDataFrame(rows, ["doc_id", "start", "n_tokens"])
+    packed = packing.pack_sequences(chunks, budget=64, n_groups=4).collect()
+    assert len(packed) == len(rows)
+    assert {(r["doc_id"], r["start"]) for r in packed} == {(a, b) for a, b, _ in rows}
+    assert all(r["doc_id"] is not None for r in packed)
+
+
+def test_null_token_count_gets_own_pack(spark):
+    rows = [(1, 1, 30), (1, 2, None), (2, 1, 30), (2, 2, None)]
+    chunks = spark.createDataFrame(rows, "doc_id long, start long, n_tokens long")
+    packed = packing.pack_sequences(chunks, budget=100, n_groups=1).collect()
+    assert len(packed) == 4  # exactly-once even for null counts
+    by_pack = {}
+    for r in packed:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for members in by_pack.values():
+        if any(m["n_tokens"] is None for m in members):
+            assert len(members) == 1  # null count -> singleton pack
