@@ -91,7 +91,11 @@ def extract_text_with_title(html: bytes) -> str:
 def extract_text_udf():
     @F.pandas_udf("string")
     def _extract(html: pd.Series) -> pd.Series:
-        return html.map(extract_text_with_title)
+        # null payload -> null text (a WARC record with no body must not
+        # abort the stage: re.search(None) raises TypeError)
+        return html.map(
+            lambda b: extract_text_with_title(b) if b is not None else None
+        )
 
     return _extract
 

@@ -53,3 +53,21 @@ def test_compression_ratio_signal(spark):
     out2 = {r.id: r.ratio for r in df.select(
         "id", tx.compression_ratio_udf()("text").alias("ratio")).collect()}
     assert out == out2
+
+
+def test_extract_text_null_html(spark):
+    # a WARC record with no body must yield null text, not a stage abort
+    df = spark.createDataFrame(
+        [
+            ("u1", b"<html><head><title>T</title></head><body><p>hi</p></body></html>"),
+            ("u2", None),
+        ],
+        "url string, html binary",
+    )
+    got = {
+        r["url"]: r["t"]
+        for r in df.select(
+            "url", tx.extract_text_udf()(F.col("html")).alias("t")
+        ).collect()
+    }
+    assert got == {"u1": "T\nhi", "u2": None}
