@@ -26,6 +26,11 @@ def points_in_ring(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.nda
     x = np.asarray(lon, float)
     y = np.asarray(lat, float)
     inside = np.zeros(x.shape, dtype=bool)
+    if len(ring) and not np.array_equal(ring[0], ring[-1]):
+        # external WKB with an unclosed ring (malformed per spec, common in
+        # the wild): close it virtually, else the closing edge is missing
+        # and every point "inside via that edge" flips to outside
+        ring = np.vstack([ring, ring[:1]])
     x0 = ring[:-1, 0]
     y0 = ring[:-1, 1]
     x1 = ring[1:, 0]

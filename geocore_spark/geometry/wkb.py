@@ -45,33 +45,65 @@ def encode_linestring(coords: np.ndarray) -> bytes:
     )
 
 
-def _read_ring(buf: memoryview, off: int, bo: str):
+def _read_ring(buf: memoryview, off: int, bo: str, dims: int = 2):
+    """One ring of ``dims``-dimensional points; Z/M ordinates are read with
+    the correct stride and dropped (the engine is 2D)."""
     (n,) = struct.unpack_from(bo + "I", buf, off)
     off += 4
-    pts = np.frombuffer(buf, dtype=("<f8" if bo == "<" else ">f8"), count=2 * n, offset=off)
-    return pts.reshape(n, 2).astype(np.float64), off + 16 * n
+    pts = np.frombuffer(
+        buf, dtype=("<f8" if bo == "<" else ">f8"), count=dims * n, offset=off
+    )
+    ring = pts.reshape(n, dims)[:, :2].astype(np.float64)
+    return ring, off + 8 * dims * n
+
+
+def _parse_header(buf: memoryview, off: int) -> tuple[str, int, int, int]:
+    """Parse one geometry header at ``off``: (byte order, base type, point
+    dims, offset past the header). Handles both EWKB high-bit flags
+    (PostGIS: 0x80000000 Z, 0x40000000 M, 0x20000000 embedded SRID) and
+    ISO WKB type offsets (1000 Z, 2000 M, 3000 ZM). The previous
+    ``gtype & 0xFF`` silently decoded EWKB-Z polygons as 2D — three
+    doubles per point read as alternating lon/lat garbage — and misread
+    the 4 SRID bytes as the ring count."""
+    bo = "<" if buf[off] == 1 else ">"
+    (raw,) = struct.unpack_from(bo + "I", buf, off + 1)
+    off += 5
+    dims = 2
+    if raw & 0x80000000:
+        dims += 1  # EWKB Z
+    if raw & 0x40000000:
+        dims += 1  # EWKB M
+    if raw & 0x20000000:
+        off += 4  # EWKB embedded SRID
+    base = raw & 0x0FFFFFFF
+    iso_kind, base = divmod(base, 1000)
+    if iso_kind == 1 or iso_kind == 3:
+        dims += 1  # ISO Z / ZM
+    if iso_kind == 2 or iso_kind == 3:
+        dims += 1  # ISO M / ZM
+    if iso_kind > 3:
+        raise ValueError(f"unsupported ISO WKB type offset {iso_kind * 1000}")
+    return bo, base, dims, off
 
 
 def decode(wkb: bytes) -> tuple[str, list[list[np.ndarray]]]:
     """Decode WKB -> (type_name, list of polygons, each a list of rings).
 
     LineStrings are returned as a single "polygon" with one open ring.
+    EWKB/ISO Z and M ordinates are accepted and dropped; embedded SRIDs
+    are skipped.
     """
     buf = memoryview(wkb)
-    byte_order = buf[0]
-    bo = "<" if byte_order == 1 else ">"
-    (gtype,) = struct.unpack_from(bo + "I", buf, 1)
-    gtype &= 0xFF  # strip SRID/Z flags
-    off = 5
+    bo, gtype, dims, off = _parse_header(buf, 0)
     if gtype == _WKB_LINESTRING:
-        ring, _ = _read_ring(buf, off, bo)
+        ring, _ = _read_ring(buf, off, bo, dims)
         return "LineString", [[ring]]
     if gtype == _WKB_POLYGON:
         (nrings,) = struct.unpack_from(bo + "I", buf, off)
         off += 4
         rings = []
         for _ in range(nrings):
-            ring, off = _read_ring(buf, off, bo)
+            ring, off = _read_ring(buf, off, bo, dims)
             rings.append(ring)
         return "Polygon", [rings]
     if gtype == _WKB_MULTIPOLYGON:
@@ -79,13 +111,16 @@ def decode(wkb: bytes) -> tuple[str, list[list[np.ndarray]]]:
         off += 4
         polys = []
         for _ in range(npoly):
-            sub_bo = "<" if buf[off] == 1 else ">"
-            off += 5  # nested byte order + type
+            sub_bo, sub_type, sub_dims, off = _parse_header(buf, off)
+            if sub_type != _WKB_POLYGON:
+                raise ValueError(
+                    f"MultiPolygon member has WKB type {sub_type}, expected Polygon"
+                )
             (nrings,) = struct.unpack_from(sub_bo + "I", buf, off)
             off += 4
             rings = []
             for _ in range(nrings):
-                ring, off = _read_ring(buf, off, sub_bo)
+                ring, off = _read_ring(buf, off, sub_bo, sub_dims)
                 rings.append(ring)
             polys.append(rings)
         return "MultiPolygon", polys

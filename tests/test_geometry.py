@@ -93,3 +93,53 @@ def test_linestring_segments():
     ls = wkb.encode_linestring(np.array([[0, 0], [1, 1], [2, 0]], float))
     starts, ends = pip.wkb_segments([ls])
     assert len(starts) == 2 and len(ends) == 2
+
+
+def _encode_variant(ring, raw_type, dims, srid=None, bo="<"):
+    import struct
+
+    out = [bytes([1 if bo == "<" else 0]), struct.pack(bo + "I", raw_type)]
+    if srid is not None:
+        out.append(struct.pack(bo + "I", srid))
+    out.append(struct.pack(bo + "I", 1))
+    out.append(struct.pack(bo + "I", len(ring)))
+    for x, y in ring:
+        out.append(struct.pack(bo + "d" * dims, *([x, y] + [9.0] * (dims - 2))))
+    return b"".join(out)
+
+
+def test_wkb_ewkb_iso_z_m_srid_variants():
+    # EWKB high-bit Z/M/SRID flags and ISO 1000/2000/3000 offsets must all
+    # decode to the same 2D ring — the old `gtype & 0xFF` read EWKB-Z
+    # coordinates with a 2-double stride (garbage) and misparsed the SRID
+    # bytes as the ring count
+    import struct
+
+    sq = np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)])
+    variants = [
+        _encode_variant(sq, 0x80000003, 3),                      # EWKB Z
+        _encode_variant(sq, 0x80000003 | 0x20000000, 3, 4326),   # EWKB Z+SRID
+        _encode_variant(sq, 0xC0000003, 4),                      # EWKB ZM
+        _encode_variant(sq, 1003, 3),                            # ISO Z
+        _encode_variant(sq, 2003, 3),                            # ISO M
+        _encode_variant(sq, 3003, 4),                            # ISO ZM
+        _encode_variant(sq, 1003, 3, bo=">"),                    # big-endian ISO Z
+    ]
+    for w in variants:
+        t, polys = wkb.decode(w)
+        assert t == "Polygon"
+        assert np.allclose(polys[0][0], sq)
+    # multipolygon whose member carries its own EWKB-Z header
+    mp = struct.pack("<BII", 1, 6, 1) + variants[0]
+    t, polys = wkb.decode(mp)
+    assert t == "MultiPolygon" and np.allclose(polys[0][0], sq)
+
+
+def test_pip_unclosed_ring_virtually_closed():
+    sq = np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)])
+    lon = np.array([2.0, 5.0, -1.0])
+    lat = np.array([2.0, 5.0, 2.0])
+    closed = pip.points_in_ring(lon, lat, sq)
+    unclosed = pip.points_in_ring(lon, lat, sq[:-1])
+    assert (closed == unclosed).all()
+    assert closed.tolist() == [True, False, False]
