@@ -50,9 +50,17 @@ def track(df: DataFrame, stage: str, log: LineageLog | None = None) -> DataFrame
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        # add ONCE per completed task, not per Arrow batch: accumulator
+        # updates in transformations are not exactly-once under task
+        # retry/speculation, so per-batch adds double-count a partition
+        # whose task ran twice. One total per attempt + max-merge in
+        # _DictParam makes duplicate attempts idempotent (both attempts
+        # stream the same partition, so their totals are equal).
+        n = 0
         for pdf in iterator:
-            acc.add({pid: len(pdf)})
+            n += len(pdf)
             yield pdf
+        acc.add({pid: n})
 
     out = df.mapInPandas(_count, schema)
     out._lineage_acc = acc  # type: ignore[attr-defined]
@@ -62,14 +70,19 @@ def track(df: DataFrame, stage: str, log: LineageLog | None = None) -> DataFrame
 
 
 class _DictParam:
-    """AccumulatorParam merging {partition: count} dicts."""
+    """AccumulatorParam merging {partition: count} dicts.
+
+    Merge is MAX per partition, not sum: each task contributes exactly
+    one {pid: total} update, and a retried or speculative attempt of the
+    same partition reports the same total — max collapses duplicates,
+    sum would double-count."""
 
     def zero(self, value):
         return {}
 
     def addInPlace(self, v1, v2):
         for k, n in v2.items():
-            v1[k] = v1.get(k, 0) + n
+            v1[k] = max(v1.get(k, 0), n)
         return v1
 
 

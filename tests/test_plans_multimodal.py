@@ -16,6 +16,12 @@ def test_track_counts_rows_per_partition(spark):
     acc = tracked._lineage_acc.value
     assert sum(acc.values()) == 1000
     assert len(acc) == 4  # one entry per partition
+    # a second action re-executes the tracked plan: the max-merge keeps
+    # the counts idempotent (sum-merge would report 2000 here — same
+    # failure mode as a retried/speculative task double-counting)
+    assert tracked.count() == 1000
+    acc = tracked._lineage_acc.value
+    assert sum(acc.values()) == 1000
 
 
 def test_observed_rowcount(spark):
