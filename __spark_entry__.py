@@ -2994,6 +2994,64 @@ FROM powed CROSS JOIN tot ORDER BY source
 """
 
 
+def q_unimax_mix(spark, sf_dir):
+    """UniMax budget allocation (sampling.unimax_allocation, Chung et al.
+    2023): distribute a 400k-char budget across sources as uniformly as
+    possible with a 3-epoch cap per source — the published successor to
+    temperature sampling for multilingual mixing. Exact integer prefix-sum
+    arithmetic over the slice table (chars via n_chars), milli-epoch
+    output; at sf0.01 the fixture yields both capped and uncapped
+    sources, so every branch of the closed form is exercised."""
+    from geocore_spark.operators import sampling as smp
+
+    d = _t(spark, sf_dir, "documents")
+    return smp.unimax_allocation(
+        d, group_col="source", budget=400_000, max_epochs=3, size_col="n_chars"
+    ).orderBy("source")
+
+
+_SQL_UNIMAX_MIX = """
+WITH counts AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_units
+  FROM documents GROUP BY source),
+staged AS (
+  SELECT source, n_units,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_units, source NULLS FIRST) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS L,
+         CAST(SUM(n_units) OVER (ORDER BY n_units, source NULLS FIRST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS S
+  FROM counts),
+flagged AS (
+  SELECT *, CASE WHEN 3 * n_units * (L - i + 1) <= 400000 - 3 * (S - n_units)
+                 THEN 1 ELSE 0 END AS capped_raw
+  FROM staged),
+run AS (
+  SELECT *, MIN(capped_raw) OVER (ORDER BY n_units, source NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+  FROM flagged),
+tot AS (
+  SELECT *,
+         CAST(SUM(capped) OVER () AS BIGINT) AS K,
+         CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN n_units END) OVER (), 0)
+              AS BIGINT) AS SK
+  FROM run),
+alloced AS (
+  SELECT source, n_units, i, K, capped,
+         CAST(CASE WHEN capped = 1 THEN 3 * n_units
+              ELSE (400000 - 3 * SK) // GREATEST(L - K, 1)
+                   + CASE WHEN (i - K) <= (400000 - 3 * SK) % GREATEST(L - K, 1)
+                          THEN 1 ELSE 0 END
+              END AS BIGINT) AS alloc
+  FROM tot)
+SELECT source, n_units, alloc,
+       CAST(CASE WHEN n_units <= 0 THEN 0
+            WHEN capped = 1 THEN 3000
+            ELSE (2000 * alloc + n_units) // (2 * n_units)
+            END AS BIGINT) AS epochs_milli
+FROM alloced ORDER BY source
+"""
+
+
 def q_wet_ingest(spark, sf_dir):
     """Common Crawl WET connector (rows-only): write two extracted-text
     segments — one plain, one gzip, each led by the warcinfo record a
@@ -3427,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        "unimax_mix": q_unimax_mix,
         "h3_rollup": q_h3_rollup,
         "union_anti": q_union_anti,
         "conditional_mask": q_conditional_mask,
@@ -3487,6 +3546,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _SQL_TOPK,
         "label_dedup": _SQL_LABEL_DEDUP,
         "decile_stats": _SQL_DECILES,
+        "unimax_mix": _SQL_UNIMAX_MIX,
         "union_anti": _SQL_UNION_ANTI,
         "semi_flag": _SQL_SEMI_FLAG,
         "hour_bucket_join": _SQL_HOUR_BUCKET_JOIN,

@@ -259,3 +259,131 @@ def temperature_weights(
             F.round(F.col("weight") * F.lit(float(budget)), 0).cast("bigint"),
         )
     return out
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str = "source",
+    budget: int = 0,
+    max_epochs: int = 4,
+    size_col: str | None = None,
+) -> DataFrame:
+    """UniMax budget allocation per corpus slice (Chung et al. 2023,
+    arXiv:2304.09151): distribute ``budget`` units (docs, or
+    ``size_col`` units such as chars/tokens) as uniformly as possible
+    across slices, capping every slice at ``max_epochs`` repeats of its
+    own size. The published remedy for temperature sampling's failure
+    mode — small slices over-repeated into memorization — and its
+    complement here (:func:`temperature_weights` is the XLM-R recipe).
+
+    Closed form over slices sorted ascending by size: a slice is capped
+    (gets ``max_epochs * n``) iff even the uniform share of the budget
+    remaining after all smaller slices took their cap still exceeds its
+    cap; by monotonicity the capped slices are a prefix, so the test is
+    a prefix-capped running AND. Uncapped slices split the leftover
+    evenly; the integer remainder goes one unit each to the smallest
+    uncapped slices (fully deterministic, no RNG anywhere).
+
+    Output: ``(group_col, n_units, alloc, epochs_milli)`` — ``alloc`` in
+    budget units, ``epochs_milli = round_half_up(1000 * alloc / n_units)``
+    exact in integer milli-epochs (the decimal-division / libm class of
+    oracle drift never appears). Pure Column windows over the
+    slice-cardinality table — like :func:`temperature_weights` this is a
+    PLANNING query (tiny input, one task is correct), never a data pass.
+    Arithmetic is ANSI-SQL-replayable; the DuckDB twin runs the same
+    expressions.
+
+    Bounds (loud, not silent): products are guarded so BIGINT never
+    wraps — budget up to ~4.5e15 units and ``max_epochs * n * n_slices``
+    up to ~9e18 (raise_error on the offending row otherwise).
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if budget > 4_500_000_000_000_000:
+        raise ValueError(
+            "budget exceeds the exact milli-epoch arithmetic bound (4.5e15); "
+            "allocate in coarser units (e.g. thousands of tokens)"
+        )
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    unit = (
+        F.count(F.lit(1)) if size_col is None else F.sum(F.col(size_col))
+    )
+    counts = df.groupBy(group_col).agg(
+        F.coalesce(unit.cast("long"), F.lit(0)).alias("n_units")
+    )
+    N = F.lit(int(max_epochs))
+    order = [F.col("n_units").asc(), F.col(group_col).asc_nulls_first()]
+    w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        counts.withColumn("__i", F.row_number().over(Window.orderBy(*order)))
+        .withColumn("__L", F.count(F.lit(1)).over(w_all))
+        .withColumn("__S", F.sum("n_units").over(w_run))
+    )
+    # overflow guard BEFORE the cap product: N * n * remaining_slices
+    guarded = staged.withColumn(
+        "n_units",
+        F.when(
+            F.col("n_units")
+            > F.lit(9_000_000_000_000_000_000) / N / F.col("__L"),
+            F.raise_error(
+                F.concat(
+                    F.lit("unimax_allocation: slice size overflows the cap "
+                          "product for slice "),
+                    F.col(group_col).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("n_units")),
+    )
+    # capped iff N*n*(L-i+1) <= budget - N*(S - n), AND every smaller
+    # slice is capped (running AND via cumulative min over the prefix)
+    flagged = guarded.withColumn(
+        "__capped_raw",
+        F.when(
+            N * F.col("n_units") * (F.col("__L") - F.col("__i") + 1)
+            <= F.lit(int(budget)) - N * (F.col("__S") - F.col("n_units")),
+            1,
+        ).otherwise(0),
+    ).withColumn("__capped", F.min("__capped_raw").over(w_run))
+    totals = (
+        flagged.withColumn("__K", F.sum("__capped").over(w_all))
+        .withColumn(
+            "__SK",
+            F.coalesce(
+                F.sum(F.when(F.col("__capped") == 1, F.col("n_units"))).over(
+                    w_all
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("__M", F.col("__L") - F.col("__K"))
+        .withColumn("__Rbal", F.lit(int(budget)) - N * F.col("__SK"))
+    )
+    # greatest(__M, 1): when every slice is capped the otherwise-branch is
+    # never taken, but ANSI mode must not see a div-by-zero expression
+    out = totals.withColumn(
+        "alloc",
+        F.when(F.col("__capped") == 1, N * F.col("n_units")).otherwise(
+            F.expr("__Rbal div greatest(__M, 1)")
+            + F.when(
+                (F.col("__i") - F.col("__K"))
+                <= F.expr("__Rbal % greatest(__M, 1)"),
+                1,
+            ).otherwise(0)
+        ).cast("long"),
+    ).withColumn(
+        # capped slices: exactly max_epochs (no product — N*n can be large
+        # enough that 2000*alloc would wrap); uncapped: alloc <= budget
+        # <= 4.5e15, so the half-up milli product stays in BIGINT
+        "epochs_milli",
+        F.when(F.col("n_units") <= 0, F.lit(0))  # 0-size slice: alloc 0
+        .when(F.col("__capped") == 1, F.lit(1000 * int(max_epochs)))
+        .otherwise(F.expr("(2000 * alloc + n_units) div (2 * n_units)"))
+        .cast("long"),
+    )
+    return out.select(group_col, "n_units", "alloc", "epochs_milli")

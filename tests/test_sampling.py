@@ -175,3 +175,108 @@ def test_train_shuffle_deterministic_and_shard_stable(spark):
     # order is uncorrelated with corpus order: first rows of shard 0
     first = [r[0] for r in sorted(a, key=lambda t: (t[1], t[2]))[:10]]
     assert first != sorted(first)
+
+
+# --- UniMax allocation ------------------------------------------------------
+
+from geocore_spark.operators.sampling import unimax_allocation
+
+
+def _unimax_ref(items, budget, n_epochs):
+    """Driver-side reference walk of the UniMax closed form."""
+    items = sorted(items, key=lambda kv: (kv[1], kv[0]))
+    L = len(items)
+    S = 0
+    k = 0
+    capped = []
+    for i, (_g, n) in enumerate(items, 1):
+        ri = budget - n_epochs * S
+        if k == i - 1 and n_epochs * n * (L - i + 1) <= ri:
+            k += 1
+            S += n
+            capped.append(True)
+        else:
+            capped.append(False)
+    rbal = budget - n_epochs * S
+    m_tot = L - k
+    base, rem = divmod(rbal, m_tot) if m_tot else (0, 0)
+    out = {}
+    m = 0
+    for (g, n), c in zip(items, capped):
+        if c:
+            out[g] = n_epochs * n
+        else:
+            m += 1
+            out[g] = base + (1 if m <= rem else 0)
+    return out
+
+
+def test_unimax_matches_reference_walk(spark):
+    rows = [(f"s{i}", 1) for i in range(8) for _ in range(3 + i * 2)]
+    df = spark.createDataFrame(rows, "source string, one int")
+    budget, N = 40, 2
+    got = {
+        r["source"]: (r["alloc"], r["epochs_milli"])
+        for r in unimax_allocation(df, budget=budget, max_epochs=N).collect()
+    }
+    counts = {f"s{i}": 3 + i * 2 for i in range(8)}
+    want = _unimax_ref(list(counts.items()), budget, N)
+    assert {g: a for g, (a, _) in got.items()} == want
+    # budget fully spent when any slice is uncapped
+    assert sum(a for a, _ in got.values()) == budget
+    for g, (a, em) in got.items():
+        n = counts[g]
+        assert a <= N * n
+        assert em == (2000 * a + n) // (2 * n)
+        assert em <= 1000 * N
+
+
+def test_unimax_all_capped_and_size_col(spark):
+    rows = [("a", 10), ("a", 10), ("b", 5)]
+    df = spark.createDataFrame(rows, "source string, n_chars int")
+    # budget far above 3 epochs of everything: all capped, leftover unspent
+    out = {
+        r["source"]: r
+        for r in unimax_allocation(
+            df, budget=1000, max_epochs=3, size_col="n_chars"
+        ).collect()
+    }
+    assert out["a"]["n_units"] == 20 and out["a"]["alloc"] == 60
+    assert out["b"]["n_units"] == 5 and out["b"]["alloc"] == 15
+    assert out["a"]["epochs_milli"] == 3000 == out["b"]["epochs_milli"]
+
+
+def test_unimax_validation(spark):
+    df = spark.createDataFrame([("a", 1)], "source string, one int")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        unimax_allocation(df, budget=-1)
+    with _pt.raises(ValueError):
+        unimax_allocation(df, budget=10, max_epochs=0)
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_given(
+    _st.lists(_st.integers(0, 500), min_size=1, max_size=30),
+    _st.integers(0, 5000),
+    _st.integers(1, 6),
+)
+@_settings(max_examples=300, deadline=None)
+def test_unimax_reference_invariants(sizes, budget, n_epochs):
+    items = [(f"g{i:03d}", n) for i, n in enumerate(sizes)]
+    out = _unimax_ref(items, budget, n_epochs)
+    total = sum(n for _, n in items)
+    spent = sum(out.values())
+    if all(out[g] == n_epochs * n for g, n in items):
+        assert spent == n_epochs * total <= max(budget, n_epochs * total)
+    else:
+        assert spent == budget  # any uncapped slice -> budget fully spent
+    for g, n in items:
+        if n > 0:
+            assert out[g] <= n_epochs * n  # cap respected
+        else:
+            assert out[g] == 0
