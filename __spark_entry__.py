@@ -846,6 +846,87 @@ FROM events
 """
 
 
+def q_url_filter(spark, sf_dir):
+    """URL-level quality filter (functions/urls.url_signals — the
+    RefinedWeb/FineWeb URL-filtering stage): blocklist keywords,
+    IP-literal hosts, digit-heavy hosts, oversized URLs, parameter soup,
+    extreme path depth. URLs are synthesized deterministically with
+    event_id % 11 routing so EVERY rule fires at sf0.01 (the c4_filter
+    diversification pattern); identical arithmetic in the DuckDB twin."""
+    from geocore_spark.functions import urls
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = F.col("event_id") % 11
+    host = (
+        F.when(
+            m == 1,
+            F.concat(
+                F.lit("10.0."), (F.col("event_id") % 200).cast("string"), F.lit(".7")
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("h12345678901"),
+                (F.col("event_id") % 10).cast("string"),
+                F.lit(".example.com"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("host"),
+                (F.col("event_id") % 97).cast("string"),
+                F.lit(".example.com"),
+            )
+        )
+    )
+    path = (
+        F.when(m == 0, F.lit("/casino/promo"))
+        .when(m == 3, F.concat(F.lit("/p/"), F.repeat(F.lit("x"), 520)))
+        .when(m == 5, F.lit("/a/b/c/d/e/f/g/h/i/j/k"))
+        .otherwise(F.concat(F.lit("/p/"), (F.col("event_id") % 1000).cast("string")))
+    )
+    query = F.when(
+        m == 4, F.lit("?a=1&b=1&c=1&d=1&e=1&f=1&g=1&h=1&i=1")
+    ).otherwise(F.concat(F.lit("?z="), (F.col("event_id") % 3).cast("string")))
+    raw = F.concat(F.lit("https://"), host, path, query)
+    s = urls.url_signals(raw)
+    return ev.select(
+        "event_id",
+        *[s[f].alias(f) for f in (
+            "url_len", "host_len", "host_digits", "is_ip_host",
+            "n_params", "depth", "kw_hits", "keep",
+        )],
+    )
+
+
+def _sql_url_filter() -> str:
+    from geocore_spark.functions.urls import url_signals_sql
+
+    host = (
+        "(CASE WHEN event_id % 11 = 1 THEN '10.0.' || CAST(event_id % 200 AS VARCHAR) || '.7' "
+        "WHEN event_id % 11 = 2 THEN 'h12345678901' || CAST(event_id % 10 AS VARCHAR) || '.example.com' "
+        "ELSE 'host' || CAST(event_id % 97 AS VARCHAR) || '.example.com' END)"
+    )
+    path = (
+        "(CASE WHEN event_id % 11 = 0 THEN '/casino/promo' "
+        "WHEN event_id % 11 = 3 THEN '/p/' || repeat('x', 520) "
+        "WHEN event_id % 11 = 5 THEN '/a/b/c/d/e/f/g/h/i/j/k' "
+        "ELSE '/p/' || CAST(event_id % 1000 AS VARCHAR) END)"
+    )
+    query = (
+        "(CASE WHEN event_id % 11 = 4 THEN '?a=1&b=1&c=1&d=1&e=1&f=1&g=1&h=1&i=1' "
+        "ELSE '?z=' || CAST(event_id % 3 AS VARCHAR) END)"
+    )
+    raw = f"('https://' || {host} || {path} || {query})"
+    sig = url_signals_sql(raw)
+    cols = ", ".join(f"{sig[f]} AS {f}" for f in (
+        "url_len", "host_len", "host_digits", "is_ip_host",
+        "n_params", "depth", "kw_hits", "keep",
+    ))
+    return f"SELECT event_id, {cols} FROM events"
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Crawl-frontier politeness scheduler (streaming/frontier.py) in its
     batch form: per-host fetch times >= 5 s apart, priority-ordered. The
@@ -3486,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
         "unimax_mix": q_unimax_mix,
+        "url_filter": q_url_filter,
         "h3_rollup": q_h3_rollup,
         "union_anti": q_union_anti,
         "conditional_mask": q_conditional_mask,
@@ -3547,6 +3629,7 @@ def oracle_sql() -> dict[str, str]:
         "label_dedup": _SQL_LABEL_DEDUP,
         "decile_stats": _SQL_DECILES,
         "unimax_mix": _SQL_UNIMAX_MIX,
+        "url_filter": _sql_url_filter(),
         "union_anti": _SQL_UNION_ANTI,
         "semi_flag": _SQL_SEMI_FLAG,
         "hour_bucket_join": _SQL_HOUR_BUCKET_JOIN,

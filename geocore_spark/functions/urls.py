@@ -162,3 +162,135 @@ def normalize_url_sql(url: str) -> str:
         f"({scheme} || '://' || {host} || {path} || "
         f"CASE WHEN {qs} = '' THEN '' ELSE '?' || {sorted_qs} END)"
     )
+
+
+#: Mild default URL blocklist keywords (the FineWeb/RefinedWeb URL-filter
+#: shape: substring keyword hits anywhere in the lowercased URL). Real
+#: deployments pass their full curated list — the operator takes the list
+#: as a parameter precisely because blocklists are policy, not code.
+URL_BLOCK_KEYWORDS: tuple[str, ...] = ("porn", "xxx", "casino", "viagra", "escort")
+
+
+def url_signals(
+    url: Column,
+    keywords: tuple[str, ...] = URL_BLOCK_KEYWORDS,
+    max_len: int = 512,
+    max_params: int = 8,
+    max_depth: int = 10,
+    digit_pct_max: int = 40,
+) -> Column:
+    """URL-level quality signals + keep flag as one pure-Column struct —
+    the URL-filtering stage of the published web-curation recipes
+    (RefinedWeb, Penedo et al. 2023, arXiv:2306.01116 §3.1; FineWeb,
+    Penedo et al. 2024, arXiv:2406.17557): blocklist keyword hits,
+    IP-literal hosts, digit-heavy hosts, oversized URLs, parameter soup
+    and path-depth extremes are all crawler-trap / spam markers that are
+    cheaper to drop at the URL than after fetching the page.
+
+    Returns ``struct(url_len, host_len, host_digits, is_ip_host,
+    n_params, depth, kw_hits, keep)`` — all INT; the digit-ratio
+    threshold is an integer cross-multiplication (digits * 100 <=
+    host_len * pct), so no float appears and the DuckDB twin
+    (:func:`url_signals_sql`) is value-exact. Null url -> null fields
+    (a filter on ``keep = 1`` drops such rows, the conservative policy).
+    """
+    low = F.lower(url)
+    host = F.regexp_replace(url_host(url), r":\d+$", "")
+    host_len = F.length(host)
+    host_digits = host_len - F.length(F.regexp_replace(host, r"[0-9]", ""))
+    is_ip = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$").cast("int")
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    qs = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    n_params = F.when(qs == "", F.lit(0)).otherwise(F.size(F.split(qs, "&")))
+    depth = url_path_depth(url)
+    url_len = F.length(url)
+    kw_hits = None
+    for kw in keywords:
+        hit = low.contains(kw).cast("int")
+        kw_hits = hit if kw_hits is None else kw_hits + hit
+    if kw_hits is None:
+        kw_hits = F.when(url.isNotNull(), F.lit(0))
+    keep = (
+        (kw_hits == 0)
+        & (is_ip == 0)
+        & (host_digits * 100 <= host_len * F.lit(int(digit_pct_max)))
+        & (url_len <= F.lit(int(max_len)))
+        & (n_params <= F.lit(int(max_params)))
+        & (depth <= F.lit(int(max_depth)))
+    ).cast("int")
+    return F.struct(
+        url_len.cast("int").alias("url_len"),
+        host_len.cast("int").alias("host_len"),
+        host_digits.cast("int").alias("host_digits"),
+        is_ip.alias("is_ip_host"),
+        n_params.cast("int").alias("n_params"),
+        depth.cast("int").alias("depth"),
+        kw_hits.cast("int").alias("kw_hits"),
+        keep.alias("keep"),
+    )
+
+
+def url_signals_sql(
+    url: str,
+    keywords: tuple[str, ...] = URL_BLOCK_KEYWORDS,
+    max_len: int = 512,
+    max_params: int = 8,
+    max_depth: int = 10,
+    digit_pct_max: int = 40,
+) -> dict[str, str]:
+    """DuckDB twins of :func:`url_signals`'s fields, as named SQL exprs
+    (regexp_replace carries the 'g' flag — DuckDB replaces only the first
+    match by default, Spark replaces all)."""
+    low = f"lower({url})"
+    host = (
+        f"regexp_replace(lower(regexp_extract(regexp_replace(regexp_replace({url}, "
+        "'#.*$', ''), '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?#]+)', 1)), "
+        "':[0-9]+$', '')"
+    )
+    host_len = f"len({host})"
+    host_digits = f"(len({host}) - len(regexp_replace({host}, '[0-9]', '', 'g')))"
+    is_ip = (
+        f"CAST(regexp_matches({host}, "
+        "'^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$') AS INT)"
+    )
+    nofrag = f"regexp_replace({url}, '#.*$', '')"
+    qs = f"regexp_extract({nofrag}, '\\?(.*)$', 1)"
+    n_params = f"(CASE WHEN {qs} = '' THEN 0 ELSE len(string_split({qs}, '&')) END)"
+    path = (
+        f"regexp_replace(regexp_replace(regexp_replace({url}, '[#?].*$', ''), "
+        "'^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^[^/]+', '')"
+    )
+    depth = f"len(list_filter(string_split({path}, '/'), x -> x <> ''))"
+    for kw in keywords:
+        if "'" in kw:
+            raise ValueError(f"keyword contains a quote: {kw!r}")
+    # NULL guard: DuckDB's CASE WHEN contains(NULL,..) falls to ELSE 0,
+    # but Spark's null.contains sums to NULL — mirror the NULL
+    kw_sum = (
+        "("
+        + " + ".join(
+            f"(CASE WHEN contains({low}, '{kw}') THEN 1 ELSE 0 END)"
+            for kw in keywords
+        )
+        + ")"
+        if keywords
+        else "0"
+    )
+    kw_hits = f"(CASE WHEN {url} IS NULL THEN NULL ELSE {kw_sum} END)"
+    keep = (
+        f"(CASE WHEN {kw_hits} = 0 AND {is_ip} = 0 "
+        f"AND {host_digits} * 100 <= {host_len} * {int(digit_pct_max)} "
+        f"AND len({url}) <= {int(max_len)} AND {n_params} <= {int(max_params)} "
+        f"AND {depth} <= {int(max_depth)} THEN 1 WHEN {url} IS NULL THEN NULL "
+        "ELSE 0 END)"
+    )
+    return {
+        "url_len": f"CAST(len({url}) AS INT)",
+        "host_len": f"CAST({host_len} AS INT)",
+        "host_digits": f"CAST({host_digits} AS INT)",
+        "is_ip_host": is_ip,
+        "n_params": f"CAST({n_params} AS INT)",
+        "depth": f"CAST({depth} AS INT)",
+        "kw_hits": f"CAST({kw_hits} AS INT)",
+        "keep": f"CAST({keep} AS INT)",
+    }

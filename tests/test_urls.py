@@ -137,3 +137,37 @@ def test_normalize_idempotent_generated(spark):
         r["n"] for r in df2.select(urls.normalize_url(F.col("url")).alias("n")).collect()
     ]
     assert once == twice
+
+
+def test_url_signals_rules(spark):
+    from geocore_spark.functions.urls import url_signals
+
+    rows = [
+        ("clean", "https://host1.example.com/p/1?z=1"),
+        ("kw", "https://host1.example.com/casino/promo?z=1"),
+        ("ip", "https://10.0.3.7/p/1?z=1"),
+        ("digits", "https://h123456789012.example.com/p/1?z=1"),
+        ("long", "https://host1.example.com/p/" + "x" * 520 + "?z=1"),
+        ("params", "https://host1.example.com/p/1?" + "&".join(f"k{i}=1" for i in range(9))),
+        ("deep", "https://host1.example.com/a/b/c/d/e/f/g/h/i/j/k?z=1"),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "tag string, url string")
+    from pyspark.sql import functions as F
+
+    got = {
+        r["tag"]: r
+        for r in df.select("tag", url_signals(F.col("url")).alias("s"))
+        .select("tag", "s.*")
+        .collect()
+    }
+    assert got["clean"]["keep"] == 1
+    for tag in ("kw", "ip", "digits", "long", "params", "deep"):
+        assert got[tag]["keep"] == 0, tag
+    assert got["kw"]["kw_hits"] == 1
+    assert got["ip"]["is_ip_host"] == 1
+    assert got["digits"]["host_digits"] * 100 > got["digits"]["host_len"] * 40
+    assert got["long"]["url_len"] > 512
+    assert got["params"]["n_params"] == 9
+    assert got["deep"]["depth"] == 11
+    assert got["null"]["keep"] is None  # null url -> null keep (filter drops)
