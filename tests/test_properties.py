@@ -141,3 +141,96 @@ def test_integer_micro_mean_is_round_half_up(v6s):
     assert got == want
 
 
+
+
+# -- winnowing fingerprints (functions/text.py) -------------------------------
+
+_wtext = st.text(
+    alphabet=st.sampled_from("abcdefgh "), min_size=0, max_size=120
+)
+
+
+@given(_wtext)
+@settings(max_examples=200, deadline=None)
+def test_winnow_deterministic_and_whitespace_normalized(text):
+    """Same fingerprints on repeat runs and under whitespace re-layout
+    (the kernel normalizes runs of whitespace + case before hashing)."""
+    from geocore_spark.functions.text import winnow_fingerprints
+
+    a = winnow_fingerprints(text)
+    assert a == winnow_fingerprints(text)
+    relaid = "  " + text.replace(" ", "   ").upper() + " "
+    assert winnow_fingerprints(relaid) == a
+    assert a == sorted(set(a))  # sorted de-duplicated ints
+
+
+@given(
+    st.text(alphabet=st.sampled_from("abcdef"), min_size=0, max_size=40),
+    st.text(alphabet=st.sampled_from("uvwxyz"), min_size=30, max_size=80),
+    st.text(alphabet=st.sampled_from("abcdef"), min_size=0, max_size=40),
+    st.text(alphabet=st.sampled_from("ghijkl"), min_size=0, max_size=40),
+    st.text(alphabet=st.sampled_from("ghijkl"), min_size=0, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_winnow_shared_substring_guarantee(pre1, shared, post1, pre2, post2):
+    """Schleimer et al.'s detection guarantee: two documents sharing a
+    substring of length >= k + window - 1 share at least one fingerprint
+    (all hash windows fully inside the shared run are identical)."""
+    from geocore_spark.functions.text import winnow_fingerprints
+
+    k, w = 8, 4
+    assert len(shared) >= k + w - 1
+    t1 = pre1 + shared + post1
+    t2 = pre2 + shared + post2
+    f1 = set(winnow_fingerprints(t1, k=k, window=w))
+    f2 = set(winnow_fingerprints(t2, k=k, window=w))
+    assert f1 & f2
+
+
+# -- robots parser vs the stdlib oracle (functions/robots.py) -----------------
+
+_seg = st.text(alphabet=st.sampled_from("abcxyz0189"), min_size=1, max_size=6)
+_path = st.builds(
+    lambda segs: "/" + "/".join(segs), st.lists(_seg, min_size=0, max_size=3)
+)
+_star_group = st.builds(
+    lambda rules: ["User-agent: *"] + [f"Disallow: {p}" for p in rules],
+    st.lists(_path, min_size=0, max_size=4),
+)
+_other_group = st.builds(
+    lambda rules: ["User-agent: otherbot"] + [f"Disallow: {p}" for p in rules],
+    st.lists(_path, min_size=0, max_size=3),
+)
+
+
+@given(
+    st.booleans(),
+    _star_group,
+    _other_group,
+    st.lists(_path, min_size=1, max_size=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_robots_parser_matches_stdlib_on_documented_subset(
+    star_first, star, other, probes
+):
+    """On the documented REP subset (one ``*`` group, plain-prefix
+    Disallow rules, no wildcards/Allow), the parser's allow decision must
+    equal ``urllib.robotparser`` — an independent oracle for group
+    detection, comment/blank handling, and prefix semantics."""
+    import urllib.robotparser
+
+    from geocore_spark.functions.robots import parse_robots_text
+
+    groups = [star, other] if star_first else [other, star]
+    body = "\n\n".join("\n".join(g) for g in groups) + "\n# trailing comment\n"
+
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(body.splitlines())
+    rules = parse_robots_text(body)
+    for p in probes:
+        ours = not any(p.startswith(r) for r in rules)
+        assert ours == rp.can_fetch("somecrawler", f"https://h.example{p}"), (
+            p,
+            rules,
+            body,
+        )
