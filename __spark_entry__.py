@@ -1663,6 +1663,78 @@ def q_pagerank(spark, sf_dir):
     return pr.select("host", F.round("rank", 8).alias("rank"))
 
 
+def q_pagerank_exact(spark, sf_dir):
+    """Verification-grade PageRank (operators/links.py pagerank_exact):
+    the same synchronous power iteration as q_pagerank, reformulated in
+    BIGINT micro-units — per-edge contribution ``(rank * w) div out``,
+    residual (sink + division dust) redistributed uniformly — so every
+    step is order-independent integer arithmetic and the DuckDB oracle
+    replays it bit-exactly with unrolled iterations. Upgrades the graph
+    family from rows-only to value-exact; the double variant remains the
+    production operator (values agree to ~1e-12 relative, pinned in
+    tests/test_links.py)."""
+    from geocore_spark.operators import links
+
+    return links.pagerank_exact(q_host_links(spark, sf_dir), iters=3)
+
+
+def _sql_pagerank_exact(
+    iters: int = 3,
+    mass: int = 1_000_000_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> str:
+    """Unrolled integer power iteration over the q_host_links edge CTE.
+    Floor (//) and truncating (div) integer division agree because every
+    operand is non-negative; every SUM is cast BIGINT (DuckDB widens to
+    HUGEINT)."""
+    sql = f"""
+WITH pages AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.example.com' AS src_host,
+         'h' || CAST((user_id * 7 + event_id) % 20 AS VARCHAR)
+             || '.example.com' AS dst1,
+         'h' || CAST((user_id + 3) % 20 AS VARCHAR) || '.example.com' AS dst2
+  FROM events
+), hrefs AS (
+  SELECT src_host, dst1 AS dst_host FROM pages
+  UNION ALL
+  SELECT src_host, dst2 AS dst_host FROM pages
+), edges AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS w
+  FROM hrefs WHERE dst_host <> src_host GROUP BY src_host, dst_host
+), ew AS (
+  SELECT e.src_host, e.dst_host, e.w, d.out
+  FROM edges e
+  JOIN (SELECT src_host, CAST(SUM(w) AS BIGINT) AS out
+        FROM edges GROUP BY src_host) d USING (src_host)
+), nodes AS (
+  SELECT src_host AS host FROM edges UNION SELECT dst_host FROM edges
+), params AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST({mass} // COUNT(*) AS BIGINT) AS u0
+  FROM nodes
+), r0 AS (
+  SELECT host, (SELECT u0 FROM params) AS r FROM nodes
+)"""
+    for k in range(1, iters + 1):
+        sql += f""", c{k} AS (
+  SELECT ew.dst_host, CAST(SUM((r.r * ew.w) // ew.out) AS BIGINT) AS s
+  FROM ew JOIN r{k - 1} r ON r.host = ew.src_host GROUP BY ew.dst_host
+), d{k} AS (
+  SELECT CAST((SELECT CAST(SUM(r) AS BIGINT) FROM r{k - 1})
+       - COALESCE((SELECT CAST(SUM(s) AS BIGINT) FROM c{k}), 0)
+       AS BIGINT) AS dang
+), r{k} AS (
+  SELECT n.host,
+         CAST(({damp_den - damp_num} * p.u0
+               + {damp_num} * ((d.dang // p.n) + COALESCE(c.s, 0)))
+              // {damp_den} AS BIGINT) AS r
+  FROM nodes n CROSS JOIN params p CROSS JOIN d{k} d
+  LEFT JOIN c{k} c ON c.dst_host = n.host
+)"""
+    return sql + f"\nSELECT host, r AS rank_micro FROM r{iters}"
+
+
 def q_region_revenue(spark, sf_dir):
     """TPC-H Q5-shaped multi-join aggregate (join-reordering showcase)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -3566,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        "pagerank_exact": q_pagerank_exact,
         "unimax_mix": q_unimax_mix,
         "url_filter": q_url_filter,
         "h3_rollup": q_h3_rollup,
@@ -3628,6 +3701,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _SQL_TOPK,
         "label_dedup": _SQL_LABEL_DEDUP,
         "decile_stats": _SQL_DECILES,
+        "pagerank_exact": _sql_pagerank_exact(),
         "unimax_mix": _SQL_UNIMAX_MIX,
         "url_filter": _sql_url_filter(),
         "union_anti": _SQL_UNION_ANTI,

@@ -352,3 +352,107 @@ def neighborhood_stats(
         )
     finally:
         e.unpersist()
+
+
+def _edge_weights_int(edges: DataFrame, weighted: bool) -> DataFrame:
+    """(src_host, dst_host, w, out) in BIGINT for the exact PageRank —
+    same co-partition/sort discipline as _edge_shares (one up-front
+    exchange on src_host, reused by every iteration), UNPERSISTED (the
+    caller persists)."""
+    w = F.col("n_links").cast("long") if weighted else F.lit(1).cast("long")
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e0 = edges.repartition(n_part, "src_host")
+    out = e0.groupBy("src_host").agg(F.sum(w).alias("out"))
+    return (
+        e0.join(out, "src_host")
+        .select("src_host", "dst_host", w.alias("w"), "out")
+        .sortWithinPartitions("src_host")
+    )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    iters: int = 3,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    mass: int = 1_000_000_000_000,
+    weighted: bool = True,
+) -> DataFrame:
+    """PageRank in exact BIGINT micro-units -> (host, rank_micro).
+
+    Same power iteration as :func:`pagerank`, reformulated so every step
+    is integer arithmetic: a total mass of ``mass`` units is spread
+    uniformly (``mass div N`` per host), each host passes
+    ``(rank * w) div out`` units along each out-edge, and the residue —
+    sink mass plus integer-division dust — is redistributed uniformly
+    each step (``D div N``). Update rule per host::
+
+        r' = ((damp_den - damp_num) * u0
+              + damp_num * (D div N + S)) div damp_den
+
+    with ``u0 = mass div N``, ``S`` = summed in-edge contributions and
+    ``D`` = total mass minus total contributions. Integer sums commute
+    exactly, so the result is independent of partitioning AND bit-exactly
+    reproducible by any engine with 64-bit integer division — the ANSI-SQL
+    oracle replays it with unrolled iterations (floor vs truncating
+    ``div`` agree because every operand is non-negative). The double
+    variant stays the production operator (no per-step div bias); this is
+    the verification-grade twin, and the values agree to ~1/mass
+    relative (pinned in tests).
+
+    Overflow bound: ``rank * w`` <= ``mass * max(n_links)`` must stay
+    below 2^63 — at the default mass, per-edge link counts up to ~9e6.
+    Plan shape matches :func:`pagerank`: edges co-partitioned once,
+    iterations shuffle only the rank vector, state localCheckpoint-ed.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not 0 < damp_num < damp_den:
+        raise ValueError("need 0 < damp_num < damp_den")
+    ew = _edge_weights_int(edges, weighted).persist()
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select("dst_host"))
+        .distinct()
+        .persist()
+    )
+    try:
+        n = nodes.count()
+        if n == 0:
+            return nodes.select(
+                "host", F.lit(0).cast("long").alias("rank_micro")
+            )
+        u0 = mass // n
+        base = (damp_den - damp_num) * u0
+        ranks = nodes.select(
+            "host", F.lit(u0).cast("long").alias("r")
+        ).localCheckpoint(eager=True)
+        for _ in range(iters):
+            contribs = (
+                ranks.join(ew, ranks["host"] == ew["src_host"])
+                .groupBy("dst_host")
+                .agg(F.sum(F.expr("(r * w) div out")).alias("s"))
+                .persist()
+            )
+            live = contribs.agg(
+                F.coalesce(F.sum("s"), F.lit(0).cast("long"))
+            ).collect()[0][0]
+            total = ranks.agg(F.sum("r")).collect()[0][0]
+            dshare = (total - live) // n
+            ranks = (
+                nodes.join(contribs, nodes["host"] == contribs["dst_host"], "left")
+                .select(
+                    "host",
+                    F.expr(
+                        f"CAST(({base} + {damp_num} * ({dshare} + "
+                        f"coalesce(s, CAST(0 AS BIGINT)))) div {damp_den} "
+                        "AS BIGINT)"
+                    ).alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            contribs.unpersist()
+        return ranks.select("host", F.col("r").alias("rank_micro"))
+    finally:
+        ew.unpersist()
+        nodes.unpersist()

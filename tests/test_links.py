@@ -207,3 +207,52 @@ def test_pagerank_uniform_on_cycle(spark):
     )
     got = [r.rank for r in links.pagerank(edges, iters=5).collect()]
     assert all(r == pytest.approx(1 / 3, abs=1e-12) for r in got)
+
+
+def test_pagerank_exact_matches_integer_reference(spark):
+    """pagerank_exact must equal a pure-python replay of the documented
+    integer formula bit-for-bit, and track the double variant to ~1/mass."""
+    from geocore_spark.operators import links
+
+    E = [("a", "b", 2), ("a", "c", 1), ("b", "c", 3), ("c", "a", 1), ("d", "a", 5)]
+    edges = spark.createDataFrame(E, "src_host string, dst_host string, n_links long")
+    got = {r.host: r.rank_micro for r in links.pagerank_exact(edges, iters=3).collect()}
+
+    MASS, DN, DD = 10**12, 85, 100
+    nodes = sorted({s for s, _, _ in E} | {d for _, d, _ in E})
+    n = len(nodes)
+    u0 = MASS // n
+    base = (DD - DN) * u0
+    out: dict[str, int] = {}
+    for s, _, w in E:
+        out[s] = out.get(s, 0) + w
+    r = {v: u0 for v in nodes}
+    for _ in range(3):
+        S = {v: 0 for v in nodes}
+        for s, d, w in E:
+            S[d] += (r[s] * w) // out[s]
+        dsh = (sum(r.values()) - sum(S.values())) // n
+        r = {v: (base + DN * (dsh + S[v])) // DD for v in nodes}
+    assert got == r
+
+    pr = {x.host: x.rank for x in links.pagerank(edges, iters=3).collect()}
+    for v in nodes:
+        assert abs(got[v] / MASS - pr[v]) < 1e-6, (v, got[v] / MASS, pr[v])
+
+
+def test_pagerank_exact_empty_and_validation(spark):
+    from geocore_spark.operators import links
+
+    empty = spark.createDataFrame(
+        [], "src_host string, dst_host string, n_links long"
+    )
+    assert links.pagerank_exact(empty).count() == 0
+    import pytest as _pt
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "src_host string, dst_host string, n_links long"
+    )
+    with _pt.raises(ValueError):
+        links.pagerank_exact(edges, iters=0)
+    with _pt.raises(ValueError):
+        links.pagerank_exact(edges, damp_num=100)
