@@ -1735,6 +1735,83 @@ WITH pages AS (
     return sql + f"\nSELECT host, r AS rank_micro FROM r{iters}"
 
 
+def q_trustrank_exact(spark, sf_dir):
+    """Verification-grade TrustRank: pagerank_exact with the teleport
+    vector restricted to the 5-host whitelist of q_trustrank — seed hosts
+    carry ``mass div n_seed`` teleport units and absorb the residual as
+    ``D div n_seed``, non-seeds get 0 from both, so the seeded run stays
+    pure 64-bit integer arithmetic and the oracle replays it exactly."""
+    from geocore_spark.operators import links
+
+    seeds = spark.createDataFrame(
+        [(f"h{i}.example.com",) for i in range(5)], "host string"
+    )
+    return links.pagerank_exact(q_host_links(spark, sf_dir), iters=3, seeds=seeds)
+
+
+def _sql_trustrank_exact(
+    iters: int = 3,
+    mass: int = 1_000_000_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    n_seed_hosts: int = 5,
+) -> str:
+    """Seeded twin of _sql_pagerank_exact: sflag marks whitelist hosts;
+    teleport and residual terms multiply by sflag."""
+    seed_list = ", ".join(f"'h{i}.example.com'" for i in range(n_seed_hosts))
+    sql = f"""
+WITH pages AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.example.com' AS src_host,
+         'h' || CAST((user_id * 7 + event_id) % 20 AS VARCHAR)
+             || '.example.com' AS dst1,
+         'h' || CAST((user_id + 3) % 20 AS VARCHAR) || '.example.com' AS dst2
+  FROM events
+), hrefs AS (
+  SELECT src_host, dst1 AS dst_host FROM pages
+  UNION ALL
+  SELECT src_host, dst2 AS dst_host FROM pages
+), edges AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS w
+  FROM hrefs WHERE dst_host <> src_host GROUP BY src_host, dst_host
+), ew AS (
+  SELECT e.src_host, e.dst_host, e.w, d.out
+  FROM edges e
+  JOIN (SELECT src_host, CAST(SUM(w) AS BIGINT) AS out
+        FROM edges GROUP BY src_host) d USING (src_host)
+), nodes AS (
+  SELECT src_host AS host FROM edges UNION SELECT dst_host FROM edges
+), nseed AS (
+  SELECT host,
+         CASE WHEN host IN ({seed_list}) THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS sflag
+  FROM nodes
+), params AS (
+  SELECT CAST(SUM(sflag) AS BIGINT) AS nd FROM nseed
+), r0 AS (
+  SELECT host, sflag,
+         CAST(sflag * ({mass} // (SELECT nd FROM params)) AS BIGINT) AS r
+  FROM nseed
+)"""
+    for k in range(1, iters + 1):
+        sql += f""", c{k} AS (
+  SELECT ew.dst_host, CAST(SUM((r.r * ew.w) // ew.out) AS BIGINT) AS s
+  FROM ew JOIN r{k - 1} r ON r.host = ew.src_host GROUP BY ew.dst_host
+), d{k} AS (
+  SELECT CAST((SELECT CAST(SUM(r) AS BIGINT) FROM r{k - 1})
+       - COALESCE((SELECT CAST(SUM(s) AS BIGINT) FROM c{k}), 0)
+       AS BIGINT) AS dang
+), r{k} AS (
+  SELECT n.host, n.sflag,
+         CAST(({damp_den - damp_num} * (n.sflag * ({mass} // p.nd))
+               + {damp_num} * (n.sflag * (d.dang // p.nd)
+                               + COALESCE(c.s, 0)))
+              // {damp_den} AS BIGINT) AS r
+  FROM nseed n CROSS JOIN params p CROSS JOIN d{k} d
+  LEFT JOIN c{k} c ON c.dst_host = n.host
+)"""
+    return sql + f"\nSELECT host, r AS rank_micro FROM r{iters}"
+
+
 def q_region_revenue(spark, sf_dir):
     """TPC-H Q5-shaped multi-join aggregate (join-reordering showcase)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -3639,6 +3716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
         "pagerank_exact": q_pagerank_exact,
+        "trustrank_exact": q_trustrank_exact,
         "unimax_mix": q_unimax_mix,
         "url_filter": q_url_filter,
         "h3_rollup": q_h3_rollup,
@@ -3702,6 +3780,7 @@ def oracle_sql() -> dict[str, str]:
         "label_dedup": _SQL_LABEL_DEDUP,
         "decile_stats": _SQL_DECILES,
         "pagerank_exact": _sql_pagerank_exact(),
+        "trustrank_exact": _sql_trustrank_exact(),
         "unimax_mix": _SQL_UNIMAX_MIX,
         "url_filter": _sql_url_filter(),
         "union_anti": _SQL_UNION_ANTI,

@@ -377,6 +377,7 @@ def pagerank_exact(
     damp_den: int = 100,
     mass: int = 1_000_000_000_000,
     weighted: bool = True,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank in exact BIGINT micro-units -> (host, rank_micro).
 
@@ -400,6 +401,14 @@ def pagerank_exact(
     the verification-grade twin, and the values agree to ~1/mass
     relative (pinned in tests).
 
+    ``seeds`` (a 1-column ``host`` frame) switches the teleport vector to
+    uniform-over-seeds — the exact twin of TrustRank (see
+    :func:`pagerank`): seed hosts carry ``mass div n_seed`` teleport
+    units and receive the residual as ``D div n_seed``; non-seeds get 0
+    from both terms, so the arithmetic stays overflow-safe (no
+    ``D * p`` product ever forms). Seed hosts absent from the graph are
+    ignored; raises if none remain.
+
     Overflow bound: ``rank * w`` <= ``mass * max(n_links)`` must stay
     below 2^63 — at the default mass, per-edge link counts up to ~9e6.
     Plan shape matches :func:`pagerank`: edges co-partitioned once,
@@ -422,11 +431,36 @@ def pagerank_exact(
             return nodes.select(
                 "host", F.lit(0).cast("long").alias("rank_micro")
             )
-        u0 = mass // n
-        base = (damp_den - damp_num) * u0
-        ranks = nodes.select(
-            "host", F.lit(u0).cast("long").alias("r")
-        ).localCheckpoint(eager=True)
+        # teleport vector: (p0, sflag) per host + the residual divisor.
+        # Uniform = every host is a "seed" of the full set, so ONE loop
+        # serves both modes with identical arithmetic.
+        if seeds is None:
+            n_div = n
+            pnodes = nodes.select(
+                "host",
+                F.lit(mass // n).cast("long").alias("p0"),
+                F.lit(1).cast("long").alias("sflag"),
+            ).persist()
+        else:
+            s = seeds.select("host").distinct()
+            flagged = nodes.join(
+                F.broadcast(s.withColumn("__seed", F.lit(1))), "host", "left"
+            ).persist()
+            n_div = flagged.filter(F.col("__seed").isNotNull()).count()
+            if n_div == 0:
+                flagged.unpersist()
+                raise ValueError("no seed host appears in the edge list")
+            sflag = F.when(F.col("__seed").isNotNull(), 1).otherwise(0)
+            pnodes = flagged.select(
+                "host",
+                (sflag * F.lit(mass // n_div)).cast("long").alias("p0"),
+                sflag.cast("long").alias("sflag"),
+            ).persist()
+            pnodes.count()
+            flagged.unpersist()
+        ranks = pnodes.select("host", F.col("p0").alias("r")).localCheckpoint(
+            eager=True
+        )
         for _ in range(iters):
             contribs = (
                 ranks.join(ew, ranks["host"] == ew["src_host"])
@@ -438,15 +472,17 @@ def pagerank_exact(
                 F.coalesce(F.sum("s"), F.lit(0).cast("long"))
             ).collect()[0][0]
             total = ranks.agg(F.sum("r")).collect()[0][0]
-            dshare = (total - live) // n
+            dshare = (total - live) // n_div
             ranks = (
-                nodes.join(contribs, nodes["host"] == contribs["dst_host"], "left")
+                pnodes.join(
+                    contribs, pnodes["host"] == contribs["dst_host"], "left"
+                )
                 .select(
                     "host",
                     F.expr(
-                        f"CAST(({base} + {damp_num} * ({dshare} + "
-                        f"coalesce(s, CAST(0 AS BIGINT)))) div {damp_den} "
-                        "AS BIGINT)"
+                        f"CAST(({damp_den - damp_num} * p0 + {damp_num} * "
+                        f"(sflag * {dshare} + coalesce(s, CAST(0 AS BIGINT)"
+                        f"))) div {damp_den} AS BIGINT)"
                     ).alias("r"),
                 )
                 .localCheckpoint(eager=True)
@@ -456,3 +492,7 @@ def pagerank_exact(
     finally:
         ew.unpersist()
         nodes.unpersist()
+        try:
+            pnodes.unpersist()
+        except NameError:
+            pass

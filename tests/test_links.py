@@ -256,3 +256,30 @@ def test_pagerank_exact_empty_and_validation(spark):
         links.pagerank_exact(edges, iters=0)
     with _pt.raises(ValueError):
         links.pagerank_exact(edges, damp_num=100)
+
+
+def test_pagerank_exact_seeded_matches_double_trustrank(spark):
+    """Seeded pagerank_exact tracks the double TrustRank and keeps all
+    teleport + residual mass on the whitelist (non-seed sinks decay)."""
+    from geocore_spark.operators import links
+
+    E = [("a", "b", 1), ("b", "c", 2), ("c", "a", 1), ("c", "d", 1), ("d", "b", 3)]
+    edges = spark.createDataFrame(E, "src_host string, dst_host string, n_links long")
+    seeds = spark.createDataFrame([("a",), ("b",)], "host string")
+    got = {
+        r.host: r.rank_micro
+        for r in links.pagerank_exact(edges, iters=4, seeds=seeds).collect()
+    }
+    ref = {
+        r.host: r.rank
+        for r in links.pagerank(edges, iters=4, seeds=seeds).collect()
+    }
+    assert set(got) == set(ref)
+    for h in ref:
+        assert abs(got[h] / 1e12 - ref[h]) < 1e-6, (h, got[h] / 1e12, ref[h])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        links.pagerank_exact(
+            edges, seeds=spark.createDataFrame([("zz",)], "host string")
+        )
