@@ -1639,6 +1639,57 @@ def q_host_centrality(spark, sf_dir):
     return stats.orderBy(F.desc("harmonic_centrality"), "host")
 
 
+def _sql_host_centrality(max_dist: int = 3) -> str:
+    """Exact-BFS twin of q_host_centrality: at this graph size (20
+    hosts) the HLL sketches operate in exact mode (pinned vs BFS in
+    tests/test_links.py), so an unrolled reachability closure over the
+    transposed edges reproduces reachable_est exactly, and replaying the
+    operator's incremental double sum ((c1/1 + c2/2) + c3/3, same
+    left-assoc order, exact-integer deltas) reproduces
+    harmonic_centrality bit-for-bit."""
+    sql = """
+WITH pages AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.example.com' AS src_host,
+         'h' || CAST((user_id * 7 + event_id) % 20 AS VARCHAR)
+             || '.example.com' AS dst1,
+         'h' || CAST((user_id + 3) % 20 AS VARCHAR) || '.example.com' AS dst2
+  FROM events
+), hrefs AS (
+  SELECT src_host, dst1 AS dst_host FROM pages
+  UNION ALL
+  SELECT src_host, dst2 AS dst_host FROM pages
+), edges AS (
+  SELECT DISTINCT src_host, dst_host FROM hrefs WHERE dst_host <> src_host
+), redges AS (
+  SELECT dst_host AS s, src_host AS d FROM edges
+), nodes AS (
+  SELECT src_host AS host FROM edges UNION SELECT dst_host FROM edges
+), p0 AS (
+  SELECT host AS v, host AS x FROM nodes
+)"""
+    for k in range(1, max_dist + 1):
+        sql += f""", p{k} AS (
+  SELECT v, x FROM p{k - 1}
+  UNION
+  SELECT r.s AS v, p.x FROM redges r JOIN p{k - 1} p ON p.v = r.d
+)"""
+    for k in range(max_dist + 1):
+        sql += f""", c{k} AS (
+  SELECT v, CAST(COUNT(*) AS DOUBLE) AS n FROM p{k} GROUP BY v
+)"""
+    joins = " ".join(
+        f"JOIN c{k} ON c{k}.v = c0.v" for k in range(1, max_dist + 1)
+    )
+    terms = " + ".join(
+        f"(c{k}.n - c{k - 1}.n) / {float(k)}" for k in range(1, max_dist + 1)
+    )
+    return sql + f"""
+SELECT c0.v AS host,
+       CAST(c{max_dist}.n AS BIGINT) AS reachable_est,
+       ROUND(0.0 + {terms}, 6) AS harmonic_centrality
+FROM c0 {joins}"""
+
+
 def q_trustrank(spark, sf_dir):
     """TrustRank (Gyöngyi et al., VLDB'04) over the synthetic host graph:
     personalized PageRank teleporting only to a 5-host whitelist — the
@@ -3717,6 +3768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-verified by tools/verify_local.py every session) ------------
         "pagerank_exact": q_pagerank_exact,
         "trustrank_exact": q_trustrank_exact,
+        # host_centrality promoted from the rows-only tail: at this graph
+        # size the HLL runs exact, so the BFS-closure SQL twin is a full
+        # value oracle (see _sql_host_centrality)
+        "host_centrality": q_host_centrality,
         "unimax_mix": q_unimax_mix,
         "url_filter": q_url_filter,
         "h3_rollup": q_h3_rollup,
@@ -3768,7 +3823,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_loop": q_classifier_loop,
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,
-        "host_centrality": q_host_centrality,
     }
 
 
@@ -3781,6 +3835,7 @@ def oracle_sql() -> dict[str, str]:
         "decile_stats": _SQL_DECILES,
         "pagerank_exact": _sql_pagerank_exact(),
         "trustrank_exact": _sql_trustrank_exact(),
+        "host_centrality": _sql_host_centrality(),
         "unimax_mix": _SQL_UNIMAX_MIX,
         "url_filter": _sql_url_filter(),
         "union_anti": _SQL_UNION_ANTI,
