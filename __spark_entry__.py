@@ -1690,6 +1690,63 @@ SELECT c0.v AS host,
 FROM c0 {joins}"""
 
 
+def q_components_exact(spark, sf_dir):
+    """Connected components (operators/components.py — the dedup-cluster
+    spine) over a deterministic pair graph: 90 leaf ids hang off 10 hubs,
+    hubs chained into {0,1,2} {3,4,5} {6,7,8} {9} (diameter 5). The
+    label-propagation result (component = min reachable id) is replayed
+    by the oracle as an unrolled transitive-closure doubling (3 rounds
+    cover reach 8) + MIN per node — value-exact, partitioning-free."""
+    from geocore_spark.operators import components
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    leaves = (
+        ev.select((F.col("user_id") % 90 + 10).cast("long").alias("id_a"))
+        .distinct()
+        .withColumn("id_b", (F.col("id_a") % 10).cast("long"))
+    )
+    hubs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 5), (6, 7), (7, 8)],
+        "id_a long, id_b long",
+    )
+    cc = components.connected_components(leaves.unionByName(hubs))
+    return cc.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def _sql_components_exact(doublings: int = 3) -> str:
+    """Unrolled reachability-doubling closure: p0 = edges (symmetrized)
+    + identity; p_{k+1} = p_k composed with itself; MIN over the final
+    pair set = the hash-to-min label."""
+    sql = """
+WITH ks AS MATERIALIZED (
+  SELECT DISTINCT CAST(user_id % 90 + 10 AS BIGINT) AS k FROM events
+), e0 AS MATERIALIZED (
+  SELECT k AS a, CAST(k % 10 AS BIGINT) AS b FROM ks
+  UNION
+  SELECT CAST(a AS BIGINT), CAST(b AS BIGINT)
+  FROM (VALUES (0, 1), (1, 2), (3, 4), (4, 5), (6, 7), (7, 8)) t(a, b)
+), ed AS MATERIALIZED (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+), p0 AS MATERIALIZED (
+  SELECT a AS v, b AS x FROM ed
+  UNION SELECT a, a FROM ed
+  UNION SELECT b, b FROM ed
+)"""
+    for k in range(1, doublings + 1):
+        # MATERIALIZED: each p_k is referenced twice by p_{k+1}; an
+        # inlined CTE would re-expand the whole closure 2^k times
+        sql += f""", p{k} AS MATERIALIZED (
+  SELECT p.v, q.x FROM p{k - 1} p JOIN p{k - 1} q ON p.x = q.v
+  UNION SELECT v, x FROM p{k - 1}
+)"""
+    return sql + f"""
+SELECT v AS node, CAST(MIN(x) AS BIGINT) AS component
+FROM p{doublings} GROUP BY v"""
+
+
 def q_trustrank(spark, sf_dir):
     """TrustRank (Gyöngyi et al., VLDB'04) over the synthetic host graph:
     personalized PageRank teleporting only to a 5-host whitelist — the
@@ -3772,6 +3829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # size the HLL runs exact, so the BFS-closure SQL twin is a full
         # value oracle (see _sql_host_centrality)
         "host_centrality": q_host_centrality,
+        "components_exact": q_components_exact,
         "unimax_mix": q_unimax_mix,
         "url_filter": q_url_filter,
         "h3_rollup": q_h3_rollup,
@@ -3836,6 +3894,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_exact": _sql_pagerank_exact(),
         "trustrank_exact": _sql_trustrank_exact(),
         "host_centrality": _sql_host_centrality(),
+        "components_exact": _sql_components_exact(),
         "unimax_mix": _SQL_UNIMAX_MIX,
         "url_filter": _sql_url_filter(),
         "union_anti": _SQL_UNION_ANTI,
