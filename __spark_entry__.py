@@ -2651,6 +2651,67 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def q_winnow_exact(spark, sf_dir):
+    """Winnowing fingerprints with a bit-exact SQL twin: the rolling
+    k-gram hash is a fixed polynomial over byte values (every per-term
+    product <= 126 * 257^7 < 2^64, so the numpy uint64 kernel computes
+    the exact integers), and the window minimum is a plain frame MIN —
+    both replayable in ANSI SQL (HUGEINT on the oracle side). Restricted
+    to printable-ASCII docs whose normalized form is >= k chars, where
+    Python/Java/RE2 whitespace semantics provably coincide (the general
+    kernel handles anything; the rows-only q_winnow_fingerprints keeps
+    covering the unrestricted path)."""
+    d = _t(spark, sf_dir, "documents")
+    norm_len = F.length(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    )
+    eligible = d.filter(
+        F.col("text").isNotNull()
+        & F.col("text").rlike(r"^[\x20-\x7e]*$")
+        & (norm_len >= 8)
+    )
+    return eligible.select(
+        "doc_id", F.explode(tx.winnow_udf()(F.col("text"))).alias("fp")
+    )
+
+
+def _sql_winnow_exact(k: int = 8, window: int = 4) -> str:
+    """HUGEINT replay of functions/text.winnow_fingerprints: per-term
+    (byte * 257^(k-1-j)) % (2^61-1), summed per k-gram, % again; then
+    MIN over each full window of ``window`` hashes (positions clamped to
+    GREATEST(1, n_kgrams - window + 1) — for short docs the single
+    window covers every hash, matching the kernel's n <= window path);
+    DISTINCT mirrors the kernel's set-of-fingerprints contract."""
+    mod = (1 << 61) - 1
+    powers = [257 ** (k - 1 - j) % mod for j in range(k)]
+    terms = " + ".join(
+        f"CAST(ord(substr(s, p + {j}, 1)) AS HUGEINT) * {powers[j]} % {mod}"
+        for j in range(k)
+    )
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+  FROM documents
+  WHERE text IS NOT NULL AND regexp_matches(text, '^[\\x20-\\x7e]*$')
+), dd AS (
+  SELECT doc_id, s, length(s) AS L FROM d WHERE length(s) >= {k}
+), pos AS (
+  SELECT doc_id, s, L, unnest(generate_series(1, L - {k - 1})) AS p FROM dd
+), g AS (
+  SELECT doc_id, L, p, CAST(({terms}) % {mod} AS BIGINT) AS h FROM pos
+), w AS (
+  SELECT doc_id, L, p,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+           AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp
+FROM w
+WHERE p <= GREATEST(1, L - {k - 1} - {window - 1})"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal image path over REAL encoded payloads: ids cycle
     BMP / PNG (all five scanline filters) / baseline JPEG (4:2:0) /
@@ -3830,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value oracle (see _sql_host_centrality)
         "host_centrality": q_host_centrality,
         "components_exact": q_components_exact,
+        "winnow_exact": q_winnow_exact,
         "unimax_mix": q_unimax_mix,
         "url_filter": q_url_filter,
         "h3_rollup": q_h3_rollup,
@@ -3895,6 +3957,7 @@ def oracle_sql() -> dict[str, str]:
         "trustrank_exact": _sql_trustrank_exact(),
         "host_centrality": _sql_host_centrality(),
         "components_exact": _sql_components_exact(),
+        "winnow_exact": _sql_winnow_exact(),
         "unimax_mix": _SQL_UNIMAX_MIX,
         "url_filter": _sql_url_filter(),
         "union_anti": _SQL_UNION_ANTI,
