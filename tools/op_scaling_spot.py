@@ -160,6 +160,17 @@ from geocore_spark.functions import bpe
 def pipe():
     return len(bpe.word_freq_table(d, top_k=30_000))
 """,
+    # winnowing fingerprints (functions/text.winnow_udf, oracle-backed via
+    # winnow_exact): per-doc numpy rolling-hash kernel in an Arrow batch —
+    # embarrassingly parallel, ceiling = the Python worker pool.
+    "winnow": f"""
+d = spark.read.parquet("{DOCS}")
+from pyspark.sql import functions as F
+from geocore_spark.functions import text as tx
+def pipe():
+    fp = d.select("doc_id", F.explode(tx.winnow_udf()(F.col("text"))).alias("fp"))
+    return fp.agg(F.count(F.lit(1)), F.expr("bit_xor(fp)")).collect()
+""",
     # real-codec media path over 20k mixed BMP/PNG/JPEG/GIF/fake payloads
     # (operators/multimodal.py + jpegcodec + gifcodec) — per-row Python
     # decode in Arrow-batched mapInPandas, embarrassingly parallel: the
@@ -221,6 +232,7 @@ def main() -> None:
         "dup_spans": "200k docs w=8",
         "ntile": "100M rows",
         "bpe_freq": "200k docs top_k=30k",
+        "winnow": "200k docs k=8 w=4",
         "media": "20k payloads",
     }
     entry = {"ts": time.time(), "pinned": True, "ops": {}}
