@@ -283,3 +283,48 @@ def test_pagerank_exact_seeded_matches_double_trustrank(spark):
         links.pagerank_exact(
             edges, seeds=spark.createDataFrame([("zz",)], "host string")
         )
+
+
+def test_pagerank_exact_random_graphs_match_reference(spark):
+    """Three seeded random digraphs (with sinks, multi-edges collapsed,
+    weights 1..5): Spark must equal the pure-python integer replay on
+    every node — the partitioning-independence claim, not just one
+    fixture."""
+    import random
+
+    from geocore_spark.operators import links
+
+    MASS, DN, DD = 10**12, 85, 100
+    for seed in (3, 11, 42):
+        rng = random.Random(seed)
+        n_nodes = rng.randint(6, 14)
+        names = [f"n{i}" for i in range(n_nodes)]
+        pairs = {
+            (rng.choice(names), rng.choice(names))
+            for _ in range(rng.randint(8, 30))
+        }
+        E = [(a, b, rng.randint(1, 5)) for a, b in pairs if a != b]
+        if not E:
+            continue
+        edges = spark.createDataFrame(
+            E, "src_host string, dst_host string, n_links long"
+        )
+        got = {
+            r.host: r.rank_micro
+            for r in links.pagerank_exact(edges, iters=3).collect()
+        }
+        nodes = sorted({s for s, _, _ in E} | {d for _, d, _ in E})
+        n = len(nodes)
+        u0 = MASS // n
+        base = (DD - DN) * u0
+        out: dict[str, int] = {}
+        for s, _, w in E:
+            out[s] = out.get(s, 0) + w
+        r = {v: u0 for v in nodes}
+        for _ in range(3):
+            S = {v: 0 for v in nodes}
+            for s, d, w in E:
+                S[d] += (r[s] * w) // out[s]
+            dsh = (sum(r.values()) - sum(S.values())) // n
+            r = {v: (base + DN * (dsh + S[v])) // DD for v in nodes}
+        assert got == r, f"seed {seed}"
