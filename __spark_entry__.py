@@ -542,6 +542,40 @@ FROM {_EVENT_POINTS_SQL} p
 """
 
 
+def q_zorder_curve(spark, sf_dir):
+    """Z-order layout key (functions/layout.py): Morton-interleave the
+    geocell (ix, iy) quantizer indices at res 19 into one BIGINT curve
+    position — the storage-clustering sort key that makes parquet min/max
+    stats prune 2-D box predicates (the write-side pairing is
+    layout.zorder_layout: repartitionByRange + sortWithinPartitions;
+    locality/pruning evidence in tests/test_layout.py). Pure integer bit
+    arithmetic after the boundary-exact quantizers, so the DuckDB twin
+    replays it value-exactly."""
+    from geocore_spark.functions import layout
+
+    pts = _event_points(spark, sf_dir)
+    return pts.select(
+        "id",
+        tl.cell_ix(F.col("lon"), 19).alias("ix"),
+        tl.cell_iy(F.col("lat"), 19).alias("iy"),
+        layout.zorder_value(F.col("lat"), F.col("lon"), 19).alias("zval"),
+    )
+
+
+def _sql_zorder_curve() -> str:
+    from geocore_spark.functions import layout
+
+    return layout.zorder_sql(
+        "ix",
+        "iy",
+        bits=20,
+        from_clause=f"(SELECT id, {orc.cell_ix_sql('lon', 19)} AS ix, "
+        f"{orc.cell_iy_sql('lat', 19)} AS iy "
+        f"FROM {_EVENT_POINTS_SQL})",
+        carry=["id", "ix", "iy"],
+    )
+
+
 def q_cell_rollup(spark, sf_dir):
     """G1+A3: per-parent-cell point counts (hypertable rollup shape)."""
     pts = _event_points(spark, sf_dir)
@@ -3884,6 +3918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        "zorder_curve": q_zorder_curve,
         "pagerank_exact": q_pagerank_exact,
         "trustrank_exact": q_trustrank_exact,
         # host_centrality promoted from the rows-only tail: at this graph
@@ -3953,6 +3988,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _SQL_TOPK,
         "label_dedup": _SQL_LABEL_DEDUP,
         "decile_stats": _SQL_DECILES,
+        "zorder_curve": _sql_zorder_curve(),
         "pagerank_exact": _sql_pagerank_exact(),
         "trustrank_exact": _sql_trustrank_exact(),
         "host_centrality": _sql_host_centrality(),
