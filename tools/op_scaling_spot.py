@@ -33,6 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOCS = "/tmp/geocore_spot_docs200k.parquet"
 VECS = "/tmp/geocore_spot_vecs20k.parquet"
 MEDIA = "/tmp/geocore_spot_media20k.parquet"
+PTS = "/tmp/geocore_spot_pts10m.parquet"
 
 
 def _pinned(cpus: int) -> list[str]:
@@ -58,6 +59,15 @@ if not os.path.exists("{MEDIA}"):
     from geocore_spark.operators import multimodal as mm
     ids = spark.range(20_000).withColumnRenamed("id", "doc_id")
     mm.synth_encoded_media(ids, kind="image").repartition(16).write.parquet("{MEDIA}")
+if not os.path.exists("{PTS}"):
+    from pyspark.sql import functions as F
+    from geocore_spark.sources.pages import _lat_expr, _lon_expr
+    pts = spark.range(0, 10_000_000, 1, 32).select(
+        F.col("id"),
+        _lat_expr(F.col("id")).alias("lat"),
+        _lon_expr(F.col("id")).alias("lon"),
+    )
+    pts.write.parquet("{PTS}")
 print("materialized")
 """
 
@@ -171,6 +181,20 @@ def pipe():
     fp = d.select("doc_id", F.explode(tx.winnow_udf()(F.col("text"))).alias("fp"))
     return fp.agg(F.count(F.lit(1)), F.expr("bit_xor(fp)")).collect()
 """,
+    # Z-order layout write (functions/layout.zorder_layout): narrow Morton
+    # projection + repartitionByRange + in-partition sort + parquet write —
+    # all JVM; the range shuffle + zstd encode dominate. Times the full
+    # clustering write a table pays once per (re)layout.
+    "zorder": f"""
+from geocore_spark.functions import layout
+d = spark.read.parquet("{PTS}")
+OUT = "/tmp/geocore_spot_zorder_out.parquet"
+def pipe():
+    layout.zorder_layout(d, res=19, n_files=64).write.mode(
+        "overwrite"
+    ).parquet(OUT)
+    return 1
+""",
     # real-codec media path over 20k mixed BMP/PNG/JPEG/GIF/fake payloads
     # (operators/multimodal.py + jpegcodec + gifcodec) — per-row Python
     # decode in Arrow-batched mapInPandas, embarrassingly parallel: the
@@ -234,6 +258,7 @@ def main() -> None:
         "bpe_freq": "200k docs top_k=30k",
         "winnow": "200k docs k=8 w=4",
         "media": "20k payloads",
+        "zorder": "10M pts res=19 64 files",
     }
     entry = {"ts": time.time(), "pinned": True, "ops": {}}
     print("| operator | t(2) s | t(8) s | eff(2->8) |")
