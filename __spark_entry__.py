@@ -576,6 +576,24 @@ def _sql_zorder_curve() -> str:
     )
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Tile-pyramid rollup (operators/pyramid.py): per-cell counts at
+    EVERY resolution 5..9 in one scan — quantize once at res 9, derive
+    coarser cells by integer shift (bit-exact vs re-quantizing: binary-
+    fraction edges, power-of-two scaling commutes with IEEE rounding),
+    explode, one partial-agg shuffle. The hypertable continuous-rollup /
+    map-tile ladder the reference keys one level at a time."""
+    from geocore_spark.operators import pyramid
+
+    return pyramid.tile_pyramid(_event_points(spark, sf_dir), 5, 9)
+
+
+def _sql_tile_pyramid() -> str:
+    from geocore_spark.operators import pyramid
+
+    return pyramid.tile_pyramid_sql(_EVENT_POINTS_SQL, 5, 9)
+
+
 def q_cell_rollup(spark, sf_dir):
     """G1+A3: per-parent-cell point counts (hypertable rollup shape)."""
     pts = _event_points(spark, sf_dir)
@@ -3919,6 +3937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
         "zorder_curve": q_zorder_curve,
+        "tile_pyramid": q_tile_pyramid,
         "pagerank_exact": q_pagerank_exact,
         "trustrank_exact": q_trustrank_exact,
         # host_centrality promoted from the rows-only tail: at this graph
@@ -3989,6 +4008,7 @@ def oracle_sql() -> dict[str, str]:
         "label_dedup": _SQL_LABEL_DEDUP,
         "decile_stats": _SQL_DECILES,
         "zorder_curve": _sql_zorder_curve(),
+        "tile_pyramid": _sql_tile_pyramid(),
         "pagerank_exact": _sql_pagerank_exact(),
         "trustrank_exact": _sql_trustrank_exact(),
         "host_centrality": _sql_host_centrality(),
