@@ -594,6 +594,73 @@ def _sql_tile_pyramid() -> str:
     return pyramid.tile_pyramid_sql(_EVENT_POINTS_SQL, 5, 9)
 
 
+def q_range_join(spark, sf_dir):
+    """Bucketed point-in-interval join (operators/rangejoin.py): every
+    (event value, interval) containment pair via a bucket equi-join +
+    exact post-filter — the no-cartesian range join Spark lacks natively
+    (a bare BETWEEN join compiles to BroadcastNestedLoopJoin). Intervals
+    derive deterministically from every 20th event; the DuckDB twin is
+    the plain theta-join, exact because bucketing never changes the
+    result set (floor is monotone)."""
+    from geocore_spark.operators import rangejoin
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(F.col("event_id").alias("id"), "value").filter(
+        F.col("value").isNotNull()
+    )
+    ivs = ev.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("iv_id"),
+        F.col("value").alias("lo"),
+        (F.col("value") + F.lit(1) + F.col("event_id") % 13).alias("hi"),
+    )
+    out = rangejoin.point_in_interval_join(pts, ivs, "value", bucket_width=8.0)
+    return out.select("id", "iv_id")
+
+
+_SQL_RANGE_JOIN = """
+SELECT p.id AS id, i.iv_id AS iv_id
+FROM (SELECT event_id AS id, value FROM events WHERE value IS NOT NULL) p
+JOIN (SELECT event_id AS iv_id, value AS lo, value + 1 + (event_id % 13) AS hi
+      FROM events WHERE event_id % 20 = 0 AND value IS NOT NULL) i
+  ON p.value >= i.lo AND p.value <= i.hi
+"""
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Bucketed interval-overlap join (operators/rangejoin.py): pairs of
+    deterministic event-derived intervals that overlap, deduped by the
+    proof-bucket rule (a pair is emitted only in the bucket holding
+    max(lo_a, lo_b) — pure filter, no distinct shuffle). Oracle = the
+    theta-join with the well-formedness predicate on both sides."""
+    from geocore_spark.operators import rangejoin
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("iv_id"),
+        F.col("value").alias("lo"),
+        (F.col("value") + F.lit(1) + F.col("event_id") % 13).alias("hi"),
+    )
+    b = ev.filter(F.col("event_id") % 30 == 0).select(
+        F.col("event_id").alias("iv2_id"),
+        F.col("value").alias("lo2"),
+        (F.col("value") + F.lit(2) + F.col("event_id") % 7).alias("hi2"),
+    )
+    out = rangejoin.interval_overlap_join(
+        a, b, ("lo", "hi"), ("lo2", "hi2"), bucket_width=8.0
+    )
+    return out.select("iv_id", "iv2_id")
+
+
+_SQL_INTERVAL_OVERLAP = """
+SELECT a.iv_id AS iv_id, b.iv2_id AS iv2_id
+FROM (SELECT event_id AS iv_id, value AS lo, value + 1 + (event_id % 13) AS hi
+      FROM events WHERE event_id % 20 = 0 AND value IS NOT NULL) a
+JOIN (SELECT event_id AS iv2_id, value AS lo2, value + 2 + (event_id % 7) AS hi2
+      FROM events WHERE event_id % 30 = 0 AND value IS NOT NULL) b
+  ON a.lo <= b.hi2 AND b.lo2 <= a.hi
+"""
+
+
 def q_cell_rollup(spark, sf_dir):
     """G1+A3: per-parent-cell point counts (hypertable rollup shape)."""
     pts = _event_points(spark, sf_dir)
@@ -3938,6 +4005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-verified by tools/verify_local.py every session) ------------
         "zorder_curve": q_zorder_curve,
         "tile_pyramid": q_tile_pyramid,
+        "range_join": q_range_join,
+        "interval_overlap": q_interval_overlap,
         "pagerank_exact": q_pagerank_exact,
         "trustrank_exact": q_trustrank_exact,
         # host_centrality promoted from the rows-only tail: at this graph
@@ -4009,6 +4078,8 @@ def oracle_sql() -> dict[str, str]:
         "decile_stats": _SQL_DECILES,
         "zorder_curve": _sql_zorder_curve(),
         "tile_pyramid": _sql_tile_pyramid(),
+        "range_join": _SQL_RANGE_JOIN,
+        "interval_overlap": _SQL_INTERVAL_OVERLAP,
         "pagerank_exact": _sql_pagerank_exact(),
         "trustrank_exact": _sql_trustrank_exact(),
         "host_centrality": _sql_host_centrality(),
