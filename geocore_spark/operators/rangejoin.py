@@ -13,8 +13,10 @@ volume = points + intervals x (span/width + 1); correctness never
 depends on float rounding because floor(x / w) is monotone — a point
 inside [lo, hi] always lands in one of the interval's buckets.
 
-This is the numeric/timestamp sibling of the cell-bucketed spatial
-joins (operators/spatial_join.py — same decompose-to-equi-join shape
+The join dimension must be numeric (cast timestamps to epoch seconds —
+``F.unix_timestamp``/``.cast("long")`` — upstream; floor-division does
+not apply to TIMESTAMP columns directly). This is the numeric sibling
+of the cell-bucketed spatial joins (operators/spatial_join.py — same decompose-to-equi-join shape
 the engine uses everywhere; reference analogue: the un-keyed
 ST_DWITHIN theta-join at woodgilber/GeoCore modeling/datasets/
 build.py:170-176, which this pattern replaces).

@@ -55,6 +55,15 @@ def main(argv: list[str] | None = None) -> None:
         "text is short (~57 chars, q~0.057) so the default keeps the "
         "gate live without filtering everything — raise for real corpora",
     )
+    ap.add_argument(
+        "--zorder",
+        action="store_true",
+        help="also publish the tiled point table Z-order-clustered "
+        "(functions/layout) with a file-stats manifest (sources/stats) "
+        "and report a sample box-prune — the serving-layout leg. A LEAF "
+        "stage pair: nothing downstream reads it, so toggling it across "
+        "--resume runs never invalidates other snapshots",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("geocore-pipeline")
@@ -155,21 +164,53 @@ def main(argv: list[str] | None = None) -> None:
 
     curated = staged("curate", build_curate)
 
+    layout_prune = None
+    if args.zorder:
+        from geocore_spark.functions import layout
+        from geocore_spark.sources import stats as st
+
+        zres = min(args.res + 6, 30)
+        n_files = spark.sparkContext.defaultParallelism * 2
+
+        def build_layout():
+            # checkpoint.run writes the returned plan, so the range
+            # partition + in-partition sort land in the snapshot files
+            return layout.zorder_layout(tiled, res=zres, n_files=n_files)
+
+        staged("layout", build_layout)
+        layout_dir = os.path.join(args.checkpoint_root, "layout")
+
+        def build_layout_stats():
+            return st.file_stats(spark, layout_dir, ["lat", "lon"])
+
+        lstats = staged("layout_stats", build_layout_stats)
+        # sample box-prune over the NYC mega-cell cluster: the measured
+        # proof the published layout actually skips files
+        _, rep = st.pruned_parquet(
+            spark, layout_dir, lstats,
+            {"lat": (40.0, 42.0), "lon": (-75.0, -73.0)},
+        )
+        layout_prune = {
+            "files_total": rep.files_total,
+            "files_read": rep.files_read,
+            "rows_possible": rep.rows_possible,
+        }
+        log.record("layout_prune", **layout_prune)
+
     log.record("total", seconds=round(time.time() - t_start, 2))
     metrics_path = os.path.join(args.checkpoint_root, "metrics.json")
     with open(metrics_path, "w") as f:
         f.write(log.to_json())
-    print(
-        json.dumps(
-            {
-                "feature_cells": features.count(),
-                "pip_hits": pip.count(),
-                "curated_groups": curated.count(),
-                "metrics": metrics_path,
-                "seconds": round(time.time() - t_start, 2),
-            }
-        )
-    )
+    summary = {
+        "feature_cells": features.count(),
+        "pip_hits": pip.count(),
+        "curated_groups": curated.count(),
+        "metrics": metrics_path,
+        "seconds": round(time.time() - t_start, 2),
+    }
+    if layout_prune is not None:
+        summary["layout_prune"] = layout_prune
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -1,0 +1,52 @@
+"""e2e smoke for jobs/run_pipeline.py --zorder: the layout leaf stages
+publish a clustered snapshot + manifest, the sample box-prune skips
+files, and --resume reproduces the identical prune report without
+recomputing. Subprocess because the job owns its SparkSession."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(ckpt, extra):
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="4",
+               SPARK_GRAFT_DRIVER_MEM="4g")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_pipeline.py"),
+         "--pages", "3000", "--checkpoint-root", ckpt, *extra],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    stages = [ln for ln in out.stdout.splitlines() if ln.startswith("[stage")]
+    return json.loads(lines[-1]), stages
+
+
+def test_pipeline_zorder_leg_and_resume(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    first, _ = _run(ckpt, ["--zorder"])
+    prune = first["layout_prune"]
+    # the NYC mega-cell box must exclude most curve-segment files
+    assert prune["files_read"] < prune["files_total"], prune
+    assert prune["files_total"] >= 8
+
+    # snapshot files are z-sorted (the property compaction must preserve)
+    layout_dir = os.path.join(ckpt, "layout")
+    parts = [f for f in os.listdir(layout_dir)
+             if f.endswith(".parquet") and not f.startswith(("_", "."))]
+    assert parts
+    for f in parts:
+        zv = pq.read_table(os.path.join(layout_dir, f), columns=["zval"])[
+            "zval"
+        ].to_numpy()
+        assert (np.diff(zv) >= 0).all(), f
+
+    second, stages = _run(ckpt, ["--zorder", "--resume"])
+    assert second["layout_prune"] == prune
+    assert stages and all("resumed=True" in s for s in stages)
