@@ -42,6 +42,18 @@ def _bucket(x: Column, width: float) -> Column:
     return F.floor(x / F.lit(float(width))).cast("long")
 
 
+def _finite(x: Column) -> Column:
+    """NULL and NaN are excluded from both sides — NaN would otherwise be
+    poisonous twice over: it casts to bucket 0 (non-ANSI NaN->long), and
+    as an interval bound it makes the bucket span NEGATIVE, which
+    ``sequence`` expands DOWNWARD into garbage buckets. Spark's own
+    comparison rule (NaN sorts above everything) would make [lo, NaN]
+    match every point >= lo, but only in whatever buckets the broken
+    sequence happened to emit — exclusion is the only consistent
+    contract."""
+    return x.isNotNull() & ~F.isnan(x.cast("double"))
+
+
 def point_in_interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -53,8 +65,8 @@ def point_in_interval_join(
 ) -> DataFrame:
     """INNER join: every (point, interval) pair with
     ``lo <= point <= hi`` — all columns of both inputs pass through
-    (disambiguate duplicate names upstream). NULL points/bounds match
-    nothing (SQL comparison semantics). Pick ``bucket_width`` ~ the
+    (disambiguate duplicate names upstream). NULL and NaN points/bounds
+    match nothing (see ``_finite``). Pick ``bucket_width`` ~ the
     typical interval span: one bucket per point, ~2 per interval.
 
     Each point lives in exactly ONE bucket and an interval covers each
@@ -75,7 +87,7 @@ def point_in_interval_join(
             )
         ).cast("long"),
     ).otherwise(n_buckets)
-    iv = intervals.filter(lo.isNotNull() & hi.isNotNull() & (lo <= hi)).withColumn(
+    iv = intervals.filter(_finite(lo) & _finite(hi) & (lo <= hi)).withColumn(
         "__b",
         F.explode(
             F.sequence(
@@ -84,7 +96,7 @@ def point_in_interval_join(
             )
         ),
     )
-    pt = points.filter(F.col(point_col).isNotNull()).withColumn(
+    pt = points.filter(_finite(F.col(point_col))).withColumn(
         "__b", _bucket(F.col(point_col), bucket_width)
     )
     out = pt.join(iv, "__b").filter(
@@ -132,7 +144,7 @@ def interval_overlap_join(
                 )
             ).cast("long"),
         ).otherwise(n)
-        return df.filter(lo.isNotNull() & hi.isNotNull() & (lo <= hi)).withColumn(
+        return df.filter(_finite(lo) & _finite(hi) & (lo <= hi)).withColumn(
             "__b",
             F.explode(
                 F.sequence(_bucket(lo, bucket_width), _bucket(lo, bucket_width) + guard - 1)

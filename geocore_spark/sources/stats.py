@@ -54,19 +54,29 @@ def file_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
     file, i.e. ~800k rows — itself a small DataFrame."""
     if not cols:
         raise ValueError("cols must be non-empty")
+    df = spark.read.parquet(path).select(*cols)
+    float_cols = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in ("double", "float")
+    }
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
+        v = F.col(c)
+        if c in float_cols:
+            # NaN sorts ABOVE every double in Spark, so min/max over a
+            # file holding one NaN become NaN and every range comparison
+            # against them is false — the file would be WRONGLY pruned
+            # despite holding matching finite rows. Exclude NaN from the
+            # extrema and count it like NULL (prune_files keeps files
+            # whose stats are NULL/unknown, so an all-NaN file survives).
+            v = F.when(~F.isnan(v), v)
         aggs += [
-            F.min(c).alias(f"min_{c}"),
-            F.max(c).alias(f"max_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"nnull_{c}"),
+            F.min(v).alias(f"min_{c}"),
+            F.max(v).alias(f"max_{c}"),
+            F.sum(v.isNull().cast("long")).alias(f"nnull_{c}"),
         ]
-    return (
-        spark.read.parquet(path)
-        .select(*cols)
-        .groupBy(F.input_file_name().alias("file"))
-        .agg(*aggs)
-    )
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
 
 
 def prune_files(

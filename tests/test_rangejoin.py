@@ -85,6 +85,33 @@ def test_interval_overlap_matches_naive_and_dedupes(spark):
     assert len(rows) == len(set(rows)), "proof-bucket rule emitted a dup"
 
 
+def test_nan_points_and_bounds_match_nothing(spark):
+    """NaN casts to bucket 0 and makes interval spans NEGATIVE (sequence
+    would count DOWN into garbage buckets) — excluded like NULL."""
+    nan = float("nan")
+    pts = spark.createDataFrame(
+        [Row(pid=1, x=5.0), Row(pid=2, x=nan)]
+    )
+    ivs = spark.createDataFrame(
+        [Row(iid=1, lo=0.0, hi=10.0),
+         Row(iid=2, lo=0.0, hi=nan),   # negative bucket span if unguarded
+         Row(iid=3, lo=nan, hi=10.0)]
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in rj.point_in_interval_join(
+            pts, ivs, "x", bucket_width=4.0
+        ).select("pid", "iid").collect()
+    }
+    assert got == {(1, 1)}
+    out = rj.interval_overlap_join(
+        ivs, ivs.select(F.col("iid").alias("jid"), F.col("lo").alias("lo2"),
+                        F.col("hi").alias("hi2")),
+        bucket_width=4.0,
+    ).select("iid", "jid").collect()
+    assert {(r["iid"], r["jid"]) for r in out} == {(1, 1)}
+
+
 def test_explode_guard_raises(spark):
     pts = spark.createDataFrame([Row(pid=1, x=5.0)])
     wide = spark.createDataFrame([Row(iid=1, lo=0.0, hi=1e9)])

@@ -74,6 +74,23 @@ def test_prune_open_bounds_nulls_and_empty(spark, tmp_path):
         st.file_stats(spark, path, [])
 
 
+def test_nan_rows_do_not_poison_file_stats(spark, tmp_path):
+    """Spark sorts NaN above every double, so an unguarded max() over a
+    file with one NaN row is NaN and every range test against it is
+    false — the file would be WRONGLY pruned despite matching finite
+    rows. NaN is excluded from the extrema (it can never satisfy a
+    range predicate itself)."""
+    path = str(tmp_path / "nan")
+    spark.createDataFrame(
+        [(1, 15.0), (2, float("nan")), (3, 20.0)], "id long, lat double"
+    ).repartition(1).write.parquet(path)
+    stats = st.file_stats(spark, path, ["lat"])
+    row = stats.collect()[0]
+    assert row["min_lat"] == 15.0 and row["max_lat"] == 20.0
+    kept, rep = st.prune_files(stats, {"lat": (10.0, 30.0)})
+    assert rep.files_read == 1  # the regression: unguarded stats read 0
+
+
 def test_all_null_stats_file_is_kept(spark, tmp_path):
     path = str(tmp_path / "an")
     spark.createDataFrame(
