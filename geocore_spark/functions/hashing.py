@@ -126,6 +126,12 @@ def _batch_shingles(
     temp allocation (fresh zeroed pages) costs more than the arithmetic at
     this size.
     """
+    # the inner accumulation adds k terms each < 2^61 WITHOUT intermediate
+    # folds; k <= 7 keeps the sum below 2^64 (8 * 2^61 == 2^64 wraps).
+    # Current callers use k=4/5; a larger shingle width needs a fold per
+    # term, so fail loudly instead of silently wrapping hashes.
+    if k > 7:
+        raise ValueError(f"_batch_shingles supports k <= 7, got {k}")
     mod = _M61
     base = np.uint64(257)
     powers = np.empty(k, dtype=np.uint64)
