@@ -661,6 +661,88 @@ JOIN (SELECT event_id AS iv2_id, value AS lo2, value + 2 + (event_id % 7) AS hi2
 """
 
 
+def _snapshot_table(spark, sf_dir) -> str:
+    """Build (once per session, deterministic) the snapshot-table fixture
+    the two snapshot queries read: orders committed as v1, a merge-on-read
+    DELETE of 'F'-status rows as v2, a mutated-copy append as v3. The
+    content is a pure function of the orders table, so the fixed
+    per-applicationId dir is wiped and rebuilt on first use per session —
+    no mkdtemp accumulation across gate/verify runs."""
+    import shutil
+    import tempfile
+
+    from geocore_spark.sources import snapshots as snap
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snaptable_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
+        "t",
+    )
+    if snap.latest_version(spark, root) == 3:
+        return root  # already built this session (deterministic content)
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders")
+    snap.create_table(spark, root, orders.repartition(4))
+    snap.delete_where(spark, root, F.col("o_orderstatus") == "F")
+    mutated = orders.filter(F.col("o_orderkey") % 9 == 0).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("Z").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    snap.append(spark, root, mutated)
+    return root
+
+
+def q_snapshot_delete(spark, sf_dir):
+    """Merge-on-read row-level DELETE on the snapshot commit log
+    (sources/snapshots.py): v2 recorded (file, row_index) delete vectors
+    for 'F'-status orders — rewrote NOTHING — and the latest read (after
+    a later append of 'Z'-status copies) broadcast-anti-joins them back
+    out. Oracle replays the visible-set algebra on the raw table:
+    surviving originals plus the appended copies. Value-exact because
+    the snapshot read is the identity on surviving rows."""
+    from geocore_spark.sources import snapshots as snap
+
+    root = _snapshot_table(spark, sf_dir)
+    return snap.read_snapshot(spark, root).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+
+
+_SQL_SNAPSHOT_DELETE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderstatus IS DISTINCT FROM 'F'
+UNION ALL
+SELECT o_orderkey + 10000000, o_custkey, 'Z', o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 9 = 0
+"""
+
+
+def q_snapshot_time_travel(spark, sf_dir):
+    """Time travel on the same snapshot table: read VERSION 1 after a
+    delete commit (v2) and an append commit (v3) — the manifest IS the
+    visibility, so v1 must be byte-identical to the original orders
+    table regardless of every later mutation. Oracle = the raw table."""
+    from geocore_spark.sources import snapshots as snap
+
+    root = _snapshot_table(spark, sf_dir)
+    return snap.read_snapshot(spark, root, version=1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+
+
+_SQL_SNAPSHOT_TIME_TRAVEL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders
+"""
+
+
 def q_cell_rollup(spark, sf_dir):
     """G1+A3: per-parent-cell point counts (hypertable rollup shape)."""
     pts = _event_points(spark, sf_dir)
@@ -4003,6 +4085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        "snapshot_delete": q_snapshot_delete,
+        "snapshot_time_travel": q_snapshot_time_travel,
         "zorder_curve": q_zorder_curve,
         "tile_pyramid": q_tile_pyramid,
         "range_join": q_range_join,
@@ -4076,6 +4160,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _SQL_TOPK,
         "label_dedup": _SQL_LABEL_DEDUP,
         "decile_stats": _SQL_DECILES,
+        "snapshot_delete": _SQL_SNAPSHOT_DELETE,
+        "snapshot_time_travel": _SQL_SNAPSHOT_TIME_TRAVEL,
         "zorder_curve": _sql_zorder_curve(),
         "tile_pyramid": _sql_tile_pyramid(),
         "range_join": _SQL_RANGE_JOIN,

@@ -1,0 +1,554 @@
+"""Snapshot table: a versioned commit log over raw parquet, with
+merge-on-read positional deletes — the table-format layer the engine's
+checkpoint/resume story names ("resumable from Iceberg snapshot
+checkpoints") built from public technique (Iceberg/Delta commit-log
+design), owned by the engine because pyspark ships no Iceberg runtime
+jar (see plans/checkpoint.py note).
+
+Layout::
+
+    table/
+      data/<commit-uuid>-partNNN.parquet      immutable once committed
+      deletes/<commit-uuid>-partNNN.parquet   (_gc_file, _gc_pos) rows
+      _log/v00000001.json ...                 one FULL manifest per version
+
+Why this shape survives 100 TB:
+
+- **Visibility = the manifest.** Data files are written (staged, then
+  renamed into ``data/``) BEFORE the manifest commit; the manifest
+  rename is the single atomic step. A crash anywhere earlier leaves
+  orphan files no reader can see — readers always plan from a committed
+  manifest, so every read is a consistent snapshot even while a writer
+  is mid-commit. (Contrast operators/compact.py and operators/upsert.py,
+  which mutate a LIVE parquet dir and can only promise
+  duplicates-not-loss; under the commit log those same rewrites become
+  atomic: new files + new manifest, old files retained for time travel.)
+- **Optimistic concurrency.** The commit rename fails if the version
+  file already exists (Hadoop rename-no-overwrite on HDFS/local; on
+  object stores point the log at a consistent store or a catalog).
+  Append/delete commits rebase onto the new latest and retry; rewrite
+  and rollback refuse to rebase (their file list is a function of the
+  snapshot they read) and raise ``ConcurrentCommit``.
+- **Row-level DELETE without rewriting files** (merge-on-read,
+  Iceberg-v2 positional deletes): :func:`delete_where` evaluates the
+  predicate once and records ``(file, row_index)`` of the victims using
+  Spark's ``_metadata.row_index`` — stable across input splits (pinned
+  by tests on a 25-row-group file read in 7 splits). The reader
+  broadcast-anti-joins the delete vectors; cost is one broadcast of the
+  (bounded) delete set, zero shuffle of the data. At 100 TB a delete
+  batch rewrites NOTHING — the alternative (upsert-style hit-file
+  rewrite) is O(hit file bytes) per batch. When vectors accumulate,
+  :func:`rewrite_files` materializes them (read-minus-deletes, write
+  fresh files, one commit) and the table is delete-free again.
+- **Bounded metadata.** A manifest is one JSON row per live file
+  (~800 k files at 100 TB — tens of MB, same order as any format's
+  manifest). Writing the FULL list per commit is O(files) per commit;
+  Iceberg amortizes this with reusable manifest files + a manifest
+  list — the documented evolution path, not needed at this file count.
+- **Time travel / rollback / expiry.** Every version's manifest is
+  retained until :func:`expire_snapshots` drops it; old data files are
+  deleted only when no retained manifest references them. Rollback is a
+  NEW commit that re-points at an old version's files (history is
+  append-only, Iceberg semantics).
+
+Reference analogue: the reference leans on Snowflake's internal
+versioned micro-partition metadata for all of this (woodgilber/GeoCore
+modeling/datasets/base.py:74-76 CTAS re-creates); here the engine owns
+the log. Composes with sources/stats.py (build the stats manifest from
+a snapshot's live files) and functions/layout.py (pass ``order_col`` to
+``rewrite_files`` to keep a Z-order layout through maintenance).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+# reserved column names inside delete-vector files (never collide with a
+# user schema — readers join on them and drop them before returning rows)
+_DV_FILE = "_gc_file"
+_DV_POS = "_gc_pos"
+_DV_SCHEMA = StructType(
+    [StructField(_DV_FILE, StringType()), StructField(_DV_POS, LongType())]
+)
+
+
+class ConcurrentCommit(RuntimeError):
+    """A non-rebaseable commit (rewrite/rollback) lost the race: another
+    writer committed first and this commit's file list was computed from
+    a snapshot that is no longer latest. Re-run against the new state."""
+
+
+class NoSuchVersion(ValueError):
+    """Requested version has no manifest (never existed, or expired)."""
+
+
+# ---------------------------------------------------------------------------
+# filesystem plumbing (Hadoop FS API: same code on file://, hdfs://, s3a://)
+# ---------------------------------------------------------------------------
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, p, _ = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    fs, p, jvm = _fs(spark, path)
+    stream = fs.open(p)
+    try:
+        return (
+            jvm.org.apache.commons.io.IOUtils.toString(
+                stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+            )
+        )
+    finally:
+        stream.close()
+
+
+def _list_dir(spark: SparkSession, path: str) -> list[tuple[str, int, int]]:
+    """(path, bytes, mtime_ms) per plain file; [] for a missing dir."""
+    fs, p, _ = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            out.append(
+                (st.getPath().toString(), int(st.getLen()), int(st.getModificationTime()))
+            )
+    return sorted(out)
+
+
+def _log_dir(root: str) -> str:
+    return root.rstrip("/") + "/_log"
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return f"{_log_dir(root)}/v{version:08d}.json"
+
+
+def _log_versions(spark: SparkSession, root: str) -> list[int]:
+    fs, p, _ = _fs(spark, _log_dir(root))
+    if not fs.exists(p):
+        return []
+    vs = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            vs.append(int(name[1:-5]))
+    return sorted(vs)
+
+
+def latest_version(spark: SparkSession, root: str) -> int | None:
+    vs = _log_versions(spark, root)
+    return vs[-1] if vs else None
+
+
+def load_manifest(spark: SparkSession, root: str, version: int | None = None) -> dict:
+    if version is None:
+        version = latest_version(spark, root)
+        if version is None:
+            raise NoSuchVersion(f"no committed snapshot at {root}")
+    fs, _, _ = _fs(spark, root)
+    path = _manifest_path(root, version)
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        raise NoSuchVersion(f"version {version} at {root} (never committed or expired)")
+    return json.loads(_read_text(spark, path))
+
+
+def history(spark: SparkSession, root: str) -> list[dict]:
+    """Commit history, oldest first — file LISTS elided to counts (the
+    lists are per-version manifests; history is the summary view)."""
+    out = []
+    for v in _log_versions(spark, root):
+        m = load_manifest(spark, root, v)
+        out.append(
+            {
+                "version": m["version"],
+                "operation": m["operation"],
+                "ts": m["ts"],
+                "n_data_files": len(m["data_files"]),
+                "n_delete_files": len(m["delete_files"]),
+                "rows_changed": m.get("rows_changed"),
+                "source_version": m.get("source_version"),
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# commit protocol
+# ---------------------------------------------------------------------------
+
+
+def _try_commit(spark: SparkSession, root: str, manifest: dict) -> bool:
+    """Stage the manifest JSON, then rename to its version slot — the
+    atomic visibility step. False = lost the race (slot taken)."""
+    version = manifest["version"]
+    fs, _, jvm = _fs(spark, root)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(_log_dir(root)))
+    tmp = f"{_log_dir(root)}/.tmp-{uuid.uuid4().hex}"
+    _write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
+    dest = jvm.org.apache.hadoop.fs.Path(_manifest_path(root, version))
+    if fs.exists(dest):  # cheap pre-check; rename below is the real arbiter
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
+        return False
+    ok = fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dest)
+    if not ok:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
+    return bool(ok)
+
+
+def _commit(spark: SparkSession, root: str, build, rebase: bool, retries: int = 20) -> dict:
+    """Optimistic-concurrency commit loop. ``build(latest_manifest_or_None,
+    next_version) -> manifest dict``; rebaseable commits rebuild from the
+    fresh latest on every attempt, non-rebaseable ones raise on conflict."""
+    for _ in range(retries):
+        latest = latest_version(spark, root)
+        parent = load_manifest(spark, root, latest) if latest is not None else None
+        manifest = build(parent, (latest or 0) + 1)
+        if _try_commit(spark, root, manifest):
+            return manifest
+        if not rebase:
+            raise ConcurrentCommit(
+                f"version {(latest or 0) + 1} at {root} was committed concurrently"
+            )
+    raise ConcurrentCommit(f"gave up after {retries} commit attempts at {root}")
+
+
+def _stage_files(
+    spark: SparkSession, root: str, df: DataFrame, kind: str
+) -> list[str]:
+    """Write ``df`` to a staging dir, then move each part file into
+    ``root/<kind>/`` under a fresh commit uuid. The moved files are
+    ORPHANS (invisible) until a manifest referencing them commits."""
+    fs, _, jvm = _fs(spark, root)
+    cid = uuid.uuid4().hex[:12]
+    staging = f"{root.rstrip('/')}/_staging/{cid}"
+    df.write.mode("overwrite").parquet(staging)
+    dest_dir = f"{root.rstrip('/')}/{kind}"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_dir))
+    final: list[str] = []
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(staging)):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            dest = jvm.org.apache.hadoop.fs.Path(f"{dest_dir}/{cid}-{name}")
+            if not fs.rename(st.getPath(), dest):
+                raise IOError(f"staging rename failed: {name}")
+            # store the fully-qualified URI: delete vectors record
+            # _metadata.file_path (always qualified, e.g. file:/x), and
+            # delete_where's liveness check compares those strings against
+            # the manifest's — one unqualified spelling would break it
+            final.append(fs.makeQualified(dest).toString())
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    return sorted(final)
+
+
+def _count_parquet(spark: SparkSession, paths: list[str]) -> int:
+    """Row count from parquet footers only (aggregate pushdown) — a
+    commit must not cost a data scan just to record its row count."""
+    if not paths:
+        return 0
+    key = "spark.sql.parquet.aggregatePushdown"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        return spark.read.parquet(*paths).count()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+# ---------------------------------------------------------------------------
+# table operations
+# ---------------------------------------------------------------------------
+
+
+def create_table(spark: SparkSession, root: str, df: DataFrame) -> dict:
+    """Commit v1 from ``df``. Fails if the table already has a log."""
+    if latest_version(spark, root) is not None:
+        raise ValueError(f"snapshot table already exists at {root}")
+    files = _stage_files(spark, root, df, "data")
+    rows = _count_parquet(spark, files)
+    schema_json = df.schema.json()
+
+    def build(parent, version):
+        if parent is not None:
+            raise ValueError(f"snapshot table already exists at {root}")
+        return _manifest(version, "create", schema_json, files, [], rows)
+
+    return _commit(spark, root, build, rebase=True)
+
+
+def append(spark: SparkSession, root: str, df: DataFrame) -> dict:
+    """Commit appended files. Rebaseable: a concurrent append/delete wins
+    the slot and this commit retries on top of it — both survive."""
+    base = load_manifest(spark, root)  # schema source + existence check
+    table_schema = StructType.fromJson(json.loads(base["schema"]))
+    # schema enforcement at commit time: a type-mismatched parquet file
+    # (e.g. INT appended onto a BIGINT column) poisons the table — every
+    # later multi-file read fails with PARQUET_COLUMN_DATA_TYPE_MISMATCH.
+    # Reject loudly here; the caller casts deliberately.
+    missing = [f.name for f in table_schema.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"append missing table columns: {missing}")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    bad = [
+        (f.name, str(by_name[f.name]), str(f.dataType))
+        for f in table_schema.fields
+        if by_name[f.name] != f.dataType
+    ]
+    if bad:
+        raise ValueError(
+            "append column types must match the table schema exactly "
+            f"(got, expected): {bad}"
+        )
+    df = df.select(*table_schema.fieldNames())
+    files = _stage_files(spark, root, df, "data")
+    rows = _count_parquet(spark, files)
+
+    def build(parent, version):
+        return _manifest(
+            version,
+            "append",
+            parent["schema"],
+            parent["data_files"] + files,
+            parent["delete_files"],
+            rows,
+        )
+
+    return _commit(spark, root, build, rebase=True)
+
+
+def _read_with_pos(spark: SparkSession, manifest: dict) -> DataFrame:
+    """Snapshot rows + (_gc_file, _gc_pos) provenance, existing delete
+    vectors already applied — the shared core of read and delete."""
+    data = manifest["data_files"]
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not data:
+        base = spark.createDataFrame([], schema)
+        return base.withColumn(_DV_FILE, F.lit(None).cast("string")).withColumn(
+            _DV_POS, F.lit(None).cast("long")
+        )
+    df = spark.read.parquet(*data).select(
+        "*",
+        F.col("_metadata.file_path").alias(_DV_FILE),
+        F.col("_metadata.row_index").alias(_DV_POS),
+    )
+    if manifest["delete_files"]:
+        dv = spark.read.parquet(*manifest["delete_files"])
+        # broadcast the bounded delete set: zero shuffle of the data side
+        df = df.join(F.broadcast(dv), on=[_DV_FILE, _DV_POS], how="left_anti")
+    return df
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The table as of ``version`` (default latest): exactly the files
+    that manifest lists, minus its delete vectors. Plans only from
+    committed state — concurrent writers are invisible."""
+    m = load_manifest(spark, root, version)
+    return _read_with_pos(spark, m).drop(_DV_FILE, _DV_POS)
+
+
+def delete_where(
+    spark: SparkSession, root: str, condition: Column | str
+) -> tuple[dict | None, int]:
+    """Merge-on-read DELETE: record (file, row_index) of rows matching
+    ``condition`` in the CURRENT snapshot as a delete-vector commit.
+    Rewrites nothing. Positions are frozen at evaluation time and name
+    specific files, so later appends are naturally unaffected. Returns
+    (manifest, rows_deleted); no commit when nothing matches.
+
+    Rebaseable: on a lost race the SAME vectors re-commit on top of the
+    new latest — sound vs concurrent appends (new files aren't named
+    here) and concurrent deletes (vectors union; duplicates are
+    anti-join no-ops). A concurrent REWRITE conflicts (it may have
+    dropped the named files); that race loses loudly instead: the rebase
+    checks every named file is still live."""
+    if isinstance(condition, str):
+        condition = F.expr(condition)
+    m = load_manifest(spark, root)
+    victims = (
+        _read_with_pos(spark, m)
+        .filter(condition)
+        .select(F.col(_DV_FILE), F.col(_DV_POS))
+    )
+    files = _stage_files(spark, root, victims.repartition(1), "deletes")
+    n = _count_parquet(spark, files)
+    if n == 0:
+        fs, _, jvm = _fs(spark, root)
+        for f in files:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+        return None, 0
+    named = {r[0] for r in spark.read.parquet(*files).select(_DV_FILE).distinct().collect()}
+
+    def build(parent, version):
+        live = set(parent["data_files"])
+        gone = named - live
+        if gone:
+            raise ConcurrentCommit(
+                f"delete targets files no longer live (concurrent rewrite?): "
+                f"{sorted(gone)[:3]}..."
+            )
+        return _manifest(
+            version,
+            "delete",
+            parent["schema"],
+            parent["data_files"],
+            parent["delete_files"] + files,
+            -n,
+        )
+
+    return _commit(spark, root, build, rebase=True), n
+
+
+def rewrite_files(
+    spark: SparkSession,
+    root: str,
+    n_files: int | None = None,
+    order_col: str | None = None,
+) -> dict:
+    """Materialize: read the current snapshot (deletes applied), write
+    fresh data files, commit a delete-free manifest. The compaction /
+    delete-vector-absorption / re-clustering move — old files stay on
+    disk for time travel until expire_snapshots. ``order_col``: range-
+    partition + sort (keeps a Z-order layout, functions/layout.py).
+    Non-rebaseable: raises ConcurrentCommit if anyone commits first."""
+    m = load_manifest(spark, root)
+    cur = _read_with_pos(spark, m).drop(_DV_FILE, _DV_POS)
+    n_out = n_files or max(1, len(m["data_files"]))
+    if order_col is not None:
+        out = cur.repartitionByRange(n_out, F.col(order_col)).sortWithinPartitions(
+            order_col
+        )
+    else:
+        out = cur.repartition(n_out)
+    files = _stage_files(spark, root, out, "data")
+    rows = _count_parquet(spark, files)
+
+    def build(parent, version):
+        return _manifest(version, "rewrite", m["schema"], files, [], rows)
+
+    return _commit(spark, root, build, rebase=False)
+
+
+def rollback(spark: SparkSession, root: str, version: int) -> dict:
+    """Commit a NEW version re-pointing at ``version``'s exact file
+    lists (history stays append-only; the bad commits remain inspectable
+    until expired). Requires the target manifest to still exist."""
+    target = load_manifest(spark, root, version)
+
+    def build(parent, new_version):
+        return dict(
+            _manifest(
+                new_version,
+                "rollback",
+                target["schema"],
+                target["data_files"],
+                target["delete_files"],
+                None,
+            ),
+            source_version=version,
+        )
+
+    return _commit(spark, root, build, rebase=False)
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 2,
+    gc_orphans: bool = False,
+    orphan_grace_sec: int = 86400,
+) -> dict:
+    """Drop all but the last ``keep_last`` manifests and delete data /
+    delete files no retained manifest references. Time travel to an
+    expired version raises NoSuchVersion afterwards.
+
+    ``gc_orphans``: also remove files referenced by NO manifest at all
+    (crash debris from aborted commits) — but only when older than
+    ``orphan_grace_sec``, because an in-flight commit's files are
+    indistinguishable from debris until its manifest lands. Default off;
+    run with the grace window in maintenance jobs, grace 0 only in tests.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _log_versions(spark, root)
+    if not versions:
+        raise NoSuchVersion(f"no committed snapshot at {root}")
+    keep = set(versions[-keep_last:])
+    retained_refs: set[str] = set()
+    expired_refs: set[str] = set()
+    for v in versions:
+        m = load_manifest(spark, root, v)
+        refs = set(m["data_files"]) | set(m["delete_files"])
+        if v in keep:
+            retained_refs |= refs
+        else:
+            expired_refs |= refs
+
+    fs, _, jvm = _fs(spark, root)
+    removed_files = 0
+    now_ms = int(time.time() * 1000)
+    for kind in ("data", "deletes"):
+        for path, _, mtime in _list_dir(spark, f"{root.rstrip('/')}/{kind}"):
+            if path in retained_refs:
+                continue
+            if path in expired_refs or (
+                gc_orphans and now_ms - mtime >= orphan_grace_sec * 1000
+            ):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(path), False)
+                removed_files += 1
+    removed_manifests = 0
+    for v in versions:
+        if v not in keep:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(root, v)), False)
+            removed_manifests += 1
+    if gc_orphans:
+        staging = jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/_staging")
+        if fs.exists(staging):
+            for st in fs.listStatus(staging):
+                if now_ms - int(st.getModificationTime()) >= orphan_grace_sec * 1000:
+                    fs.delete(st.getPath(), True)
+    return {"removed_manifests": removed_manifests, "removed_files": removed_files}
+
+
+def _manifest(
+    version: int,
+    operation: str,
+    schema_json: str,
+    data_files: list[str],
+    delete_files: list[str],
+    rows_changed: int | None,
+) -> dict:
+    return {
+        "version": version,
+        "operation": operation,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "schema": schema_json,
+        "data_files": sorted(data_files),
+        "delete_files": sorted(delete_files),
+        "rows_changed": rows_changed,
+    }

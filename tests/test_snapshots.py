@@ -1,0 +1,267 @@
+"""Snapshot commit log (sources/snapshots.py): versioned reads, MoR
+positional deletes, atomic visibility, rollback, expiry.
+
+The load-bearing physics pinned here:
+
+- ``_metadata.row_index`` is the row's index within its FILE and is
+  stable however Spark splits that file across tasks — the delete
+  vectors depend on it (test_row_index_split_stable uses a 25-row-group
+  file read in many splits).
+- Visibility is the manifest rename: files present under data/ but
+  referenced by no manifest are invisible to readers (atomicity test).
+
+Reference analogue: the snapshot/versioned-table semantics the
+reference gets from Snowflake (woodgilber/GeoCore
+modeling/datasets/base.py:74-76 CTAS + warehouse time travel).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geocore_spark.sources import snapshots as snap
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _mk(spark, root, n=400, parts=4):
+    df = (
+        spark.range(0, n)
+        .withColumn("grp", F.col("id") % 7)
+        .withColumn("v", F.col("id") * 3)
+    )
+    snap.create_table(spark, root, df.repartition(parts))
+    return df
+
+
+def test_create_read_roundtrip(spark, root):
+    _mk(spark, root)
+    got = snap.read_snapshot(spark, root)
+    assert got.count() == 400
+    assert sorted(r["id"] for r in got.collect()) == list(range(400))
+    m = snap.load_manifest(spark, root)
+    assert m["version"] == 1 and m["operation"] == "create"
+    assert len(m["data_files"]) == 4 and m["rows_changed"] == 400
+
+
+def test_create_twice_raises(spark, root):
+    _mk(spark, root)
+    with pytest.raises(ValueError, match="already exists"):
+        snap.create_table(spark, root, spark.range(3))
+
+
+def test_delete_where_merge_on_read(spark, root):
+    _mk(spark, root)
+    m, n = snap.delete_where(spark, root, F.col("grp") == 3)
+    assert n == 57  # ids ≡ 3 (mod 7) in [0, 400)
+    cur = snap.read_snapshot(spark, root)
+    assert cur.count() == 400 - n
+    assert cur.filter(F.col("grp") == 3).count() == 0
+    # MoR: the delete rewrote NOTHING — v1's data files are still the
+    # live files, the commit only added a delete vector
+    m1 = snap.load_manifest(spark, root, 1)
+    assert m["data_files"] == m1["data_files"]
+    assert len(m["delete_files"]) == 1
+    # time travel to v1 sees the pre-delete table
+    assert snap.read_snapshot(spark, root, 1).count() == 400
+
+
+def test_delete_positions_are_frozen_per_file(spark, root):
+    """A delete names (file, pos) of files live at delete time; rows
+    appended LATER that match the same predicate are untouched."""
+    _mk(spark, root)
+    snap.delete_where(spark, root, "grp = 3")
+    extra = spark.range(400, 450).select(
+        "id", F.lit(3).cast("long").alias("grp"), (F.col("id") * 3).alias("v")
+    )
+    snap.append(spark, root, extra)
+    cur = snap.read_snapshot(spark, root)
+    assert cur.filter("grp = 3").count() == 50  # all appended, none original
+
+
+def test_second_delete_spans_both_commits(spark, root):
+    _mk(spark, root)
+    snap.append(
+        spark,
+        root,
+        spark.range(400, 500).select(
+            "id", (F.col("id") % 7).alias("grp"), (F.col("id") * 3).alias("v")
+        ),
+    )
+    _, n = snap.delete_where(spark, root, "id % 10 = 0")
+    assert n == 50
+    assert snap.read_snapshot(spark, root).filter("id % 10 = 0").count() == 0
+    assert snap.read_snapshot(spark, root).count() == 450
+
+
+def test_append_schema_enforced(spark, root):
+    _mk(spark, root)
+    bad_type = spark.range(3).withColumn("grp", F.lit(1)).withColumn("v", F.lit(1))
+    with pytest.raises(ValueError, match="types must match"):
+        snap.append(spark, root, bad_type)
+    with pytest.raises(ValueError, match="missing table columns"):
+        snap.append(spark, root, spark.range(3))
+    # column ORDER is normalized, not rejected
+    ok = spark.range(400, 410).select(
+        (F.col("id") * 3).alias("v"), "id", (F.col("id") % 7).alias("grp")
+    )
+    snap.append(spark, root, ok)
+    assert snap.read_snapshot(spark, root).count() == 410
+
+
+def test_rewrite_materializes_deletes(spark, root):
+    _mk(spark, root)
+    snap.delete_where(spark, root, "grp = 0")
+    before = sorted(r["id"] for r in snap.read_snapshot(spark, root).collect())
+    m = snap.rewrite_files(spark, root, n_files=2, order_col="id")
+    assert m["delete_files"] == [] and len(m["data_files"]) == 2
+    after = sorted(r["id"] for r in snap.read_snapshot(spark, root).collect())
+    assert before == after
+    # pre-rewrite versions still time-travel (old files retained)
+    assert snap.read_snapshot(spark, root, 1).count() == 400
+
+
+def test_rollback_is_a_new_commit(spark, root):
+    _mk(spark, root)
+    snap.delete_where(spark, root, "grp = 1")
+    n2 = snap.read_snapshot(spark, root).count()
+    snap.append(
+        spark,
+        root,
+        spark.range(400, 420).select(
+            "id", (F.col("id") % 7).alias("grp"), (F.col("id") * 3).alias("v")
+        ),
+    )
+    m = snap.rollback(spark, root, 2)
+    assert m["version"] == 4 and m["source_version"] == 2
+    assert snap.read_snapshot(spark, root).count() == n2
+    # history is append-only: the rolled-over append is still inspectable
+    assert [h["operation"] for h in snap.history(spark, root)] == [
+        "create",
+        "delete",
+        "append",
+        "rollback",
+    ]
+
+
+def test_expire_drops_old_versions_and_files(spark, root):
+    _mk(spark, root)
+    snap.delete_where(spark, root, "grp = 2")
+    snap.rewrite_files(spark, root, n_files=2)
+    rep = snap.expire_snapshots(spark, root, keep_last=1)
+    assert rep["removed_manifests"] == 2
+    # v1's 4 data files + v2's delete vector are unreferenced now
+    assert rep["removed_files"] == 5
+    assert snap.read_snapshot(spark, root).count() == 400 - 57
+    with pytest.raises(snap.NoSuchVersion):
+        snap.read_snapshot(spark, root, 1)
+
+
+def test_orphans_invisible_then_gced(spark, root):
+    """Crash contract: files land in data/ BEFORE the manifest commit, so
+    a crash in between leaves orphans no reader sees; gc_orphans with the
+    grace window elapsed removes them."""
+    _mk(spark, root)
+    orphan = spark.range(900, 950).select(
+        "id", (F.col("id") % 7).alias("grp"), (F.col("id") * 3).alias("v")
+    )
+    snap._stage_files(spark, root, orphan, "data")  # no manifest commit
+    assert snap.read_snapshot(spark, root).count() == 400  # invisible
+    rep = snap.expire_snapshots(
+        spark, root, keep_last=1, gc_orphans=True, orphan_grace_sec=0
+    )
+    assert rep["removed_files"] > 0
+    assert snap.read_snapshot(spark, root).count() == 400
+    # nothing left in data/ beyond the referenced files
+    m = snap.load_manifest(spark, root)
+    on_disk = {p for p, _, _ in snap._list_dir(spark, root + "/data")}
+    assert on_disk == set(m["data_files"])
+
+
+def test_optimistic_retry_rebases_append(spark, root):
+    _mk(spark, root)
+    nxt = snap.latest_version(spark, root) + 1
+    fake = dict(snap.load_manifest(spark, root), version=nxt, operation="append")
+    assert snap._try_commit(spark, root, fake)  # occupy the slot
+    m = snap.append(
+        spark,
+        root,
+        spark.range(400, 410).select(
+            "id", (F.col("id") % 7).alias("grp"), (F.col("id") * 3).alias("v")
+        ),
+    )
+    assert m["version"] == nxt + 1  # retried past the occupied slot
+    assert snap.read_snapshot(spark, root).count() == 410
+
+
+def test_noop_delete_commits_nothing(spark, root):
+    _mk(spark, root)
+    m, n = snap.delete_where(spark, root, "id < 0")
+    assert m is None and n == 0
+    assert snap.latest_version(spark, root) == 1
+    # and the staged-then-discarded empty vector left no debris
+    assert snap._list_dir(spark, root + "/deletes") == []
+
+
+def test_fully_deleted_table_keeps_schema(spark, root):
+    _mk(spark, root, n=50, parts=1)
+    _, n = snap.delete_where(spark, root, F.lit(True))
+    assert n == 50
+    got = snap.read_snapshot(spark, root)
+    assert got.count() == 0
+    assert got.columns == ["id", "grp", "v"]
+
+
+def test_row_index_split_stable(spark, root):
+    """One 100k-row file with ~25 row groups, read under a tiny
+    maxPartitionBytes so Spark splits it across many tasks: positions
+    recorded by a delete must hit exactly the predicate's rows."""
+    df = spark.range(0, 100_000).withColumn("v", F.col("id") * 2)
+    staged = str(os.path.dirname(root)) + "/_bigfile"
+    (
+        df.coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024)
+        .parquet(staged)
+    )
+    big = spark.read.parquet(staged)
+    snap.create_table(spark, root, big.coalesce(1))
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024))
+    try:
+        n_parts = snap.read_snapshot(spark, root).rdd.getNumPartitions()
+        assert n_parts > 4  # the file really is split
+        _, n = snap.delete_where(spark, root, "id % 1000 = 7")
+        assert n == 100
+        cur = snap.read_snapshot(spark, root)
+        assert cur.count() == 99_900
+        assert cur.filter("id % 1000 = 7").count() == 0
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_mor_read_plan_broadcasts_delete_vectors(spark, root):
+    """The reader must broadcast the (bounded) delete set and anti-join —
+    never shuffle the data side on (file, pos)."""
+    _mk(spark, root)
+    snap.delete_where(spark, root, "grp = 5")
+    plan = (
+        snap.read_snapshot(spark, root)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_manifest_is_sorted_deterministic_json(spark, root):
+    _mk(spark, root)
+    raw = snap._read_text(spark, snap._manifest_path(root, 1))
+    m = json.loads(raw)
+    assert m["data_files"] == sorted(m["data_files"])
+    assert raw == json.dumps(m, sort_keys=True)
