@@ -88,22 +88,24 @@ def upsert_by_key(
 
     if key_stats is None:
         key_stats = st.file_stats(spark, path, [key_col])
-    frows = key_stats.select(
-        "file", f"min_{key_col}", f"max_{key_col}"
-    ).collect()
+    frows = [
+        (st.decode_file_url(r["file"]), r[f"min_{key_col}"], r[f"max_{key_col}"])
+        for r in key_stats.select(
+            "file", f"min_{key_col}", f"max_{key_col}"
+        ).collect()
+    ]
     keys = np.array(
         sorted(r[0] for r in updates.select(key_col).collect())
     )
 
     hit, missed_all = [], True
-    for r in frows:
-        lo, hi = r[f"min_{key_col}"], r[f"max_{key_col}"]
+    for f, lo, hi in frows:
         if lo is None or hi is None:
-            hit.append(r["file"])  # unknown stats: conservative
+            hit.append(f)  # unknown stats: conservative
             continue
         i = np.searchsorted(keys, lo, side="left")
         if i < len(keys) and keys[i] <= hi:
-            hit.append(r["file"])
+            hit.append(f)
 
     fs, _, jvm = _fs(spark, path)
     tmp_root = path.rstrip("/") + "__upsert_tmp"

@@ -200,21 +200,29 @@ def history(spark: SparkSession, root: str) -> list[dict]:
 
 
 def _try_commit(spark: SparkSession, root: str, manifest: dict) -> bool:
-    """Stage the manifest JSON, then rename to its version slot — the
-    atomic visibility step. False = lost the race (slot taken)."""
+    """Stage the manifest JSON, rename to its version slot, then read the
+    slot back and check OUR commit uuid is the one that landed. The
+    read-back matters: HDFS rename refuses an existing destination, but
+    LocalFS (POSIX rename) and object-store renames OVERWRITE — two
+    racers could both "succeed" with the last writer silently clobbering
+    the first. Last-writer-wins plus loser-detects-and-retries makes the
+    protocol lose no commit on any filesystem: whichever uuid the slot
+    holds wins, everyone else returns False and rebases."""
     version = manifest["version"]
+    manifest = dict(manifest, commit_uuid=uuid.uuid4().hex)
     fs, _, jvm = _fs(spark, root)
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(_log_dir(root)))
-    tmp = f"{_log_dir(root)}/.tmp-{uuid.uuid4().hex}"
+    tmp = f"{_log_dir(root)}/.tmp-{manifest['commit_uuid']}"
     _write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
     dest = jvm.org.apache.hadoop.fs.Path(_manifest_path(root, version))
-    if fs.exists(dest):  # cheap pre-check; rename below is the real arbiter
+    if fs.exists(dest):  # cheap pre-check: don't clobber a visible commit
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
         return False
-    ok = fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dest)
-    if not ok:
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dest):
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
-    return bool(ok)
+        return False
+    landed = json.loads(_read_text(spark, _manifest_path(root, version)))
+    return landed.get("commit_uuid") == manifest["commit_uuid"]
 
 
 def _commit(spark: SparkSession, root: str, build, rebase: bool, retries: int = 20) -> dict:
@@ -402,7 +410,14 @@ def delete_where(
         for f in files:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
         return None, 0
-    named = {r[0] for r in spark.read.parquet(*files).select(_DV_FILE).distinct().collect()}
+    # _DV_FILE holds _metadata.file_path (URI-escaped); manifests hold the
+    # decoded Hadoop rendering — decode before the liveness comparison
+    from geocore_spark.sources.stats import decode_file_url
+
+    named = {
+        decode_file_url(r[0])
+        for r in spark.read.parquet(*files).select(_DV_FILE).distinct().collect()
+    }
 
     def build(parent, version):
         live = set(parent["data_files"])
@@ -533,6 +548,86 @@ def expire_snapshots(
                 if now_ms - int(st.getModificationTime()) >= orphan_grace_sec * 1000:
                     fs.delete(st.getPath(), True)
     return {"removed_manifests": removed_manifests, "removed_files": removed_files}
+
+
+def snapshot_file_stats(
+    spark: SparkSession, root: str, cols: list[str], version: int | None = None
+) -> "DataFrame":
+    """sources/stats.file_stats over exactly a snapshot's LIVE data files
+    — building stats on the directory would also profile expired files
+    and commit debris. Deletes are MoR, so stats stay conservative: a
+    file whose matching rows are all tombstoned is still read and the
+    vectors drop its rows (pruning bounds I/O, the read owns
+    correctness, same contract as sources/stats.py)."""
+    from geocore_spark.sources import stats as st
+
+    m = load_manifest(spark, root, version)
+    if not m["data_files"]:
+        raise ValueError("snapshot has no data files to profile")
+    return st.file_stats(spark, m["data_files"], cols)
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    root: str,
+    stats: DataFrame,
+    ranges: dict[str, tuple],
+    version: int | None = None,
+):
+    """Stats-pruned snapshot read: plan only the live files whose
+    [min, max] intersect ``ranges``, then apply the version's delete
+    vectors (vector rows for pruned-away files are anti-join no-ops).
+    Returns (DataFrame, PruneReport); the caller still applies the real
+    predicate. The manifest+stats pair is the full Iceberg-style planning
+    path: no directory listing, no data-file footer reads, bounded
+    driver state. ``stats`` must cover every live file of the version
+    being read (build with :func:`snapshot_file_stats` after commits) —
+    a stale manifest raises instead of silently skipping unprofiled
+    files or reading expired ones."""
+    from geocore_spark.sources import stats as st
+
+    m = load_manifest(spark, root, version)
+    live = set(m["data_files"])
+    # one evaluation of the (possibly lazily-built) stats frame serves
+    # the coverage check, the prune and the report
+    stats = stats.persist()
+    try:
+        profiled = {
+            st.decode_file_url(r["file"]) for r in stats.select("file").collect()
+        }
+        missing = live - profiled
+        if missing:
+            raise ValueError(
+                f"stats manifest is stale: {len(missing)} live files "
+                f"unprofiled (rebuild with snapshot_file_stats), e.g. "
+                f"{sorted(missing)[:2]}"
+            )
+        kept_all, _ = st.prune_files(stats, ranges)
+        kept_set = set(kept_all) & live  # drop files expired since profiling
+        kept = sorted(kept_set)
+        rep = st.PruneReport(
+            files_total=len(live),
+            files_read=len(kept),
+            rows_possible=sum(
+                r["n_rows"]
+                for r in stats.select("file", "n_rows").collect()
+                if st.decode_file_url(r["file"]) in kept_set
+            ),
+        )
+    finally:
+        stats.unpersist()
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not kept:
+        return spark.createDataFrame([], schema), rep
+    df = spark.read.parquet(*kept).select(
+        "*",
+        F.col("_metadata.file_path").alias(_DV_FILE),
+        F.col("_metadata.row_index").alias(_DV_POS),
+    )
+    if m["delete_files"]:
+        dv = spark.read.parquet(*m["delete_files"])
+        df = df.join(F.broadcast(dv), on=[_DV_FILE, _DV_POS], how="left_anti")
+    return df.drop(_DV_FILE, _DV_POS), rep
 
 
 def _manifest(

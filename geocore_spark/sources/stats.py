@@ -34,6 +34,7 @@ owned by the engine.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,15 +47,35 @@ class PruneReport:
     rows_possible: int  # sum of n_rows over kept files (scan upper bound)
 
 
-def file_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+def decode_file_url(s: str) -> str:
+    """Decode a ``_metadata.file_path`` / ``input_file_name`` URI into the
+    true filesystem path (Hadoop ``Path.toString`` rendering). Spark
+    URI-escapes special characters (``t t`` -> ``t%20t``) in those
+    columns; comparing or opening the escaped string breaks on any path
+    holding a space/%/# — unquote() inverts the escaping exactly (a
+    literal ``%`` arrives double-escaped as ``%25``)."""
+    return unquote(s)
+
+
+def file_stats(
+    spark: SparkSession, path: str | list[str], cols: list[str]
+) -> DataFrame:
     """Per-file stats table: ``(file, n_rows, min_<c>, max_<c>, nnull_<c>
     per col)`` — one distributed column-pruned scan, one tiny aggregate
     keyed by file name. Persist it next to the table (parquet/JSON) and
     rebuild after writes; at 100 TB the stats table is ~one row per
-    file, i.e. ~800k rows — itself a small DataFrame."""
+    file, i.e. ~800k rows — itself a small DataFrame. ``path`` may be a
+    directory or an explicit file list (e.g. a snapshot manifest's live
+    files — sources/snapshots.snapshot_file_stats)."""
     if not cols:
         raise ValueError("cols must be non-empty")
-    df = spark.read.parquet(path).select(*cols)
+    paths = [path] if isinstance(path, str) else list(path)
+    # key by _metadata.file_path (not input_file_name: that renders
+    # file:/// where Hadoop/_metadata render file:/ — one table, two
+    # spellings); driver-side consumers decode_file_url() at collect time
+    df = spark.read.parquet(*paths).select(
+        F.col("_metadata.file_path").alias("__file"), *cols
+    )
     float_cols = {
         f.name
         for f in df.schema.fields
@@ -76,7 +97,7 @@ def file_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
             F.max(v).alias(f"max_{c}"),
             F.sum(v.isNull().cast("long")).alias(f"nnull_{c}"),
         ]
-    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+    return df.groupBy(F.col("__file").alias("file")).agg(*aggs)
 
 
 def prune_files(
@@ -96,7 +117,7 @@ def prune_files(
         # NULL min/max (all-null file) -> condition NULL -> keep via coalesce
         cond = cond & F.coalesce(col_ok, F.lit(True))
     rows = stats.select("file", "n_rows", cond.alias("__keep")).collect()
-    kept = [r["file"] for r in rows if r["__keep"]]
+    kept = [decode_file_url(r["file"]) for r in rows if r["__keep"]]
     rep = PruneReport(
         files_total=len(rows),
         files_read=len(kept),

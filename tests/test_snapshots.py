@@ -259,6 +259,68 @@ def test_mor_read_plan_broadcasts_delete_vectors(spark, root):
     assert "SortMergeJoin" not in plan
 
 
+def test_commit_readback_detects_clobber(spark, root):
+    """LocalFS rename OVERWRITES an existing destination (POSIX), so the
+    commit protocol must detect being clobbered via the read-back uuid:
+    a slot that ends up holding someone else's manifest = lost race."""
+    _mk(spark, root)
+    theirs = dict(snap.load_manifest(spark, root), version=2, operation="append")
+    # race: their manifest lands in slot 2 AFTER our exists() pre-check
+    # would have passed — simulate by writing it directly, then verifying
+    # a rename-over returns lost (uuid mismatch) rather than success
+    assert snap._try_commit(spark, root, theirs)
+    ours = dict(snap.load_manifest(spark, root, 1), version=2, operation="delete")
+    assert not snap._try_commit(spark, root, ours)  # pre-check or read-back
+    landed = snap.load_manifest(spark, root, 2)
+    assert landed["operation"] == "append"  # theirs survived
+
+
+def test_snapshot_stats_prune_with_deletes(spark, root):
+    """Pruned snapshot read == full snapshot read under the same filter,
+    with MoR vectors applied; stats cover only LIVE files; a stale stats
+    manifest raises instead of planning from it."""
+    df = spark.range(0, 4000).withColumn("v", (F.col("id") % 100).cast("double"))
+    snap.create_table(
+        spark,
+        root,
+        df.repartitionByRange(8, F.col("id")).sortWithinPartitions("id"),
+    )
+    snap.delete_where(spark, root, "id % 10 = 3")
+    stats = snap.snapshot_file_stats(spark, root, ["id"])
+    got, rep = snap.read_snapshot_pruned(spark, root, stats, {"id": (100, 399)})
+    got = got.filter("id BETWEEN 100 AND 399")
+    want = snap.read_snapshot(spark, root).filter("id BETWEEN 100 AND 399")
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+    # the key-sorted layout makes the box prune most of the 8 files
+    assert rep.files_total == 8 and 0 < rep.files_read < 8
+    # deleted rows really are gone from the pruned read
+    assert got.filter("id % 10 = 3").count() == 0
+    # stale stats (built pre-rewrite) must raise, not skip silently
+    snap.rewrite_files(spark, root, n_files=2)
+    with pytest.raises(ValueError, match="stale"):
+        snap.read_snapshot_pruned(spark, root, stats, {"id": (100, 399)})
+
+
+def test_uri_escaped_table_path(spark, tmp_path):
+    """A table path holding a URI-special character: _metadata.file_path
+    escapes it (dir%20x) while Hadoop manifests store the raw rendering
+    (dir x) — the MoR delete, its liveness check, and the stats-pruned
+    read must all still line up (regression: the vectors silently never
+    matched and deletes were ignored)."""
+    root = str(tmp_path / "snap dir" / "t")
+    df = spark.range(0, 300).withColumn("grp", F.col("id") % 3)
+    snap.create_table(spark, root, df.repartition(2))
+    _, n = snap.delete_where(spark, root, "grp = 1")
+    assert n == 100
+    assert snap.read_snapshot(spark, root).count() == 200
+    assert snap.read_snapshot(spark, root).filter("grp = 1").count() == 0
+    stats = snap.snapshot_file_stats(spark, root, ["id"])
+    got, rep = snap.read_snapshot_pruned(spark, root, stats, {"id": (0, 299)})
+    assert rep.files_read == 2 and got.count() == 200
+
+
 def test_manifest_is_sorted_deterministic_json(spark, root):
     _mk(spark, root)
     raw = snap._read_text(spark, snap._manifest_path(root, 1))
