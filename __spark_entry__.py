@@ -3158,6 +3158,70 @@ def q_stream_rollup(spark, sf_dir):
     return spark.table(name).orderBy("session_start", "cell")
 
 
+def q_stream_snapshot_ingest(spark, sf_dir):
+    """Exactly-once streaming ingest into a snapshot table (rows-only:
+    streaming + commit-log state machine, no SQL twin): events land as
+    two file batches, an availableNow drain appends each micro-batch to
+    the table through streaming/snapshot_sink (txn-token idempotent
+    commits), a RESTART of the same checkpoint drains only the second
+    batch, and the last committed batch is re-delivered by hand (the
+    foreachBatch at-least-once retry) proving it commits nothing. Output:
+    per-status row counts of the final snapshot plus the commit history's
+    operation/txn trail — duplicates would show as inflated counts or an
+    extra version."""
+    import shutil
+    import tempfile
+
+    from geocore_spark.sources import snapshots as snap
+    from geocore_spark.streaming.snapshot_sink import snapshot_append_sink
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"snap_ingest_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    landing, table, ckpt = (os.path.join(base, d) for d in ("landing", "t", "ckpt"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    half1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    def drain():
+        stream = spark.readStream.schema(orders.schema).parquet(landing)
+        q = (
+            stream.writeStream.foreachBatch(
+                snapshot_append_sink(table, app_id="driver-ingest")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("snapshot ingest drain exceeded 300 s")
+
+    half1.coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    half2.coalesce(1).write.mode("append").parquet(landing)
+    drain()  # restart: same checkpoint, only the new file batch commits
+    # at-least-once retry: re-deliver the last committed batch by hand
+    m = snap.load_manifest(spark, table)
+    last_batch = m["txns"]["driver-ingest"]
+    snapshot_append_sink(table, app_id="driver-ingest")(half2, last_batch)
+    assert snap.latest_version(spark, table) == m["version"], "retry re-committed"
+    return (
+        snap.read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("o_orderkey").alias("n_keys"),
+        )
+        .withColumn("n_versions", F.lit(snap.latest_version(spark, table)))
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_bpe_learned(spark, sf_dir):
     """Learned-BPE token budgeting (rows-only: the greedy merge encoder is
     a Python kernel no SQL engine replays — functions/bpe.py). Merges are
@@ -4147,6 +4211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_profile": q_sketch_profile,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "wet_ingest": q_wet_ingest,
+        "stream_snapshot_ingest": q_stream_snapshot_ingest,
         "classifier_loop": q_classifier_loop,
         "pagerank": q_pagerank,
         "trustrank": q_trustrank,

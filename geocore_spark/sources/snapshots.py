@@ -23,12 +23,15 @@ Why this shape survives 100 TB:
   which mutate a LIVE parquet dir and can only promise
   duplicates-not-loss; under the commit log those same rewrites become
   atomic: new files + new manifest, old files retained for time travel.)
-- **Optimistic concurrency.** The commit rename fails if the version
-  file already exists (Hadoop rename-no-overwrite on HDFS/local; on
-  object stores point the log at a consistent store or a catalog).
-  Append/delete commits rebase onto the new latest and retry; rewrite
-  and rollback refuse to rebase (their file list is a function of the
-  snapshot they read) and raise ``ConcurrentCommit``.
+- **Optimistic concurrency.** A commit stages its manifest, renames it
+  into the version slot, then reads the slot back and checks its own
+  commit uuid landed — rename refuses an existing destination on HDFS
+  but OVERWRITES on LocalFS/object stores, so last-writer-wins plus
+  loser-detects is what actually holds everywhere (see
+  :func:`_try_commit`). Append/delete commits rebase onto the new
+  latest and retry; rewrite and rollback refuse to rebase (their file
+  list is a function of the snapshot they read) and raise
+  ``ConcurrentCommit``.
 - **Row-level DELETE without rewriting files** (merge-on-read,
   Iceberg-v2 positional deletes): :func:`delete_where` evaluates the
   predicate once and records ``(file, row_index)`` of the victims using
@@ -86,6 +89,11 @@ class ConcurrentCommit(RuntimeError):
 
 class NoSuchVersion(ValueError):
     """Requested version has no manifest (never existed, or expired)."""
+
+
+class _AlreadyApplied(Exception):
+    """Internal: an idempotent commit's (app, batch) token was already
+    recorded by an earlier commit — skip, don't double-append."""
 
 
 # ---------------------------------------------------------------------------
@@ -292,10 +300,22 @@ def _count_parquet(spark: SparkSession, paths: list[str]) -> int:
 # ---------------------------------------------------------------------------
 
 
-def create_table(spark: SparkSession, root: str, df: DataFrame) -> dict:
-    """Commit v1 from ``df``. Fails if the table already has a log."""
+def create_table(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Commit v1 from ``df``. Fails if the table already has a log.
+    ``txn=(app, batch)``: record an idempotence token (see append)."""
     if latest_version(spark, root) is not None:
         raise ValueError(f"snapshot table already exists at {root}")
+    reserved = {_DV_FILE, _DV_POS} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved for delete-vector "
+            "provenance — rename them before creating a snapshot table"
+        )
     files = _stage_files(spark, root, df, "data")
     rows = _count_parquet(spark, files)
     schema_json = df.schema.json()
@@ -303,14 +323,31 @@ def create_table(spark: SparkSession, root: str, df: DataFrame) -> dict:
     def build(parent, version):
         if parent is not None:
             raise ValueError(f"snapshot table already exists at {root}")
-        return _manifest(version, "create", schema_json, files, [], rows)
+        return _manifest(
+            version, "create", schema_json, files, [], rows,
+            txns={txn[0]: txn[1]} if txn else {},
+        )
 
     return _commit(spark, root, build, rebase=True)
 
 
-def append(spark: SparkSession, root: str, df: DataFrame) -> dict:
+def append(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    txn: tuple[str, int] | None = None,
+) -> dict | None:
     """Commit appended files. Rebaseable: a concurrent append/delete wins
-    the slot and this commit retries on top of it — both survive."""
+    the slot and this commit retries on top of it — both survive.
+
+    ``txn=(app, batch)``: exactly-once token for at-least-once producers
+    (streaming foreachBatch retries, resumed jobs — the Delta
+    txnAppId/txnVersion move). Each manifest carries the highest batch
+    committed per app; if ``batch`` <= that, the data was already
+    committed by a previous attempt and this call returns None without
+    committing (the token check re-runs on every rebase attempt, so a
+    retry racing its own predecessor can't double-append either). The
+    staged files are removed on skip."""
     base = load_manifest(spark, root)  # schema source + existence check
     table_schema = StructType.fromJson(json.loads(base["schema"]))
     # schema enforcement at commit time: a type-mismatched parquet file
@@ -332,10 +369,18 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> dict:
             f"(got, expected): {bad}"
         )
     df = df.select(*table_schema.fieldNames())
+    if txn is not None:
+        if base.get("txns", {}).get(txn[0], -1) >= txn[1]:
+            return None  # already committed; don't even stage
     files = _stage_files(spark, root, df, "data")
     rows = _count_parquet(spark, files)
 
     def build(parent, version):
+        txns = dict(parent.get("txns", {}))
+        if txn is not None:
+            if txns.get(txn[0], -1) >= txn[1]:
+                raise _AlreadyApplied()
+            txns[txn[0]] = txn[1]
         return _manifest(
             version,
             "append",
@@ -343,9 +388,59 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> dict:
             parent["data_files"] + files,
             parent["delete_files"],
             rows,
+            txns=txns,
         )
 
-    return _commit(spark, root, build, rebase=True)
+    try:
+        return _commit(spark, root, build, rebase=True)
+    except _AlreadyApplied:
+        fs, _, jvm = _fs(spark, root)
+        for f in files:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+        return None
+
+
+def overwrite(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    txn: tuple[str, int] | None = None,
+) -> dict | None:
+    """Replace the table's full content with ``df`` as one atomic commit
+    (the versioned-publish op: each pipeline run commits a new version,
+    consumers keep reading their snapshot, old versions stay
+    time-travelable until expiry). Unlike append, the schema may change
+    — an overwrite defines the table anew. Rebaseable: the result does
+    not depend on the parent, so a lost race just takes the next slot.
+    ``txn``: same idempotence token as append (a re-delivered publish
+    becomes a no-op)."""
+    base = load_manifest(spark, root)  # must exist (create_table otherwise)
+    if txn is not None and base.get("txns", {}).get(txn[0], -1) >= txn[1]:
+        return None
+    reserved = {_DV_FILE, _DV_POS} & set(df.columns)
+    if reserved:
+        raise ValueError(f"column names {sorted(reserved)} are reserved")
+    files = _stage_files(spark, root, df, "data")
+    rows = _count_parquet(spark, files)
+    schema_json = df.schema.json()
+
+    def build(parent, version):
+        txns = dict(parent.get("txns", {}))
+        if txn is not None:
+            if txns.get(txn[0], -1) >= txn[1]:
+                raise _AlreadyApplied()
+            txns[txn[0]] = txn[1]
+        return _manifest(
+            version, "overwrite", schema_json, files, [], rows, txns=txns
+        )
+
+    try:
+        return _commit(spark, root, build, rebase=True)
+    except _AlreadyApplied:
+        fs, _, jvm = _fs(spark, root)
+        for f in files:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+        return None
 
 
 def _read_with_pos(spark: SparkSession, manifest: dict) -> DataFrame:
@@ -364,7 +459,7 @@ def _read_with_pos(spark: SparkSession, manifest: dict) -> DataFrame:
         F.col("_metadata.row_index").alias(_DV_POS),
     )
     if manifest["delete_files"]:
-        dv = spark.read.parquet(*manifest["delete_files"])
+        dv = spark.read.schema(_DV_SCHEMA).parquet(*manifest["delete_files"])
         # broadcast the bounded delete set: zero shuffle of the data side
         df = df.join(F.broadcast(dv), on=[_DV_FILE, _DV_POS], how="left_anti")
     return df
@@ -404,20 +499,26 @@ def delete_where(
         .select(F.col(_DV_FILE), F.col(_DV_POS))
     )
     files = _stage_files(spark, root, victims.repartition(1), "deletes")
-    n = _count_parquet(spark, files)
+    # one pass over the (bounded) staged vectors yields both the row
+    # count and the named-file set for the liveness check. _DV_FILE
+    # holds _metadata.file_path (URI-escaped); manifests hold the
+    # decoded Hadoop rendering — decode before comparing.
+    from geocore_spark.sources.stats import decode_file_url
+
+    per_file = (
+        spark.read.schema(_DV_SCHEMA)
+        .parquet(*files)
+        .groupBy(_DV_FILE)
+        .count()
+        .collect()
+    )
+    n = sum(r["count"] for r in per_file)
     if n == 0:
         fs, _, jvm = _fs(spark, root)
         for f in files:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
         return None, 0
-    # _DV_FILE holds _metadata.file_path (URI-escaped); manifests hold the
-    # decoded Hadoop rendering — decode before the liveness comparison
-    from geocore_spark.sources.stats import decode_file_url
-
-    named = {
-        decode_file_url(r[0])
-        for r in spark.read.parquet(*files).select(_DV_FILE).distinct().collect()
-    }
+    named = {decode_file_url(r[_DV_FILE]) for r in per_file}
 
     def build(parent, version):
         live = set(parent["data_files"])
@@ -434,6 +535,7 @@ def delete_where(
             parent["data_files"],
             parent["delete_files"] + files,
             -n,
+            txns=parent.get("txns", {}),
         )
 
     return _commit(spark, root, build, rebase=True), n
@@ -464,7 +566,10 @@ def rewrite_files(
     rows = _count_parquet(spark, files)
 
     def build(parent, version):
-        return _manifest(version, "rewrite", m["schema"], files, [], rows)
+        return _manifest(
+            version, "rewrite", m["schema"], files, [], rows,
+            txns=m.get("txns", {}),
+        )
 
     return _commit(spark, root, build, rebase=False)
 
@@ -484,6 +589,10 @@ def rollback(spark: SparkSession, root: str, version: int) -> dict:
                 target["data_files"],
                 target["delete_files"],
                 None,
+                # carry the LATEST txn map, not the target's: the rolled-
+                # over batches WERE processed once; reviving their tokens
+                # would let a late producer retry silently re-append them
+                txns=(parent or {}).get("txns", {}),
             ),
             source_version=version,
         )
@@ -625,7 +734,7 @@ def read_snapshot_pruned(
         F.col("_metadata.row_index").alias(_DV_POS),
     )
     if m["delete_files"]:
-        dv = spark.read.parquet(*m["delete_files"])
+        dv = spark.read.schema(_DV_SCHEMA).parquet(*m["delete_files"])
         df = df.join(F.broadcast(dv), on=[_DV_FILE, _DV_POS], how="left_anti")
     return df.drop(_DV_FILE, _DV_POS), rep
 
@@ -637,6 +746,7 @@ def _manifest(
     data_files: list[str],
     delete_files: list[str],
     rows_changed: int | None,
+    txns: dict | None = None,
 ) -> dict:
     return {
         "version": version,
@@ -646,4 +756,8 @@ def _manifest(
         "data_files": sorted(data_files),
         "delete_files": sorted(delete_files),
         "rows_changed": rows_changed,
+        # idempotence tokens: highest committed batch per producer app.
+        # EVERY commit type carries the map forward — dropping it on a
+        # delete/rewrite would let a late producer retry double-append.
+        "txns": txns or {},
     }

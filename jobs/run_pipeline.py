@@ -56,6 +56,16 @@ def main(argv: list[str] | None = None) -> None:
         "gate live without filtering everything — raise for real corpora",
     )
     ap.add_argument(
+        "--publish-snapshot",
+        action="store_true",
+        help="publish the per-cell feature table through the snapshot "
+        "commit log (sources/snapshots): each invocation commits one new "
+        "atomic VERSION at <checkpoint-root>/published/features — "
+        "consumers read a consistent snapshot while the pipeline "
+        "re-publishes, old versions stay time-travelable until "
+        "expire_snapshots. A leaf: nothing downstream reads it",
+    )
+    ap.add_argument(
         "--zorder",
         action="store_true",
         help="also publish the tiled point table Z-order-clustered "
@@ -197,6 +207,21 @@ def main(argv: list[str] | None = None) -> None:
         }
         log.record("layout_prune", **layout_prune)
 
+    published_version = None
+    if args.publish_snapshot:
+        from geocore_spark.sources import snapshots as snap
+
+        pub_root = os.path.join(args.checkpoint_root, "published", "features")
+        if snap.latest_version(spark, pub_root) is None:
+            pm = snap.create_table(spark, pub_root, features)
+        else:
+            pm = snap.overwrite(spark, pub_root, features)
+        published_version = pm["version"]
+        log.record(
+            "publish", version=published_version, rows=pm["rows_changed"]
+        )
+        print(f"[stage publish] version={published_version}", flush=True)
+
     log.record("total", seconds=round(time.time() - t_start, 2))
     metrics_path = os.path.join(args.checkpoint_root, "metrics.json")
     with open(metrics_path, "w") as f:
@@ -210,6 +235,8 @@ def main(argv: list[str] | None = None) -> None:
     }
     if layout_prune is not None:
         summary["layout_prune"] = layout_prune
+    if published_version is not None:
+        summary["published_version"] = published_version
     print(json.dumps(summary))
     spark.stop()
 

@@ -30,7 +30,7 @@ def _run(ckpt, extra):
 
 def test_pipeline_zorder_leg_and_resume(tmp_path):
     ckpt = str(tmp_path / "ckpt")
-    first, _ = _run(ckpt, ["--zorder"])
+    first, _ = _run(ckpt, ["--zorder", "--publish-snapshot"])
     prune = first["layout_prune"]
     # the NYC mega-cell box must exclude most curve-segment files
     assert prune["files_read"] < prune["files_total"], prune
@@ -47,6 +47,25 @@ def test_pipeline_zorder_leg_and_resume(tmp_path):
         ].to_numpy()
         assert (np.diff(zv) >= 0).all(), f
 
-    second, stages = _run(ckpt, ["--zorder", "--resume"])
+    # snapshot publish: v1 committed, manifest lists real live files
+    assert first["published_version"] == 1
+    pub = os.path.join(ckpt, "published", "features")
+    m1 = json.load(open(os.path.join(pub, "_log", "v00000001.json")))
+    assert m1["operation"] == "create" and m1["data_files"]
+    v1 = pq.read_table([p.removeprefix("file:") for p in m1["data_files"]])
+
+    second, stages = _run(ckpt, ["--zorder", "--resume", "--publish-snapshot"])
     assert second["layout_prune"] == prune
-    assert stages and all("resumed=True" in s for s in stages)
+    assert stages and all(
+        "resumed=True" in s for s in stages if not s.startswith("[stage publish")
+    )
+    # re-publish on resume = one new atomic VERSION, identical content
+    # (same resumed features snapshot), v1 still readable (time travel)
+    assert second["published_version"] == 2
+    m2 = json.load(open(os.path.join(pub, "_log", "v00000002.json")))
+    assert m2["operation"] == "overwrite"
+    assert set(m2["data_files"]).isdisjoint(m1["data_files"])
+    v2 = pq.read_table([p.removeprefix("file:") for p in m2["data_files"]])
+    assert sorted(
+        tuple(r.items()) for r in v1.to_pylist()
+    ) == sorted(tuple(r.items()) for r in v2.to_pylist())

@@ -149,6 +149,21 @@ def test_rollback_is_a_new_commit(spark, root):
     ]
 
 
+def test_overwrite_versioned_publish(spark, root):
+    _mk(spark, root)
+    new = spark.range(0, 10).withColumn("s", F.lit("x"))
+    m = snap.overwrite(spark, root, new)  # schema may change on overwrite
+    assert m["operation"] == "overwrite" and m["version"] == 2
+    got = snap.read_snapshot(spark, root)
+    assert got.columns == ["id", "s"] and got.count() == 10
+    assert snap.read_snapshot(spark, root, 1).count() == 400  # time travel
+    # idempotent publish token: a re-delivered overwrite is a no-op
+    m2 = snap.overwrite(spark, root, new, txn=("pub", 7))
+    assert m2["version"] == 3
+    assert snap.overwrite(spark, root, new, txn=("pub", 7)) is None
+    assert snap.latest_version(spark, root) == 3
+
+
 def test_expire_drops_old_versions_and_files(spark, root):
     _mk(spark, root)
     snap.delete_where(spark, root, "grp = 2")

@@ -34,6 +34,7 @@ DOCS = "/tmp/geocore_spot_docs200k.parquet"
 VECS = "/tmp/geocore_spot_vecs20k.parquet"
 MEDIA = "/tmp/geocore_spot_media20k.parquet"
 PTS = "/tmp/geocore_spot_pts10m.parquet"
+SNAP = "/tmp/geocore_spot_snap10m/t"
 
 
 def _pinned(cpus: int) -> list[str]:
@@ -68,6 +69,14 @@ if not os.path.exists("{PTS}"):
         _lon_expr(F.col("id")).alias("lon"),
     )
     pts.write.parquet("{PTS}")
+if not os.path.exists("{SNAP}"):
+    from pyspark.sql import functions as F
+    from geocore_spark.sources import snapshots as snap
+    snap.create_table(spark, "{SNAP}", spark.read.parquet("{PTS}"))
+    # 10% tombstoned: a deliberately heavy delete-vector load (1M
+    # positions, ~ the broadcast ceiling a sane table would carry
+    # before rewrite_files materializes)
+    snap.delete_where(spark, "{SNAP}", F.col("id") % 10 == 3)
 print("materialized")
 """
 
@@ -195,6 +204,30 @@ def pipe():
     ).parquet(OUT)
     return 1
 """,
+    # merge-on-read snapshot scan (sources/snapshots.read_snapshot): full
+    # 10M-row scan with a 1M-position delete-vector broadcast anti-join —
+    # the steady-state read cost of a delete-heavy table between
+    # compactions. All JVM (scan + BHJ), no Python workers; the paired
+    # "plain" leg below isolates the MoR overhead vs the same scan with
+    # no vectors (time travel to v1).
+    "mor_read": f"""
+from pyspark.sql import functions as F
+from geocore_spark.sources import snapshots as snap
+def pipe():
+    out = snap.read_snapshot(spark, "{SNAP}")
+    return out.agg(
+        F.count(F.lit(1)), F.sum("id"), F.avg(F.col("lat") + F.col("lon"))
+    ).collect()
+""",
+    "mor_read_plain": f"""
+from pyspark.sql import functions as F
+from geocore_spark.sources import snapshots as snap
+def pipe():
+    out = snap.read_snapshot(spark, "{SNAP}", version=1)  # no vectors
+    return out.agg(
+        F.count(F.lit(1)), F.sum("id"), F.avg(F.col("lat") + F.col("lon"))
+    ).collect()
+""",
     # real-codec media path over 20k mixed BMP/PNG/JPEG/GIF/fake payloads
     # (operators/multimodal.py + jpegcodec + gifcodec) — per-row Python
     # decode in Arrow-batched mapInPandas, embarrassingly parallel: the
@@ -259,6 +292,8 @@ def main() -> None:
         "winnow": "200k docs k=8 w=4",
         "media": "20k payloads",
         "zorder": "10M pts res=19 64 files",
+        "mor_read": "10M rows 10pct deleted",
+        "mor_read_plain": "10M rows v1 no vectors",
     }
     entry = {"ts": time.time(), "pinned": True, "ops": {}}
     print("| operator | t(2) s | t(8) s | eff(2->8) |")
