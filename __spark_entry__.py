@@ -743,6 +743,107 @@ FROM orders
 """
 
 
+def q_snapshot_evolve(spark, sf_dir):
+    """Metadata-only schema evolution on the snapshot commit log
+    (sources/snapshots.add_columns/drop_columns): v1 creates from two
+    columns, v2 ADDs a nullable status column (zero files rewritten —
+    old rows read back NULL via the explicit-schema scan), v3 appends
+    rows that carry it, v4 row-level-DELETEs on the evolved column (the
+    NULL old rows never match), v5 DROPs a v1 column (projected away,
+    still physically present). Oracle replays the five commits as set
+    algebra on the raw table. Value-exact because every surviving cell
+    is the identity of a source cell or NULL by construction."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StringType, StructField
+
+    from geocore_spark.sources import snapshots as snap
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snapevo_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
+        "t",
+    )
+    if snap.latest_version(spark, root) != 5:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+        orders = _t(spark, sf_dir, "orders")
+        snap.create_table(
+            spark,
+            root,
+            orders.filter(F.col("o_orderkey") % 4 == 0)
+            .select("o_orderkey", "o_custkey")
+            .repartition(2),
+        )
+        snap.add_columns(spark, root, [StructField("status", StringType())])
+        snap.append(
+            spark,
+            root,
+            orders.filter(F.col("o_orderkey") % 4 == 1).select(
+                "o_orderkey", "o_custkey", F.col("o_orderstatus").alias("status")
+            ),
+        )
+        snap.delete_where(spark, root, F.col("status") == "F")
+        snap.drop_columns(spark, root, ["o_custkey"])
+    return snap.read_snapshot(spark, root).select("o_orderkey", "status")
+
+
+_SQL_SNAPSHOT_EVOLVE = """
+SELECT o_orderkey, CAST(NULL AS VARCHAR) AS status
+FROM orders WHERE o_orderkey % 4 = 0
+UNION ALL
+SELECT o_orderkey, o_orderstatus AS status
+FROM orders WHERE o_orderkey % 4 = 1 AND o_orderstatus <> 'F'
+"""
+
+
+def q_snapshot_changes(spark, sf_dir):
+    """Incremental change feed (sources/snapshots.read_changes): after
+    v1 create, v2 append, v3 MoR delete, v4 rewrite (compaction — no
+    logical change), v5 append, read the changes SINCE v1 — only delta
+    files and vector-named files are scanned, never the table. Emits
+    inserts for v2/v5, the materialized deleted rows for v3, nothing
+    for the rewrite. Oracle replays the commit algebra (the delete
+    names rows visible at v2: both the create and first-append slices).
+    Value-exact: every change row is the identity of a source row."""
+    import shutil
+    import tempfile
+
+    from geocore_spark.sources import snapshots as snap
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snapcdc_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
+        "t",
+    )
+    if snap.latest_version(spark, root) != 5:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        snap.create_table(
+            spark, root, orders.filter(F.col("o_orderkey") % 3 == 0).repartition(2)
+        )
+        snap.append(spark, root, orders.filter(F.col("o_orderkey") % 3 == 1))
+        snap.delete_where(spark, root, F.col("o_orderkey") % 5 == 0)
+        snap.rewrite_files(spark, root, n_files=2)
+        snap.append(spark, root, orders.filter(F.col("o_orderkey") % 3 == 2))
+    return snap.read_changes(spark, root, since_version=1)
+
+
+_SQL_SNAPSHOT_CHANGES = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       'insert' AS _change_type, 2 AS _commit_version
+FROM orders WHERE o_orderkey % 3 = 1
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, 'delete', 3
+FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, 'insert', 5
+FROM orders WHERE o_orderkey % 3 = 2
+"""
+
+
 def q_cell_rollup(spark, sf_dir):
     """G1+A3: per-parent-cell point counts (hypertable rollup shape)."""
     pts = _event_points(spark, sf_dir)
@@ -4149,6 +4250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        "snapshot_evolve": q_snapshot_evolve,
+        "snapshot_changes": q_snapshot_changes,
         "snapshot_delete": q_snapshot_delete,
         "snapshot_time_travel": q_snapshot_time_travel,
         "zorder_curve": q_zorder_curve,
@@ -4225,6 +4328,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _SQL_TOPK,
         "label_dedup": _SQL_LABEL_DEDUP,
         "decile_stats": _SQL_DECILES,
+        "snapshot_evolve": _SQL_SNAPSHOT_EVOLVE,
+        "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "snapshot_delete": _SQL_SNAPSHOT_DELETE,
         "snapshot_time_travel": _SQL_SNAPSHOT_TIME_TRAVEL,
         "zorder_curve": _sql_zorder_curve(),

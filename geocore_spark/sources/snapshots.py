@@ -53,6 +53,21 @@ Why this shape survives 100 TB:
   deleted only when no retained manifest references them. Rollback is a
   NEW commit that re-points at an old version's files (history is
   append-only, Iceberg semantics).
+- **Schema evolution is metadata-only** (:func:`add_columns` /
+  :func:`drop_columns`): the commit changes the manifest schema, zero
+  data files move — readers reconcile NAME-based because every scan
+  passes the manifest schema explicitly (added column absent from an
+  old file reads as NULL; a dropped column still physically present is
+  projected away). Name-based is the honest no-field-ids tradeoff:
+  once-used names are burned (``column_history``) so a re-add can never
+  resurrect or type-poison old file data; renames/type changes are
+  refused (drop+add / rewrite-with-cast instead).
+- **Incremental consumption** (:func:`read_changes`): a downstream job
+  that processed version N reads only the files committed since — the
+  per-commit file-list diffs yield inserts, the per-commit delete
+  vectors joined back to the files they name yield deletes. O(changed
+  bytes) per poll, never a table scan; refuses overwrite/rollback
+  ranges the way Iceberg's incremental scan refuses replace commits.
 
 Reference analogue: the reference leans on Snowflake's internal
 versioned micro-partition metadata for all of this (woodgilber/GeoCore
@@ -70,7 +85,13 @@ import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # reserved column names inside delete-vector files (never collide with a
 # user schema — readers join on them and drop them before returning rows)
@@ -79,6 +100,10 @@ _DV_POS = "_gc_pos"
 _DV_SCHEMA = StructType(
     [StructField(_DV_FILE, StringType()), StructField(_DV_POS, LongType())]
 )
+# change-feed output columns (read_changes) — reserved like the above
+_CDC_TYPE = "_change_type"
+_CDC_VERSION = "_commit_version"
+_RESERVED = {_DV_FILE, _DV_POS, _CDC_TYPE, _CDC_VERSION}
 
 
 class ConcurrentCommit(RuntimeError):
@@ -310,11 +335,12 @@ def create_table(
     ``txn=(app, batch)``: record an idempotence token (see append)."""
     if latest_version(spark, root) is not None:
         raise ValueError(f"snapshot table already exists at {root}")
-    reserved = {_DV_FILE, _DV_POS} & set(df.columns)
+    reserved = _RESERVED & set(df.columns)
     if reserved:
         raise ValueError(
             f"column names {sorted(reserved)} are reserved for delete-vector "
-            "provenance — rename them before creating a snapshot table"
+            "and change-feed provenance — rename them before creating a "
+            "snapshot table"
         )
     files = _stage_files(spark, root, df, "data")
     rows = _count_parquet(spark, files)
@@ -326,6 +352,7 @@ def create_table(
         return _manifest(
             version, "create", schema_json, files, [], rows,
             txns={txn[0]: txn[1]} if txn else {},
+            column_history=sorted(df.columns),
         )
 
     return _commit(spark, root, build, rebase=True)
@@ -389,6 +416,7 @@ def append(
             parent["delete_files"],
             rows,
             txns=txns,
+            column_history=_history_of(parent),
         )
 
     try:
@@ -417,7 +445,7 @@ def overwrite(
     base = load_manifest(spark, root)  # must exist (create_table otherwise)
     if txn is not None and base.get("txns", {}).get(txn[0], -1) >= txn[1]:
         return None
-    reserved = {_DV_FILE, _DV_POS} & set(df.columns)
+    reserved = _RESERVED & set(df.columns)
     if reserved:
         raise ValueError(f"column names {sorted(reserved)} are reserved")
     files = _stage_files(spark, root, df, "data")
@@ -431,7 +459,8 @@ def overwrite(
                 raise _AlreadyApplied()
             txns[txn[0]] = txn[1]
         return _manifest(
-            version, "overwrite", schema_json, files, [], rows, txns=txns
+            version, "overwrite", schema_json, files, [], rows, txns=txns,
+            column_history=sorted(set(_history_of(parent)) | set(df.columns)),
         )
 
     try:
@@ -445,7 +474,14 @@ def overwrite(
 
 def _read_with_pos(spark: SparkSession, manifest: dict) -> DataFrame:
     """Snapshot rows + (_gc_file, _gc_pos) provenance, existing delete
-    vectors already applied — the shared core of read and delete."""
+    vectors already applied — the shared core of read and delete.
+
+    Reads with the manifest's EXPLICIT schema (never footer inference):
+    name-based reconciliation makes schema evolution work — a column
+    added by :func:`add_columns` is absent from older files and comes
+    back NULL; a dropped column still physically present in old files is
+    projected away. Inference would instead union footers (resurrecting
+    dropped columns) and cost a footer read per file at plan time."""
     data = manifest["data_files"]
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     if not data:
@@ -453,7 +489,7 @@ def _read_with_pos(spark: SparkSession, manifest: dict) -> DataFrame:
         return base.withColumn(_DV_FILE, F.lit(None).cast("string")).withColumn(
             _DV_POS, F.lit(None).cast("long")
         )
-    df = spark.read.parquet(*data).select(
+    df = spark.read.schema(schema).parquet(*data).select(
         "*",
         F.col("_metadata.file_path").alias(_DV_FILE),
         F.col("_metadata.row_index").alias(_DV_POS),
@@ -536,6 +572,7 @@ def delete_where(
             parent["delete_files"] + files,
             -n,
             txns=parent.get("txns", {}),
+            column_history=_history_of(parent),
         )
 
     return _commit(spark, root, build, rebase=True), n
@@ -566,9 +603,19 @@ def rewrite_files(
     rows = _count_parquet(spark, files)
 
     def build(parent, version):
+        # the slot race alone doesn't cover the window between our
+        # load_manifest(m) above and _commit's fresh latest_version read:
+        # a commit landing in between would otherwise be silently
+        # clobbered (our file list was computed WITHOUT its changes)
+        if parent is None or parent["version"] != m["version"]:
+            raise ConcurrentCommit(
+                f"snapshot advanced past v{m['version']} while rewriting "
+                f"{root} — re-run against the new state"
+            )
         return _manifest(
             version, "rewrite", m["schema"], files, [], rows,
-            txns=m.get("txns", {}),
+            txns=parent.get("txns", {}),
+            column_history=_history_of(parent),
         )
 
     return _commit(spark, root, build, rebase=False)
@@ -579,8 +626,17 @@ def rollback(spark: SparkSession, root: str, version: int) -> dict:
     lists (history stays append-only; the bad commits remain inspectable
     until expired). Requires the target manifest to still exist."""
     target = load_manifest(spark, root, version)
+    base = latest_version(spark, root)
 
     def build(parent, new_version):
+        # same stale-base guard as rewrite_files: "roll back to v" is a
+        # decision made against a specific latest — if another commit
+        # lands first, re-pointing would silently discard it
+        if parent is None or parent["version"] != base:
+            raise ConcurrentCommit(
+                f"snapshot advanced past v{base} while rolling back {root} "
+                "— re-run against the new state"
+            )
         return dict(
             _manifest(
                 new_version,
@@ -592,12 +648,228 @@ def rollback(spark: SparkSession, root: str, version: int) -> dict:
                 # carry the LATEST txn map, not the target's: the rolled-
                 # over batches WERE processed once; reviving their tokens
                 # would let a late producer retry silently re-append them
-                txns=(parent or {}).get("txns", {}),
+                txns=parent.get("txns", {}),
+                column_history=_history_of(parent),
             ),
             source_version=version,
         )
 
     return _commit(spark, root, build, rebase=False)
+
+
+def add_columns(
+    spark: SparkSession, root: str, fields: list[StructField]
+) -> dict:
+    """Metadata-only schema evolution: commit a new version whose schema
+    gains ``fields`` at the end. No data file is touched — readers
+    reconcile name-based (explicit-schema scan in :func:`_read_with_pos`),
+    so rows written before the evolution come back NULL in the new
+    columns and the NEXT :func:`rewrite_files` materializes them
+    physically. Appends after the commit must supply the new columns
+    (the existing exact-schema enforcement).
+
+    Constraints of a NAME-based format (no Iceberg field ids — the
+    documented tradeoff):
+
+    - new fields must be nullable (old files have no values to supply);
+    - a name ever used by this table (``column_history``, carried
+      through every commit) cannot be re-added: a live file physically
+      holding the dropped column would silently resurrect its old
+      values — or poison every multi-file read, if the type changed;
+    - renames and type changes are not supported (rename = drop + add
+      under a fresh name; type change = rewrite through a cast).
+
+    Rebaseable: the new schema is recomputed from the fresh parent on
+    every attempt, so a concurrent append simply orders before it."""
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    for f in fields:
+        if not isinstance(f, StructField):
+            raise TypeError(f"expected StructField, got {type(f).__name__}")
+        if not f.nullable:
+            raise ValueError(
+                f"added column {f.name!r} must be nullable: rows committed "
+                "before the evolution have no value to supply"
+            )
+        if f.name in _RESERVED:
+            raise ValueError(f"column name {f.name!r} is reserved")
+    names = [f.name for f in fields]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate names in added fields: {names}")
+
+    def build(parent, version):
+        schema = StructType.fromJson(json.loads(parent["schema"]))
+        used = set(_history_of(parent)) | {f.name for f in schema.fields}
+        clash = sorted(set(names) & used)
+        if clash:
+            raise ValueError(
+                f"column names {clash} were already used by this table — "
+                "name-based evolution cannot re-add a column (pick a fresh "
+                "name, or rewrite_files + expire history under a new table)"
+            )
+        new_schema = StructType(list(schema.fields) + list(fields))
+        return _manifest(
+            version,
+            "evolve",
+            new_schema.json(),
+            parent["data_files"],
+            parent["delete_files"],
+            None,
+            txns=parent.get("txns", {}),
+            column_history=sorted(used | set(names)),
+        )
+
+    return _commit(spark, root, build, rebase=True)
+
+
+def drop_columns(spark: SparkSession, root: str, names: list[str]) -> dict:
+    """Metadata-only column drop: commit a new version whose schema no
+    longer lists ``names``. Data files are untouched — readers project
+    the column away (explicit-schema scan); time travel to an earlier
+    version still sees it; the name stays burned in ``column_history``
+    (see :func:`add_columns`). Rebaseable."""
+    if not names:
+        raise ValueError("names must be non-empty")
+
+    def build(parent, version):
+        schema = StructType.fromJson(json.loads(parent["schema"]))
+        have = {f.name for f in schema.fields}
+        missing = sorted(set(names) - have)
+        if missing:
+            raise ValueError(f"cannot drop missing columns: {missing}")
+        kept = [f for f in schema.fields if f.name not in set(names)]
+        if not kept:
+            raise ValueError("cannot drop every column of the table")
+        return _manifest(
+            version,
+            "evolve",
+            StructType(kept).json(),
+            parent["data_files"],
+            parent["delete_files"],
+            None,
+            txns=parent.get("txns", {}),
+            column_history=_history_of(parent),
+        )
+
+    return _commit(spark, root, build, rebase=True)
+
+
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    since_version: int,
+    until_version: int | None = None,
+) -> DataFrame:
+    """Incremental change feed: every row-level change committed AFTER
+    ``since_version`` up to and including ``until_version`` (default
+    latest), as the table's columns (rendered in the UNTIL version's
+    schema, missing-then columns NULL) plus ``_change_type``
+    ('insert' | 'delete') and ``_commit_version``.
+
+    This is the incremental-consumption path: a downstream job that
+    processed version N reads only the DELTA files committed since —
+    O(changed bytes), never a table scan. Per commit:
+
+    - ``create`` / ``append``: the commit's new data files -> inserts;
+    - ``delete``: the commit's new delete vectors, inner-joined back to
+      the files they name -> the deleted rows (reads only named files;
+      vectors can never re-name an already-deleted row because
+      delete_where evaluates on the vectors-applied snapshot);
+    - ``rewrite`` / ``evolve``: no row-level change — skipped;
+    - ``overwrite`` / ``rollback``: NOT row-incremental (the commit
+      redefines content wholesale) — raises ValueError, read full
+      snapshots instead. Same refusal Iceberg's incremental scan makes
+      for replace commits.
+
+    Consuming a change feed across an expired range raises
+    NoSuchVersion (the evidence is gone); expire policy must retain at
+    least the versions between checkpoints of incremental consumers.
+
+    An insert later deleted INSIDE the range yields both rows (standard
+    CDC semantics — the consumer replays history in commit order)."""
+    latest = latest_version(spark, root)
+    if latest is None:
+        raise NoSuchVersion(f"no committed snapshot at {root}")
+    until = latest if until_version is None else until_version
+    if not 0 <= since_version <= until <= latest:
+        raise ValueError(
+            f"need 0 <= since ({since_version}) <= until ({until}) <= "
+            f"latest ({latest})"
+        )
+    m_until = load_manifest(spark, root, until)
+    out_schema = StructType.fromJson(json.loads(m_until["schema"]))
+    out_cols = out_schema.fieldNames()
+
+    def piece(files: list[str], kind: str, version: int) -> DataFrame:
+        df = spark.read.schema(out_schema).parquet(*files)
+        return df.select(
+            *out_cols,
+            F.lit(kind).alias(_CDC_TYPE),
+            F.lit(version).cast("int").alias(_CDC_VERSION),
+        )
+
+    from geocore_spark.sources.stats import decode_file_url
+
+    pieces: list[DataFrame] = []
+    prev = (
+        load_manifest(spark, root, since_version) if since_version >= 1 else None
+    )
+    for v in range(since_version + 1, until + 1):
+        m = load_manifest(spark, root, v)
+        op = m["operation"]
+        if op in ("overwrite", "rollback"):
+            raise ValueError(
+                f"v{v} is a {op!r} commit — not row-incremental; read the "
+                "full snapshot instead (Iceberg-style incremental-scan "
+                "refusal)"
+            )
+        if op in ("create", "append"):
+            new = sorted(
+                set(m["data_files"]) - set(prev["data_files"] if prev else [])
+            )
+            if new:
+                pieces.append(piece(new, "insert", v))
+        elif op == "delete":
+            new_dv = sorted(
+                set(m["delete_files"]) - set(prev["delete_files"] if prev else [])
+            )
+            if new_dv:
+                dv = spark.read.schema(_DV_SCHEMA).parquet(*new_dv)
+                named = sorted(
+                    {
+                        decode_file_url(r[_DV_FILE])
+                        for r in dv.select(_DV_FILE).distinct().collect()
+                    }
+                )
+                rows = spark.read.schema(out_schema).parquet(*named).select(
+                    "*",
+                    F.col("_metadata.file_path").alias(_DV_FILE),
+                    F.col("_metadata.row_index").alias(_DV_POS),
+                )
+                got = rows.join(F.broadcast(dv), on=[_DV_FILE, _DV_POS], how="inner")
+                pieces.append(
+                    got.select(
+                        *out_cols,
+                        F.lit("delete").alias(_CDC_TYPE),
+                        F.lit(v).cast("int").alias(_CDC_VERSION),
+                    )
+                )
+        elif op not in ("rewrite", "evolve"):
+            raise ValueError(f"unknown commit operation {op!r} at v{v}")
+        prev = m
+    if not pieces:
+        empty = StructType(
+            list(out_schema.fields)
+            + [
+                StructField(_CDC_TYPE, StringType(), False),
+                StructField(_CDC_VERSION, IntegerType(), False),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def expire_snapshots(
@@ -728,7 +1000,8 @@ def read_snapshot_pruned(
     schema = StructType.fromJson(json.loads(m["schema"]))
     if not kept:
         return spark.createDataFrame([], schema), rep
-    df = spark.read.parquet(*kept).select(
+    # explicit manifest schema, like _read_with_pos: evolution-safe
+    df = spark.read.schema(schema).parquet(*kept).select(
         "*",
         F.col("_metadata.file_path").alias(_DV_FILE),
         F.col("_metadata.row_index").alias(_DV_POS),
@@ -739,6 +1012,17 @@ def read_snapshot_pruned(
     return df.drop(_DV_FILE, _DV_POS), rep
 
 
+def _history_of(parent: dict) -> list[str]:
+    """Every column name EVER part of the table along this commit chain
+    (manifests from before the field existed contribute their schema)."""
+    got = parent.get("column_history")
+    if got:
+        return got
+    return sorted(
+        f.name for f in StructType.fromJson(json.loads(parent["schema"])).fields
+    )
+
+
 def _manifest(
     version: int,
     operation: str,
@@ -747,6 +1031,7 @@ def _manifest(
     delete_files: list[str],
     rows_changed: int | None,
     txns: dict | None = None,
+    column_history: list[str] | None = None,
 ) -> dict:
     return {
         "version": version,
@@ -760,4 +1045,16 @@ def _manifest(
         # EVERY commit type carries the map forward — dropping it on a
         # delete/rewrite would let a late producer retry double-append.
         "txns": txns or {},
+        # every column name ever used, carried through every commit:
+        # add_columns refuses re-use because this table format is
+        # NAME-based (no Iceberg field ids) — a live file physically
+        # holding a dropped column would resurrect its old values (or
+        # poison reads, if the type changed) under a re-added name.
+        "column_history": sorted(
+            set(column_history or [])
+            | {
+                f.name
+                for f in StructType.fromJson(json.loads(schema_json)).fields
+            }
+        ),
     }
