@@ -844,6 +844,56 @@ FROM orders WHERE o_orderkey % 3 = 2
 """
 
 
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental view maintenance (operators/ivm.refresh_rollup): a
+    per-customer (n_rows, sum of orderkeys) rollup of a snapshot table,
+    maintained from the CHANGE FEED in two refreshes — the first applies
+    create+append, then a delete and another append land and the second
+    refresh applies only that delta (O(changed bytes), no source
+    rescan), exactly-once via the rollup's txn token. Oracle = one
+    GROUP BY over the final visible rows: the increments must land on
+    exactly that state. Value-exact (BIGINT count/sum algebra)."""
+    import shutil
+    import tempfile
+
+    from geocore_spark.operators import ivm
+    from geocore_spark.sources import snapshots as snap
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"snapivm_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
+    )
+    src, roll = os.path.join(base, "src"), os.path.join(base, "roll")
+    if snap.latest_version(spark, src) != 4:
+        shutil.rmtree(base, ignore_errors=True)
+        orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        snap.create_table(
+            spark, src, orders.filter(F.col("o_orderkey") % 3 == 0).repartition(2)
+        )
+        snap.append(spark, src, orders.filter(F.col("o_orderkey") % 3 == 1))
+        r1 = ivm.refresh_rollup(spark, src, roll, ["o_custkey"], {"sum_key": "o_orderkey"})
+        snap.delete_where(spark, src, F.col("o_orderkey") % 5 == 0)
+        snap.append(spark, src, orders.filter(F.col("o_orderkey") % 3 == 2))
+        r2 = ivm.refresh_rollup(spark, src, roll, ["o_custkey"], {"sum_key": "o_orderkey"})
+        assert (r1["mode"], r2["mode"], r2["applied_from"]) == (
+            "incremental",
+            "incremental",
+            2,
+        ), (r1, r2)
+    return snap.read_snapshot(spark, roll).select("o_custkey", "n_rows", "sum_key")
+
+
+_SQL_INCREMENTAL_ROLLUP = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM orders
+WHERE (o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0)
+   OR o_orderkey % 3 = 2
+GROUP BY o_custkey
+"""
+
+
 def q_cell_rollup(spark, sf_dir):
     """G1+A3: per-parent-cell point counts (hypertable rollup shape)."""
     pts = _event_points(spark, sf_dir)
@@ -4252,6 +4302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-verified by tools/verify_local.py every session) ------------
         "snapshot_evolve": q_snapshot_evolve,
         "snapshot_changes": q_snapshot_changes,
+        "incremental_rollup": q_incremental_rollup,
         "snapshot_delete": q_snapshot_delete,
         "snapshot_time_travel": q_snapshot_time_travel,
         "zorder_curve": q_zorder_curve,
@@ -4330,6 +4381,7 @@ def oracle_sql() -> dict[str, str]:
         "decile_stats": _SQL_DECILES,
         "snapshot_evolve": _SQL_SNAPSHOT_EVOLVE,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
+        "incremental_rollup": _SQL_INCREMENTAL_ROLLUP,
         "snapshot_delete": _SQL_SNAPSHOT_DELETE,
         "snapshot_time_travel": _SQL_SNAPSHOT_TIME_TRAVEL,
         "zorder_curve": _sql_zorder_curve(),

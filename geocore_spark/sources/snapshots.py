@@ -694,13 +694,16 @@ def add_columns(
         if f.name in _RESERVED:
             raise ValueError(f"column name {f.name!r} is reserved")
     names = [f.name for f in fields]
-    if len(set(names)) != len(names):
+    if len({n.lower() for n in names}) != len(names):
         raise ValueError(f"duplicate names in added fields: {names}")
 
     def build(parent, version):
         schema = StructType.fromJson(json.loads(parent["schema"]))
         used = set(_history_of(parent)) | {f.name for f in schema.fields}
-        clash = sorted(set(names) & used)
+        # case-insensitive: Spark resolves column names case-insensitively
+        # by default, so 'V' next to a burned 'v' is just as ambiguous
+        lower_used = {u.lower() for u in used}
+        clash = sorted(n for n in names if n.lower() in lower_used)
         if clash:
             raise ValueError(
                 f"column names {clash} were already used by this table — "

@@ -62,7 +62,11 @@ def snapshot_append_sink(root: str, app_id: str) -> Callable[[DataFrame, int], N
                 snap.create_table(spark, root, df, txn=(app_id, batch_id))
                 return
             except ValueError:
-                pass  # lost the create race to a concurrent writer: append
+                # lost the create race to a concurrent writer -> append;
+                # any OTHER ValueError (e.g. reserved column names) must
+                # surface, not be masked into a confusing NoSuchVersion
+                if snap.latest_version(spark, root) is None:
+                    raise
         snap.append(spark, root, df, txn=(app_id, batch_id))
 
     return write_batch

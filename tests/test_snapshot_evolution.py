@@ -120,6 +120,9 @@ def test_drop_then_readd_is_refused_forever(spark, root):
     for t in (LongType(), StringType()):
         with pytest.raises(ValueError, match="already used"):
             snap.add_columns(spark, root, [StructField("v", t)])
+    # case-insensitive: Spark resolution is case-insensitive by default
+    with pytest.raises(ValueError, match="already used"):
+        snap.add_columns(spark, root, [StructField("V", LongType())])
     # the burn survives unrelated commits
     snap.append(spark, root, spark.range(100, 110))
     with pytest.raises(ValueError, match="already used"):

@@ -116,6 +116,16 @@ def test_two_apps_interleave(spark, paths):
     assert m["txns"] == {"app-a": 1, "app-b": 0}
 
 
+def test_reserved_column_error_surfaces(spark, paths):
+    """The create-race fallback must not mask a validation error: a
+    stream schema using a reserved name fails loudly at batch 0, not as
+    a confusing NoSuchVersion from the fallback append."""
+    sink = snapshot_append_sink(paths["table"], app_id="t-ingest")
+    bad = spark.range(3).withColumn("_gc_pos", F.col("id"))
+    with pytest.raises(ValueError, match="reserved"):
+        sink(bad, 0)
+
+
 def test_skip_cleans_staged_files(spark, paths):
     """A skipped re-delivery must not leak orphan data files (the
     append-side pre-check avoids staging; the rebase-time skip deletes)."""
