@@ -103,10 +103,20 @@ def refresh_rollup(
     if src_latest is None:
         raise snap.NoSuchVersion(f"no committed snapshot at {source_root}")
 
-    exists = snap.latest_version(spark, rollup_root) is not None
+    # ONE manifest load supplies both the applied-version token and the
+    # version whose content we merge into: reading the token from one
+    # manifest and the content from a later one (a concurrent refresh of
+    # this view committing in between) would re-apply changes that
+    # content already contains — double-counting them
+    rollup_version = snap.latest_version(spark, rollup_root)
+    exists = rollup_version is not None
     last = 0
     if exists:
-        last = snap.load_manifest(spark, rollup_root).get("txns", {}).get(app, 0)
+        last = (
+            snap.load_manifest(spark, rollup_root, rollup_version)
+            .get("txns", {})
+            .get(app, 0)
+        )
         if last == 0:
             # merging "all changes since v0" into a table with existing
             # content would double-count it — this root is either another
@@ -130,7 +140,7 @@ def refresh_rollup(
         ch = snap.read_changes(spark, source_root, last, src_latest)
         delta = _signed_rollup(ch, keys, sums)
         if exists:
-            cur = snap.read_snapshot(spark, rollup_root)
+            cur = snap.read_snapshot(spark, rollup_root, rollup_version)
             cols = [_N_ROWS, *sums]
             merged = cur.join(delta, on=keys, how="full_outer").select(
                 *keys,

@@ -403,6 +403,17 @@ def append(
     rows = _count_parquet(spark, files)
 
     def build(parent, version):
+        # the staged files were validated against base's schema; if a
+        # concurrent evolve/overwrite changed it, committing them under
+        # the NEW schema could type-poison every multi-file read — the
+        # exact failure the enforcement above exists to prevent. Schema
+        # changes are not rebase-safe for an append: fail loudly, the
+        # caller re-validates against the new schema and retries.
+        if parent["schema"] != base["schema"]:
+            raise ConcurrentCommit(
+                f"table schema at {root} changed while appending — "
+                "re-run append against the new schema"
+            )
         txns = dict(parent.get("txns", {}))
         if txn is not None:
             if txns.get(txn[0], -1) >= txn[1]:
@@ -421,6 +432,11 @@ def append(
 
     try:
         return _commit(spark, root, build, rebase=True)
+    except ConcurrentCommit:
+        fs, _, jvm = _fs(spark, root)
+        for f in files:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+        raise
     except _AlreadyApplied:
         fs, _, jvm = _fs(spark, root)
         for f in files:

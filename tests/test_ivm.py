@@ -129,3 +129,37 @@ def test_validation(spark, roots):
         ivm.refresh_rollup(spark, src, roll, [])
     with pytest.raises(ValueError, match="collides"):
         ivm.refresh_rollup(spark, src, roll, ["grp"], {"n_rows": "v"})
+
+
+def test_concurrent_refresh_same_view_no_double_count(spark, roots, monkeypatch):
+    # the applied-version token and the rollup content must come from the
+    # SAME manifest: a concurrent refresh of this view committing between
+    # the two reads would otherwise hand us content that already contains
+    # part of our delta, and the merge would double-count it
+    src, roll = roots
+    snap.create_table(spark, src, _src(spark, 0, 40))  # src v1
+    ivm.refresh_rollup(spark, src, roll, ["grp"], {"sum_v": "v"})  # token=1
+    snap.append(spark, src, _src(spark, 40, 60))  # src v2
+    snap.append(spark, src, _src(spark, 60, 80))  # src v3
+    app = "ivm:grp;sum_v"  # the default view_id for these keys+sums
+
+    orig = snap.read_changes
+    state = {"raced": False}
+
+    def racing(sp, rt, since, until=None):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent refresh of the SAME view lands, applied to v2
+            full2 = ivm._full_rollup(
+                snap.read_snapshot(sp, src, 2), ["grp"], {"sum_v": "v"}
+            )
+            snap.overwrite(sp, roll, full2, txn=(app, 2))
+        return orig(sp, rt, since, until)
+
+    monkeypatch.setattr(snap, "read_changes", racing)
+    r = ivm.refresh_rollup(spark, src, roll, ["grp"], {"sum_v": "v"})
+    assert r["applied_to"] == 3
+    _same(
+        snap.read_snapshot(spark, roll).select("grp", "n_rows", "sum_v"),
+        _expect(spark, src),
+    )

@@ -263,3 +263,25 @@ def test_rollback_loses_race_loudly(spark, root, monkeypatch):
     with pytest.raises(snap.ConcurrentCommit, match="advanced past"):
         snap.rollback(spark, root, 1)
     assert snap.read_snapshot(spark, root).count() == 110
+
+
+def test_append_loses_schema_race_loudly(spark, root, monkeypatch):
+    # an append validated against the pre-evolve schema must NOT commit
+    # under the post-evolve one: its staged files could type-poison every
+    # multi-file read — the exact failure append's enforcement prevents
+    _mk(spark, root)
+    _race_once(
+        monkeypatch,
+        lambda: snap.add_columns(spark, root, [StructField("w", LongType())]),
+    )
+    late = spark.range(100, 120).withColumn("v", F.col("id") * 3)
+    with pytest.raises(snap.ConcurrentCommit, match="schema .* changed"):
+        snap.append(spark, root, late)
+    # the evolve survived, the loser's staged files were cleaned up
+    m = snap.load_manifest(spark, root)
+    assert m["operation"] == "evolve"
+    on_disk = {p for p, _, _ in snap._list_dir(spark, root + "/data")}
+    assert on_disk == set(m["data_files"])
+    # re-running against the NEW schema succeeds
+    snap.append(spark, root, late.withColumn("w", F.lit(None).cast("long")))
+    assert snap.read_snapshot(spark, root).count() == 120
