@@ -894,6 +894,57 @@ GROUP BY o_custkey
 """
 
 
+def q_snapshot_merge(spark, sf_dir):
+    """MERGE + selective compaction on the snapshot commit log
+    (sources/snapshots.merge_into / compact_snapshot): v1 creates from
+    the %3==0 orders slice (4 small files), v2 MERGEs a recrawl-style
+    batch (every even orderkey, status mutated to 'M') as ONE atomic
+    commit — matched rows tombstoned via positional vectors, the whole
+    batch appended, zero files rewritten — and v3 bin-packs every small
+    file into one (delete vectors applied during the rewrite; no
+    logical change). Oracle replays the upsert algebra on the raw
+    table: the batch wins on matched keys, survivors keep their
+    original row. Value-exact because every output cell is the identity
+    of a source cell or the literal 'M'."""
+    import shutil
+    import tempfile
+
+    from geocore_spark.sources import snapshots as snap
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snapmerge_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
+        "t",
+    )
+    if snap.latest_version(spark, root) != 3:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        snap.create_table(
+            spark, root, orders.filter(F.col("o_orderkey") % 3 == 0).repartition(4)
+        )
+        batch = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", F.lit("M").alias("o_orderstatus")
+        )
+        _, stats = snap.merge_into(spark, root, batch, ["o_orderkey"])
+        assert stats["rows_tombstoned"] > 0, stats
+        rep = snap.compact_snapshot(
+            spark, root, small_bytes=1 << 30, target_bytes=2 << 30
+        )
+        assert rep["files_written"] >= 1, rep
+    return snap.read_snapshot(spark, root)
+
+
+_SQL_SNAPSHOT_MERGE = """
+SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+"""
+
+
 def q_cell_rollup(spark, sf_dir):
     """G1+A3: per-parent-cell point counts (hypertable rollup shape)."""
     pts = _event_points(spark, sf_dir)
@@ -4300,6 +4351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        "snapshot_merge": q_snapshot_merge,
         "snapshot_evolve": q_snapshot_evolve,
         "snapshot_changes": q_snapshot_changes,
         "incremental_rollup": q_incremental_rollup,
@@ -4379,6 +4431,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _SQL_TOPK,
         "label_dedup": _SQL_LABEL_DEDUP,
         "decile_stats": _SQL_DECILES,
+        "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "snapshot_evolve": _SQL_SNAPSHOT_EVOLVE,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "incremental_rollup": _SQL_INCREMENTAL_ROLLUP,

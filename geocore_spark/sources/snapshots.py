@@ -43,6 +43,11 @@ Why this shape survives 100 TB:
   rewrite) is O(hit file bytes) per batch. When vectors accumulate,
   :func:`rewrite_files` materializes them (read-minus-deletes, write
   fresh files, one commit) and the table is delete-free again.
+- **MERGE and maintenance on the same mechanism**: :func:`merge_into`
+  is upsert as one atomic commit (vectors for the matched rows + new
+  files for the batch, zero rewrites); :func:`compact_snapshot`
+  bin-packs small files (streaming-ingest and merge debris) without
+  touching the rest of the table.
 - **Bounded metadata.** A manifest is one JSON row per live file
   (~800 k files at 100 TB — tens of MB, same order as any format's
   manifest). Writing the FULL list per commit is O(files) per commit;
@@ -376,26 +381,7 @@ def append(
     retry racing its own predecessor can't double-append either). The
     staged files are removed on skip."""
     base = load_manifest(spark, root)  # schema source + existence check
-    table_schema = StructType.fromJson(json.loads(base["schema"]))
-    # schema enforcement at commit time: a type-mismatched parquet file
-    # (e.g. INT appended onto a BIGINT column) poisons the table — every
-    # later multi-file read fails with PARQUET_COLUMN_DATA_TYPE_MISMATCH.
-    # Reject loudly here; the caller casts deliberately.
-    missing = [f.name for f in table_schema.fields if f.name not in df.columns]
-    if missing:
-        raise ValueError(f"append missing table columns: {missing}")
-    by_name = {f.name: f.dataType for f in df.schema.fields}
-    bad = [
-        (f.name, str(by_name[f.name]), str(f.dataType))
-        for f in table_schema.fields
-        if by_name[f.name] != f.dataType
-    ]
-    if bad:
-        raise ValueError(
-            "append column types must match the table schema exactly "
-            f"(got, expected): {bad}"
-        )
-    df = df.select(*table_schema.fieldNames())
+    df = _enforce_table_schema(base, df, "append")
     if txn is not None:
         if base.get("txns", {}).get(txn[0], -1) >= txn[1]:
             return None  # already committed; don't even stage
@@ -442,6 +428,31 @@ def append(
         for f in files:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
         return None
+
+
+def _enforce_table_schema(base: dict, df: DataFrame, op: str) -> DataFrame:
+    """Commit-time schema gate for append/merge: exact name+type match
+    against the manifest schema, columns selected into manifest order.
+    A type-mismatched parquet file (e.g. INT committed onto a BIGINT
+    column) poisons the table — every later multi-file read fails with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH. Reject loudly here; the caller
+    casts deliberately."""
+    table_schema = StructType.fromJson(json.loads(base["schema"]))
+    missing = [f.name for f in table_schema.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"{op} missing table columns: {missing}")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    bad = [
+        (f.name, str(by_name[f.name]), str(f.dataType))
+        for f in table_schema.fields
+        if by_name[f.name] != f.dataType
+    ]
+    if bad:
+        raise ValueError(
+            f"{op} column types must match the table schema exactly "
+            f"(got, expected): {bad}"
+        )
+    return df.select(*table_schema.fieldNames())
 
 
 def overwrite(
@@ -637,6 +648,236 @@ def rewrite_files(
     return _commit(spark, root, build, rebase=False)
 
 
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    keys: list[str],
+    txn: tuple[str, int] | None = None,
+) -> tuple[dict | None, dict]:
+    """MERGE (upsert) as ONE atomic merge-on-read commit: every target
+    row whose key matches a source row is tombstoned via positional
+    delete vectors, every source row lands as new data files — WHEN
+    MATCHED THEN UPDATE (whole-row replace), WHEN NOT MATCHED THEN
+    INSERT, with zero target files rewritten. The operators/upsert.py
+    semantics under the commit log, where they gain atomic visibility
+    (a reader sees pre-merge or post-merge, never the half-state a raw-
+    dir upsert exposes mid-swap) and time travel.
+
+    At 100 TB: cost is one semi-join of the target against the batch
+    keys (AQE broadcasts a small batch) plus O(batch) bytes written —
+    the raw-dir alternative rewrites every HIT FILE per batch, and a
+    full-table MERGE rewrite is off the table entirely. Accumulated
+    vectors are absorbed by the next rewrite_files / compact_snapshot.
+
+    ``keys`` must uniquely identify non-null source rows (checked on
+    the staged batch — a duplicate key would insert duplicate rows).
+    Non-rebaseable: the victim positions were computed against THIS
+    snapshot, so any concurrent commit raises ConcurrentCommit
+    (serializable-merge semantics, the rewrite_files guard). ``txn``:
+    exactly-once token (see append) — a re-delivered batch is a no-op,
+    even when the retry races its own predecessor's commit.
+
+    Returns (manifest | None if txn-skipped, {"rows_written",
+    "rows_tombstoned"}): every source row lands (written), every matched
+    target row is tombstoned — a key holding N duplicate target rows
+    (appended, not merged, earlier) tombstones all N, so the manifest's
+    rows_changed (written - tombstoned) can legitimately be negative."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    base = load_manifest(spark, root)
+    if txn is not None and base.get("txns", {}).get(txn[0], -1) >= txn[1]:
+        return None, {"rows_written": 0, "rows_tombstoned": 0}
+    table_schema = StructType.fromJson(json.loads(base["schema"]))
+    unknown = sorted(set(keys) - set(table_schema.fieldNames()))
+    if unknown:
+        raise ValueError(f"merge keys not in table schema: {unknown}")
+    source = _enforce_table_schema(base, source, "merge")
+    files = _stage_files(spark, root, source, "data")
+
+    fs, _, jvm = _fs(spark, root)
+
+    def _cleanup(paths):
+        for f in paths:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+
+    # key-uniqueness check on the STAGED batch (one scan of batch-sized
+    # data; the source plan is never evaluated twice)
+    staged = spark.read.schema(table_schema).parquet(*files) if files else None
+    if staged is None:
+        return None, {"rows_written": 0, "rows_tombstoned": 0}
+    import functools
+    import operator as _op
+
+    null_any = functools.reduce(
+        _op.or_, [F.col(k).isNull() for k in keys]
+    ).cast("int")
+    chk = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("d"),
+        F.coalesce(F.sum(null_any), F.lit(0)).alias("nulls"),
+    ).first()
+    if chk["n"] == 0:
+        _cleanup(files)
+        return None, {"rows_written": 0, "rows_tombstoned": 0}
+    if chk["nulls"] or chk["d"] != chk["n"]:
+        _cleanup(files)
+        raise ValueError(
+            f"merge source must have unique non-null {keys}: {chk['n']} "
+            f"rows, {chk['d']} distinct keys, {chk['nulls']} null-keyed"
+        )
+
+    # victims: current-snapshot rows (existing vectors applied) whose key
+    # appears in the batch — recorded as positional delete vectors
+    victims = (
+        _read_with_pos(spark, base)
+        .join(staged.select(*keys), on=keys, how="left_semi")
+        .select(F.col(_DV_FILE), F.col(_DV_POS))
+    )
+    dv_files = _stage_files(spark, root, victims.repartition(1), "deletes")
+    n_upd = (
+        spark.read.schema(_DV_SCHEMA).parquet(*dv_files).count()
+        if dv_files
+        else 0
+    )
+    if n_upd == 0 and dv_files:
+        _cleanup(dv_files)
+        dv_files = []
+
+    def build(parent, version):
+        txns = dict(parent.get("txns", {}))
+        if txn is not None:
+            # token check BEFORE the version pin: a re-delivered merge
+            # racing its own predecessor must take the skip path, not
+            # surface the races's ConcurrentCommit
+            if txns.get(txn[0], -1) >= txn[1]:
+                raise _AlreadyApplied()
+            txns[txn[0]] = txn[1]
+        if parent["version"] != base["version"]:
+            raise ConcurrentCommit(
+                f"snapshot advanced past v{base['version']} while merging "
+                f"into {root} — re-run against the new state"
+            )
+        return _manifest(
+            version,
+            "merge",
+            parent["schema"],
+            parent["data_files"] + files,
+            parent["delete_files"] + dv_files,
+            int(chk["n"]) - n_upd,
+            txns=txns,
+            column_history=_history_of(parent),
+        )
+
+    try:
+        m = _commit(spark, root, build, rebase=False)
+    except _AlreadyApplied:
+        _cleanup(files + dv_files)
+        return None, {"rows_written": 0, "rows_tombstoned": 0}
+    except ConcurrentCommit:
+        _cleanup(files + dv_files)
+        raise
+    return m, {"rows_written": int(chk["n"]), "rows_tombstoned": n_upd}
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    small_bytes: int = 64 << 20,
+    target_bytes: int = 512 << 20,
+) -> dict:
+    """Selective small-file compaction under the commit log: bin-pack
+    LIVE data files smaller than ``small_bytes`` into ~``target_bytes``
+    groups, rewrite ONLY those (existing delete vectors applied — the
+    new files' row positions differ, so stale vectors must never get a
+    chance to resurrect or mis-kill rows), and commit
+    ``data_files = (live - compacted) + merged``. Delete-vector FILES
+    are carried unchanged: vector rows naming compacted-away files
+    become anti-join no-ops (vector GC stays :func:`rewrite_files`' job,
+    which this deliberately is not — a full rewrite per maintenance pass
+    is O(table); this is O(small-file bytes)).
+
+    The maintenance companion to streaming ingest
+    (streaming/snapshot_sink.py writes one small file set per batch) and
+    to frequent :func:`merge_into` batches. No logical row change — the
+    commit is invisible to :func:`read_changes`, like rewrite.
+    Non-rebaseable (rewrite_files guard). Returns
+    {"files_compacted", "files_written", "version"} — version unchanged
+    and no commit when fewer than two live files qualify."""
+    if target_bytes < small_bytes:
+        raise ValueError("target_bytes must be >= small_bytes")
+    m = load_manifest(spark, root)
+    sizes = {p: b for p, b, _ in _list_dir(spark, f"{root.rstrip('/')}/data")}
+    gone = [f for f in m["data_files"] if f not in sizes]
+    if gone:
+        raise ValueError(
+            f"manifest v{m['version']} references missing data files "
+            f"(corrupt table or foreign GC): {gone[:3]}"
+        )
+    smalls = [f for f in m["data_files"] if sizes[f] < small_bytes]
+    if len(smalls) < 2:
+        return {"files_compacted": 0, "files_written": 0, "version": m["version"]}
+    # greedy bins in manifest (path-sorted ~ commit) order; every bin has
+    # >= 2 files because each member is < small_bytes <= target_bytes
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for f in smalls:
+        cur.append(f)
+        acc += sizes[f]
+        if acc >= target_bytes:
+            bins.append(cur)
+            cur, acc = [], 0
+    if len(cur) >= 2:
+        bins.append(cur)
+    elif cur and bins:
+        bins[-1].extend(cur)
+    if not bins:
+        return {"files_compacted": 0, "files_written": 0, "version": m["version"]}
+    compacted = [f for b in bins for f in b]
+    new_files: list[str] = []
+    for b in bins:
+        # sub-manifest trick: same schema + ALL delete vectors, only this
+        # bin's files — vectors for other files are anti-join no-ops
+        df = (
+            _read_with_pos(spark, dict(m, data_files=b))
+            .drop(_DV_FILE, _DV_POS)
+            .coalesce(1)
+        )
+        new_files += _stage_files(spark, root, df, "data")
+
+    def build(parent, version):
+        if parent is None or parent["version"] != m["version"]:
+            raise ConcurrentCommit(
+                f"snapshot advanced past v{m['version']} while compacting "
+                f"{root} — re-run against the new state"
+            )
+        data = sorted(set(parent["data_files"]) - set(compacted)) + new_files
+        return _manifest(
+            version,
+            "compact",
+            parent["schema"],
+            data,
+            parent["delete_files"],
+            None,
+            txns=parent.get("txns", {}),
+            column_history=_history_of(parent),
+        )
+
+    try:
+        committed = _commit(spark, root, build, rebase=False)
+    except ConcurrentCommit:
+        fs, _, jvm = _fs(spark, root)
+        for f in new_files:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+        raise
+    return {
+        "files_compacted": len(compacted),
+        "files_written": len(new_files),
+        "version": committed["version"],
+    }
+
+
 def rollback(spark: SparkSession, root: str, version: int) -> dict:
     """Commit a NEW version re-pointing at ``version``'s exact file
     lists (history stays append-only; the bad commits remain inspectable
@@ -794,7 +1035,11 @@ def read_changes(
       the files they name -> the deleted rows (reads only named files;
       vectors can never re-name an already-deleted row because
       delete_where evaluates on the vectors-applied snapshot);
-    - ``rewrite`` / ``evolve``: no row-level change — skipped;
+    - ``merge``: its new vectors -> deletes (the matched rows' old
+      values), its new data files -> inserts — replayed in that order a
+      consumer nets the upsert;
+    - ``rewrite`` / ``evolve`` / ``compact``: no row-level change —
+      skipped;
     - ``overwrite`` / ``rollback``: NOT row-incremental (the commit
       redefines content wholesale) — raises ValueError, read full
       snapshots instead. Same refusal Iceberg's incremental scan makes
@@ -829,6 +1074,26 @@ def read_changes(
 
     from geocore_spark.sources.stats import decode_file_url
 
+    def delete_piece(new_dv: list[str], version: int) -> DataFrame:
+        dv = spark.read.schema(_DV_SCHEMA).parquet(*new_dv)
+        named = sorted(
+            {
+                decode_file_url(r[_DV_FILE])
+                for r in dv.select(_DV_FILE).distinct().collect()
+            }
+        )
+        rows = spark.read.schema(out_schema).parquet(*named).select(
+            "*",
+            F.col("_metadata.file_path").alias(_DV_FILE),
+            F.col("_metadata.row_index").alias(_DV_POS),
+        )
+        got = rows.join(F.broadcast(dv), on=[_DV_FILE, _DV_POS], how="inner")
+        return got.select(
+            *out_cols,
+            F.lit("delete").alias(_CDC_TYPE),
+            F.lit(version).cast("int").alias(_CDC_VERSION),
+        )
+
     pieces: list[DataFrame] = []
     prev = (
         load_manifest(spark, root, since_version) if since_version >= 1 else None
@@ -842,7 +1107,16 @@ def read_changes(
                 "full snapshot instead (Iceberg-style incremental-scan "
                 "refusal)"
             )
-        if op in ("create", "append"):
+        if op in ("create", "append", "merge"):
+            # a merge commit is deletes-then-inserts: the tombstoned
+            # matched rows, then every source row — replaying in that
+            # order nets the update (standard CDC upsert rendering)
+            if op == "merge":
+                new_dv = sorted(
+                    set(m["delete_files"]) - set(prev["delete_files"] if prev else [])
+                )
+                if new_dv:
+                    pieces.append(delete_piece(new_dv, v))
             new = sorted(
                 set(m["data_files"]) - set(prev["data_files"] if prev else [])
             )
@@ -853,27 +1127,8 @@ def read_changes(
                 set(m["delete_files"]) - set(prev["delete_files"] if prev else [])
             )
             if new_dv:
-                dv = spark.read.schema(_DV_SCHEMA).parquet(*new_dv)
-                named = sorted(
-                    {
-                        decode_file_url(r[_DV_FILE])
-                        for r in dv.select(_DV_FILE).distinct().collect()
-                    }
-                )
-                rows = spark.read.schema(out_schema).parquet(*named).select(
-                    "*",
-                    F.col("_metadata.file_path").alias(_DV_FILE),
-                    F.col("_metadata.row_index").alias(_DV_POS),
-                )
-                got = rows.join(F.broadcast(dv), on=[_DV_FILE, _DV_POS], how="inner")
-                pieces.append(
-                    got.select(
-                        *out_cols,
-                        F.lit("delete").alias(_CDC_TYPE),
-                        F.lit(v).cast("int").alias(_CDC_VERSION),
-                    )
-                )
-        elif op not in ("rewrite", "evolve"):
+                pieces.append(delete_piece(new_dv, v))
+        elif op not in ("rewrite", "evolve", "compact"):
             raise ValueError(f"unknown commit operation {op!r} at v{v}")
         prev = m
     if not pieces:

@@ -70,3 +70,61 @@ def snapshot_append_sink(root: str, app_id: str) -> Callable[[DataFrame, int], N
         snap.append(spark, root, df, txn=(app_id, batch_id))
 
     return write_batch
+
+
+def snapshot_merge_sink(
+    root: str,
+    keys: list[str],
+    app_id: str,
+    order_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callable that MERGEs each micro-batch into the
+    snapshot table at ``root`` exactly once — the CDC-apply / streaming-
+    upsert sink: a stream of keyed records (recrawled pages by url,
+    refreshed features by id, change events by primary key) lands as
+    merge-on-read upserts (sources/snapshots.merge_into), so the table
+    always holds the LATEST row per key, with zero file rewrites per
+    batch and atomic per-batch visibility.
+
+    ``order_col``: a CDC batch may carry several versions of one key;
+    when given, only the row with the highest ``order_col`` per key
+    survives (ties broken arbitrarily — use a total order per key, e.g.
+    an LSN or event timestamp, for deterministic replay). Without it, a
+    duplicate-keyed batch raises (merge_into's uniqueness gate).
+
+    Exactly-once: same txn-token mechanism as :func:`snapshot_append_sink`
+    — a re-delivered batch id is a committed-token no-op. merge_into is
+    non-rebaseable, so a TRULY concurrent writer on the same table makes
+    the batch fail loudly and the stream retry; one logical pipeline per
+    table (plus maintenance between batches) is the supported shape.
+
+    The first batch creates the table (after the per-key dedupe)."""
+    if not app_id:
+        raise ValueError("app_id must be a non-empty, restart-stable string")
+    if not keys:
+        raise ValueError("keys must be non-empty")
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from geocore_spark.sources import snapshots as snap
+
+        spark = df.sparkSession
+        if order_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+            df = (
+                df.withColumn("_gc_rn", F.row_number().over(w))
+                .filter(F.col("_gc_rn") == 1)
+                .drop("_gc_rn")
+            )
+        if snap.latest_version(spark, root) is None:
+            try:
+                snap.create_table(spark, root, df, txn=(app_id, batch_id))
+                return
+            except ValueError:
+                if snap.latest_version(spark, root) is None:
+                    raise
+        snap.merge_into(spark, root, df, keys, txn=(app_id, batch_id))
+
+    return write_batch
