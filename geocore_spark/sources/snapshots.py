@@ -785,6 +785,7 @@ def compact_snapshot(
     root: str,
     small_bytes: int = 64 << 20,
     target_bytes: int = 512 << 20,
+    order_col: str | None = None,
 ) -> dict:
     """Selective small-file compaction under the commit log: bin-pack
     LIVE data files smaller than ``small_bytes`` into ~``target_bytes``
@@ -801,7 +802,11 @@ def compact_snapshot(
     (streaming/snapshot_sink.py writes one small file set per batch) and
     to frequent :func:`merge_into` batches. No logical row change — the
     commit is invisible to :func:`read_changes`, like rewrite.
-    Non-rebaseable (rewrite_files guard). Returns
+    Non-rebaseable (rewrite_files guard). ``order_col``: sort each
+    merged file on this column (AFTER the coalesce — concatenated sorted
+    runs are not sorted, the operators/compact.py lesson) so a clustered
+    layout keeps its per-file sortedness, which is what write-side
+    stats pruning feeds on. Returns
     {"files_compacted", "files_written", "version"} — version unchanged
     and no commit when fewer than two live files qualify."""
     if target_bytes < small_bytes:
@@ -844,6 +849,8 @@ def compact_snapshot(
             .drop(_DV_FILE, _DV_POS)
             .coalesce(1)
         )
+        if order_col is not None:
+            df = df.sortWithinPartitions(order_col)
         new_files += _stage_files(spark, root, df, "data")
 
     def build(parent, version):

@@ -271,3 +271,28 @@ def test_merge_sink_validation():
         snapshot_merge_sink("/x", ["id"], app_id="")
     with pytest.raises(ValueError, match="keys"):
         snapshot_merge_sink("/x", [], app_id="a")
+
+
+def test_compact_order_col_keeps_per_file_sortedness(spark, root):
+    import pyarrow.parquet as pq
+
+    snap.create_table(
+        spark, root,
+        spark.range(0, 400).withColumn("v", (F.col("id") * 7919) % 1000)
+        .coalesce(1),
+    )
+    for lo in (400, 800):
+        snap.append(
+            spark, root,
+            spark.range(lo, lo + 400)
+            .withColumn("v", (F.col("id") * 7919) % 1000)
+            .coalesce(1),
+        )
+    rep = snap.compact_snapshot(
+        spark, root, small_bytes=1 << 30, target_bytes=2 << 30, order_col="v"
+    )
+    assert rep["files_written"] >= 1
+    for f in snap.load_manifest(spark, root)["data_files"]:
+        vs = pq.read_table(f.removeprefix("file:")).column("v").to_pylist()
+        assert vs == sorted(vs), f
+    assert snap.read_snapshot(spark, root).count() == 1200

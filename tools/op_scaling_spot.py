@@ -228,6 +228,30 @@ def pipe():
         F.count(F.lit(1)), F.sum("id"), F.avg(F.col("lat") + F.col("lon"))
     ).collect()
 """,
+    # snapshot MERGE (sources/snapshots.merge_into): a ~1.4M-key upsert
+    # batch into a private copy of the 10M-row table — victim semi-join
+    # (AQE broadcast of the batch keys), vector staging, batch write, one
+    # commit; zero target files rewritten. Repeated pipe() calls re-merge
+    # the same keys (tombstone the previous iteration's rows), so timed
+    # runs measure the steady-state re-merge, identically at every level.
+    "merge": f"""
+import shutil
+from pyspark.sql import functions as F
+from geocore_spark.sources import snapshots as snap
+BASE = "/tmp/geocore_spot_merge"
+ROOT = BASE + "/t"
+shutil.rmtree(BASE, ignore_errors=True)
+shutil.copytree("{os.path.dirname(SNAP)}", BASE)
+batch = spark.range(0, 10_000_000, 7).select(
+    F.col("id"),
+    ((F.col("id") % 181).cast("double") - 90.0).alias("lat"),
+    ((F.col("id") % 361).cast("double") - 180.0).alias("lon"),
+)
+def pipe():
+    m, stats = snap.merge_into(spark, ROOT, batch, ["id"])
+    assert stats["rows_tombstoned"] > 1_000_000, stats
+    return stats
+""",
     # real-codec media path over 20k mixed BMP/PNG/JPEG/GIF/fake payloads
     # (operators/multimodal.py + jpegcodec + gifcodec) — per-row Python
     # decode in Arrow-batched mapInPandas, embarrassingly parallel: the
@@ -293,6 +317,7 @@ def main() -> None:
         "media": "20k payloads",
         "zorder": "10M pts res=19 64 files",
         "mor_read": "10M rows 10pct deleted",
+        "merge": "10M-row table, 1.4M-key batch",
         "mor_read_plain": "10M rows v1 no vectors",
     }
     entry = {"ts": time.time(), "pinned": True, "ops": {}}
