@@ -654,6 +654,7 @@ def merge_into(
     source: DataFrame,
     keys: list[str],
     txn: tuple[str, int] | None = None,
+    key_stats: DataFrame | None = None,
 ) -> tuple[dict | None, dict]:
     """MERGE (upsert) as ONE atomic merge-on-read commit: every target
     row whose key matches a source row is tombstoned via positional
@@ -664,11 +665,20 @@ def merge_into(
     (a reader sees pre-merge or post-merge, never the half-state a raw-
     dir upsert exposes mid-swap) and time travel.
 
-    At 100 TB: cost is one semi-join of the target against the batch
-    keys (AQE broadcasts a small batch) plus O(batch) bytes written —
-    the raw-dir alternative rewrites every HIT FILE per batch, and a
-    full-table MERGE rewrite is off the table entirely. Accumulated
-    vectors are absorbed by the next rewrite_files / compact_snapshot.
+    At 100 TB: O(batch) bytes written, and the victim lookup scans only
+    the files the batch can possibly hit when ``key_stats`` is given —
+    a per-file [min, max] manifest of ``keys[0]`` (build once per
+    maintenance cycle with :func:`snapshot_file_stats`, the
+    operators/upsert.py manifest move). Hit files are picked by
+    searchsorted of the batch's (bounded) key set against each file's
+    range; on a key-clustered layout (``rewrite_files``/
+    ``compact_snapshot`` with order_col=key) a batch hits few files.
+    Without stats the victim lookup is one semi-join over the full
+    table — correct, but O(table scan) per batch, the thing to avoid.
+    Accumulated vectors are absorbed by the next rewrite_files /
+    compact_snapshot. Float/double prune keys are refused: Spark joins
+    treat NaN = NaN as a match while file stats exclude NaN from
+    extrema, so a NaN-keyed victim could be missed.
 
     ``keys`` must uniquely identify non-null source rows (checked on
     the staged batch — a duplicate key would insert duplicate rows).
@@ -679,19 +689,35 @@ def merge_into(
     even when the retry races its own predecessor's commit.
 
     Returns (manifest | None if txn-skipped, {"rows_written",
-    "rows_tombstoned"}): every source row lands (written), every matched
-    target row is tombstoned — a key holding N duplicate target rows
-    (appended, not merged, earlier) tombstones all N, so the manifest's
-    rows_changed (written - tombstoned) can legitimately be negative."""
+    "rows_tombstoned", "files_scanned", "files_total"}): every source
+    row lands (written), every matched target row is tombstoned — a key
+    holding N duplicate target rows (appended, not merged, earlier)
+    tombstones all N, so the manifest's rows_changed (written -
+    tombstoned) can legitimately be negative. files_scanned is the
+    victim-lookup scan breadth (== files_total without key_stats)."""
     if not keys:
         raise ValueError("keys must be non-empty")
     base = load_manifest(spark, root)
     if txn is not None and base.get("txns", {}).get(txn[0], -1) >= txn[1]:
-        return None, {"rows_written": 0, "rows_tombstoned": 0}
+        return None, {
+            "rows_written": 0, "rows_tombstoned": 0,
+            "files_scanned": 0, "files_total": len(base["data_files"]),
+        }
     table_schema = StructType.fromJson(json.loads(base["schema"]))
     unknown = sorted(set(keys) - set(table_schema.fieldNames()))
     if unknown:
         raise ValueError(f"merge keys not in table schema: {unknown}")
+    prune_col = keys[0]
+    if key_stats is not None:
+        ptype = dict(
+            (f.name, f.dataType.typeName()) for f in table_schema.fields
+        )[prune_col]
+        if ptype in ("float", "double"):
+            raise ValueError(
+                f"key_stats pruning on a {ptype} key column is unsound "
+                "(NaN joins as equal but is excluded from file extrema) — "
+                "pass key_stats=None for floating-point keys"
+            )
     source = _enforce_table_schema(base, source, "merge")
     files = _stage_files(spark, root, source, "data")
 
@@ -705,7 +731,10 @@ def merge_into(
     # data; the source plan is never evaluated twice)
     staged = spark.read.schema(table_schema).parquet(*files) if files else None
     if staged is None:
-        return None, {"rows_written": 0, "rows_tombstoned": 0}
+        return None, {
+            "rows_written": 0, "rows_tombstoned": 0,
+            "files_scanned": 0, "files_total": len(base["data_files"]),
+        }
     import functools
     import operator as _op
 
@@ -719,7 +748,10 @@ def merge_into(
     ).first()
     if chk["n"] == 0:
         _cleanup(files)
-        return None, {"rows_written": 0, "rows_tombstoned": 0}
+        return None, {
+            "rows_written": 0, "rows_tombstoned": 0,
+            "files_scanned": 0, "files_total": len(base["data_files"]),
+        }
     if chk["nulls"] or chk["d"] != chk["n"]:
         _cleanup(files)
         raise ValueError(
@@ -727,10 +759,49 @@ def merge_into(
             f"rows, {chk['d']} distinct keys, {chk['nulls']} null-keyed"
         )
 
+    # victim lookup breadth: all live files, or only the ones whose
+    # [min, max] of the prune key can contain a batch key
+    live = base["data_files"]
+    scan_files = live
+    if key_stats is not None and live:
+        from geocore_spark.sources.stats import decode_file_url
+
+        frows = {
+            decode_file_url(r["file"]): (r[f"min_{prune_col}"], r[f"max_{prune_col}"])
+            for r in key_stats.select(
+                "file", f"min_{prune_col}", f"max_{prune_col}"
+            ).collect()
+        }
+        missing = [f for f in live if f not in frows]
+        if missing:
+            raise ValueError(
+                f"key_stats is stale: {len(missing)} live files unprofiled "
+                f"(rebuild with snapshot_file_stats), e.g. {missing[:2]}"
+            )
+        import numpy as np
+
+        # the batch key set is bounded by the BATCH (updates are small by
+        # definition; a corpus-sized update is a rewrite) — sorted once,
+        # each file range probed by searchsorted, the upsert_by_key move
+        batch_keys = np.array(
+            sorted(r[0] for r in staged.select(prune_col).distinct().collect())
+        )
+        scan_files = []
+        for f in live:
+            lo, hi = frows[f]
+            if lo is None or hi is None:
+                scan_files.append(f)  # unknown stats: conservative
+                continue
+            i = np.searchsorted(batch_keys, lo, side="left")
+            if i < len(batch_keys) and batch_keys[i] <= hi:
+                scan_files.append(f)
+
     # victims: current-snapshot rows (existing vectors applied) whose key
-    # appears in the batch — recorded as positional delete vectors
+    # appears in the batch — recorded as positional delete vectors.
+    # Vector rows for pruned-away files are anti-join no-ops, so the
+    # sub-manifest read stays exact.
     victims = (
-        _read_with_pos(spark, base)
+        _read_with_pos(spark, dict(base, data_files=scan_files))
         .join(staged.select(*keys), on=keys, how="left_semi")
         .select(F.col(_DV_FILE), F.col(_DV_POS))
     )
@@ -773,11 +844,19 @@ def merge_into(
         m = _commit(spark, root, build, rebase=False)
     except _AlreadyApplied:
         _cleanup(files + dv_files)
-        return None, {"rows_written": 0, "rows_tombstoned": 0}
+        return None, {
+            "rows_written": 0, "rows_tombstoned": 0,
+            "files_scanned": 0, "files_total": len(base["data_files"]),
+        }
     except ConcurrentCommit:
         _cleanup(files + dv_files)
         raise
-    return m, {"rows_written": int(chk["n"]), "rows_tombstoned": n_upd}
+    return m, {
+        "rows_written": int(chk["n"]),
+        "rows_tombstoned": n_upd,
+        "files_scanned": len(scan_files),
+        "files_total": len(live),
+    }
 
 
 def compact_snapshot(

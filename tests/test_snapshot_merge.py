@@ -52,7 +52,8 @@ def test_merge_updates_and_inserts_one_commit(spark, root):
     _mk(spark, root)  # ids 0..99, v = id*3
     before = snap.load_manifest(spark, root)
     m, stats = snap.merge_into(spark, root, _batch(spark, 80, 120, 7), ["id"])
-    assert stats == {"rows_written": 40, "rows_tombstoned": 20}
+    assert (stats["rows_written"], stats["rows_tombstoned"]) == (40, 20)
+    assert stats["files_scanned"] == stats["files_total"] == 2  # no stats given
     assert m["version"] == before["version"] + 1
     assert m["operation"] == "merge"
     # zero pre-existing files rewritten: every old data file still listed
@@ -73,7 +74,7 @@ def test_merge_updates_and_inserts_one_commit(spark, root):
 def test_merge_pure_insert_stages_no_vectors(spark, root):
     _mk(spark, root)
     m, stats = snap.merge_into(spark, root, _batch(spark, 500, 520, 1), ["id"])
-    assert stats == {"rows_written": 20, "rows_tombstoned": 0}
+    assert (stats["rows_written"], stats["rows_tombstoned"]) == (20, 0)
     assert m["delete_files"] == []
     assert snap.read_snapshot(spark, root).count() == 120
 
@@ -84,7 +85,7 @@ def test_merge_tombstones_every_matching_row(spark, root):
     _mk(spark, root, n=10)
     snap.append(spark, root, _batch(spark, 5, 10, 3))  # ids 5..9 twice
     m, stats = snap.merge_into(spark, root, _batch(spark, 7, 8, 99), ["id"])
-    assert stats == {"rows_written": 1, "rows_tombstoned": 2}
+    assert (stats["rows_written"], stats["rows_tombstoned"]) == (1, 2)
     got = snap.read_snapshot(spark, root).filter("id = 7")
     assert _rows(got) == [(7, 693)]
 
@@ -121,7 +122,7 @@ def test_merge_txn_redelivery_is_noop(spark, root):
     m2, s2 = snap.merge_into(
         spark, root, _batch(spark, 90, 110, 5), ["id"], txn=("up", 1)
     )
-    assert m2 is None and s2 == {"rows_written": 0, "rows_tombstoned": 0}
+    assert m2 is None and (s2["rows_written"], s2["rows_tombstoned"]) == (0, 0)
     assert snap.latest_version(spark, root) == v
     assert snap.read_snapshot(spark, root).count() == 110
     # no staged debris from the skipped attempt
@@ -183,6 +184,52 @@ def test_ivm_maintains_through_merge(spark, root, tmp_path):
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
     assert got == want
+
+
+def test_merge_stats_pruned_victim_scan(spark, root):
+    # key-clustered table: 8 files with disjoint id ranges; a batch
+    # touching one range must scan ONE file for victims, not eight
+    df = spark.range(0, 8000).withColumn("v", F.col("id") * 3)
+    snap.create_table(
+        spark, root,
+        df.repartitionByRange(8, F.col("id")).sortWithinPartitions("id"),
+    )
+    stats = snap.snapshot_file_stats(spark, root, ["id"]).persist()
+    batch = _batch(spark, 2000, 2050, 9)  # 50 keys, one ~1000-id file range
+    m, st = snap.merge_into(spark, root, batch, ["id"], key_stats=stats)
+    assert st["files_total"] == 8
+    assert st["files_scanned"] <= 2  # range boundary may straddle a file
+    assert st["rows_tombstoned"] == 50
+    got = snap.read_snapshot(spark, root)
+    assert got.count() == 8000
+    assert _rows(got.filter("id = 2010").select("v")) == [(18090,)]
+    # result identical to the full-scan path on the same starting state
+    # (pruned-away files can hold no victims by the range containment)
+    stats.unpersist()
+
+
+def test_merge_stats_validation(spark, root):
+    _mk(spark, root)
+    # stale stats: profiled BEFORE an append -> live file unprofiled
+    stats = snap.snapshot_file_stats(spark, root, ["id"]).persist()
+    stats.count()
+    snap.append(spark, root, _batch(spark, 100, 120, 3))
+    with pytest.raises(ValueError, match="stale"):
+        snap.merge_into(spark, root, _batch(spark, 0, 5, 9), ["id"],
+                        key_stats=stats)
+    stats.unpersist()
+    # float prune keys refused (NaN joins as equal, stats exclude NaN)
+    froot = root + "_f"
+    snap.create_table(
+        spark, froot,
+        spark.range(10).select(F.col("id").cast("double").alias("k"),
+                               F.col("id").alias("v")),
+    )
+    fstats = snap.snapshot_file_stats(spark, froot, ["k"])
+    fbatch = spark.range(3).select(F.col("id").cast("double").alias("k"),
+                                   F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="floating-point"):
+        snap.merge_into(spark, froot, fbatch, ["k"], key_stats=fstats)
 
 
 # ---------------------------------------------------------------------------
