@@ -945,6 +945,85 @@ FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
 """
 
 
+def q_stream_changes(spark, sf_dir):
+    """The snapshot change feed consumed as a NATIVE streaming source
+    (streaming/snapshot_source.py, Spark 4 Python Data Source API):
+    build a commit chain — create, append, MoR delete, MERGE, compact —
+    then drain the stream (offsets = commit versions in the query
+    checkpoint) into parquet and return it. The oracle replays the same
+    commit algebra on the raw table: create/append inserts, the delete's
+    victims, the merge's tombstoned old rows + batch inserts; the
+    compact commit is invisible. Value-exact: every change row is the
+    identity of a source row or the literal 'M'."""
+    import shutil
+    import tempfile
+
+    from geocore_spark.sources import snapshots as snap
+    from geocore_spark.streaming import snapshot_source as src
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"snapstream_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
+    )
+    root, ckpt, out = (os.path.join(base, d) for d in ("t", "ckpt", "out"))
+    if snap.latest_version(spark, root) != 5:
+        shutil.rmtree(base, ignore_errors=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        snap.create_table(
+            spark, root, orders.filter(F.col("o_orderkey") % 3 == 0).repartition(2)
+        )
+        snap.append(spark, root, orders.filter(F.col("o_orderkey") % 3 == 1))
+        snap.delete_where(spark, root, F.col("o_orderkey") % 5 == 0)
+        snap.merge_into(
+            spark,
+            root,
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", "o_custkey", F.lit("M").alias("o_orderstatus")
+            ),
+            ["o_orderkey"],
+        )
+        snap.compact_snapshot(
+            spark, root, small_bytes=1 << 30, target_bytes=2 << 30
+        )
+        src.register(spark)
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("snapshot_changes stream drain timed out")
+    return spark.read.parquet(out)
+
+
+_SQL_STREAM_CHANGES = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       'insert' AS _change_type, 1 AS _commit_version
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, 'insert', 2
+FROM orders WHERE o_orderkey % 3 = 1
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, 'delete', 3
+FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, 'delete', 4
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0 AND o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, 'M', 'insert', 4
+FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+
 def q_cell_rollup(spark, sf_dir):
     """G1+A3: per-parent-cell point counts (hypertable rollup shape)."""
     pts = _event_points(spark, sf_dir)
@@ -4352,6 +4431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
         "snapshot_merge": q_snapshot_merge,
+        "stream_changes": q_stream_changes,
         "snapshot_evolve": q_snapshot_evolve,
         "snapshot_changes": q_snapshot_changes,
         "incremental_rollup": q_incremental_rollup,
@@ -4432,6 +4512,7 @@ def oracle_sql() -> dict[str, str]:
         "label_dedup": _SQL_LABEL_DEDUP,
         "decile_stats": _SQL_DECILES,
         "snapshot_merge": _SQL_SNAPSHOT_MERGE,
+        "stream_changes": _SQL_STREAM_CHANGES,
         "snapshot_evolve": _SQL_SNAPSHOT_EVOLVE,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "incremental_rollup": _SQL_INCREMENTAL_ROLLUP,
