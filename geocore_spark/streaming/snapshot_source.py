@@ -35,6 +35,10 @@ Scale + execution shape:
   expired manifest mid-range likewise — expire policy must retain the
   versions between a consumer's checkpoints.
 
+Known edge: a table ROOT containing a literal ``%`` double-unquotes in
+the JVM-free path resolution (the batch reader handles it exactly —
+sources/stats.decode_file_url); spaces and unicode are fine.
+
 Trigger note: the Python data source API (4.1) does not expose
 Trigger.AvailableNow support, so Spark logs a warning and falls back to
 single-batch execution for that trigger — the drain still lands every
