@@ -576,6 +576,50 @@ def _sql_zorder_curve() -> str:
     )
 
 
+def q_bloom_point_lookup(spark, sf_dir):
+    """Bloom-sidecar point-lookup read (sources/stats.file_blooms /
+    pruned_parquet_point): documents materialized as 8 hash-scattered
+    files (min/max ranges span the whole key space in every file — the
+    layout where range stats prune NOTHING), a per-file Bloom sidecar
+    built with JVM xxhash64 double hashing, then a doc_id IN-list read
+    planned over only the files whose filters can't rule the keys out.
+    Value-exact vs the plain SQL IN-filter because bloom pruning is
+    SOUND (never excludes a present key) and the real predicate still
+    runs on the pruned frame; the query additionally raises if pruning
+    stops skipping files, so the green row also witnesses the I/O claim
+    (fp chance of keeping all 8 files for 5 keys is ~1e-10)."""
+    import shutil
+    import tempfile
+
+    from geocore_spark.sources import stats as st
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bloomtbl_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
+    )
+    path = os.path.join(base, "docs")
+    if not os.path.isdir(path):
+        shutil.rmtree(base, ignore_errors=True)
+        _t(spark, sf_dir, "documents").repartition(8).write.parquet(path)
+    blooms = st.file_blooms(spark, path, ["doc_id"])
+    keys = [3, 57, 111, 222, 444]
+    pruned, rep = st.pruned_parquet_point(spark, path, blooms, {"doc_id": keys})
+    if not (1 <= rep.files_read <= 6 < rep.files_total):
+        raise AssertionError(
+            f"bloom pruning regressed: read {rep.files_read} of "
+            f"{rep.files_total} files for a 5-key probe"
+        )
+    return pruned.filter(F.col("doc_id").isin(keys)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_SQL_BLOOM_POINT_LOOKUP = """
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE doc_id IN (3, 57, 111, 222, 444)
+"""
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Tile-pyramid rollup (operators/pyramid.py): per-cell counts at
     EVERY resolution 5..9 in one scan — quantize once at res 9, derive
@@ -4430,6 +4474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        "bloom_point_lookup": q_bloom_point_lookup,
         "snapshot_merge": q_snapshot_merge,
         "stream_changes": q_stream_changes,
         "snapshot_evolve": q_snapshot_evolve,
@@ -4511,6 +4556,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _SQL_TOPK,
         "label_dedup": _SQL_LABEL_DEDUP,
         "decile_stats": _SQL_DECILES,
+        "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,
         "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "stream_changes": _SQL_STREAM_CHANGES,
         "snapshot_evolve": _SQL_SNAPSHOT_EVOLVE,

@@ -1308,6 +1308,27 @@ def snapshot_file_stats(
     return st.file_stats(spark, m["data_files"], cols)
 
 
+def snapshot_file_blooms(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    version: int | None = None,
+    **kw,
+) -> "DataFrame":
+    """sources/stats.file_blooms over exactly a snapshot's LIVE data
+    files — the point-lookup complement to :func:`snapshot_file_stats`
+    (min/max ranges can't prune equality probes on an unclustered key;
+    a per-file Bloom can). Same conservatism story: MoR-deleted rows
+    still set bits, so a probe for a fully-tombstoned key keeps its
+    file and the vectors drop the rows — sound, never wrong."""
+    from geocore_spark.sources import stats as st
+
+    m = load_manifest(spark, root, version)
+    if not m["data_files"]:
+        raise ValueError("snapshot has no data files to profile")
+    return st.file_blooms(spark, m["data_files"], cols, **kw)
+
+
 def read_snapshot_pruned(
     spark: SparkSession,
     root: str,

@@ -36,8 +36,19 @@ from __future__ import annotations
 from dataclasses import dataclass
 from urllib.parse import unquote
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 @dataclass
@@ -124,6 +135,256 @@ def prune_files(
         rows_possible=sum(r["n_rows"] for r in rows if r["__keep"]),
     )
     return kept, rep
+
+
+# ---------------------------------------------------------------------------
+# Bloom sidecars: equality-predicate file skipping
+# ---------------------------------------------------------------------------
+#
+# [min, max] ranges prune RANGE predicates on clustered layouts; they are
+# useless for POINT lookups on a high-cardinality key under hash layout —
+# every file's range covers the whole key space, so a `doc_id IN (...)`
+# probe reads all 800k files. A per-file Bloom filter (Parquet's own
+# column-index feature, Iceberg/Delta manifests carry the same idea)
+# answers "might this file contain value v" in O(k) bit probes with a
+# bounded sidecar (~2 bytes/row at the default 10 bits/key), pruning
+# point lookups to ~the files that actually hold the keys.
+#
+# Hashing is Spark's JVM xxhash64, computed BEFORE the per-file aggregate
+# and again (by the same JVM function, over literals of the same type) at
+# probe time — build/probe consistency holds by construction, no Python
+# reimplementation to drift. Bit positions follow Kirsch-Mitzenmacher
+# double hashing: pos_i = (h1 + i*h2) mod m.
+#
+# Soundness contract (same as the range stats): the filter may say
+# "might contain" for an absent value (false positive -> wasted read),
+# NEVER "absent" for a present one — the caller applies the real
+# predicate; pruning bounds I/O only.
+
+_BLOOM_SALT = "gc_bloom_h2"  # second-hash chain salt (see _bloom_hash_cols)
+_NULL_HASH_SENTINEL = 42  # xxhash64's seed == its output for NULL input
+
+
+def _bloom_hash_cols(c: str) -> list:
+    """Two independent 64-bit hashes of column ``c``: Spark's xxhash64 of
+    the value, and of (value, salt) — chaining a constant second operand
+    re-mixes the state, giving an independent stream. NULL values hash to
+    the seed (42) on both streams; rather than let a pandas int64->float64
+    null conversion destroy hash precision (ints above 2^53 round!), the
+    JVM side coalesces NULL hashes to that same sentinel — the file's
+    bloom gains one spurious "null fingerprint" bit pattern, which can
+    only ever ADD false positives, never prune wrongly."""
+    v = F.col(c)
+    return [
+        F.coalesce(F.xxhash64(v), F.lit(_NULL_HASH_SENTINEL)).alias(f"__h1_{c}"),
+        F.coalesce(
+            F.xxhash64(v, F.lit(_BLOOM_SALT)), F.lit(_NULL_HASH_SENTINEL)
+        ).alias(f"__h2_{c}"),
+    ]
+
+
+def file_blooms(
+    spark: SparkSession,
+    path: str | list[str],
+    cols: list[str],
+    bits_per_row: int = 10,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Per-file Bloom sidecar table: ``(file, n_rows, hashes, type_<c>,
+    bloom_<c> per col)``. One distributed column-pruned scan; hashing is
+    JVM-side, only bit-setting runs in an Arrow batch per file. Each
+    file's filter is sized from ITS row count (next power of two >=
+    bits_per_row * n_rows; the default 10 bits/row with k=5 gives ~0.9 %
+    false positives) — filter size is recovered from the sidecar bytes
+    at probe time, so files of different sizes coexist. Memory per task
+    is one file's hash columns (16 B/row/col), the same unit Spark
+    already reads. Persist next to the table and rebuild after writes,
+    like :func:`file_stats`. ``type_<c>`` records the column's Spark
+    type so probes hash literals identically (xxhash64 of INT and BIGINT
+    differ for the same value)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if bits_per_row < 1 or num_hashes < 1:
+        raise ValueError("bits_per_row and num_hashes must be >= 1")
+    paths = [path] if isinstance(path, str) else list(path)
+    df = spark.read.parquet(*paths).select(
+        F.col("_metadata.file_path").alias("__file"), *cols
+    )
+    types = {c: df.schema[c].dataType.simpleString() for c in cols}
+    hashed = df.select(
+        "__file", *[h for c in cols for h in _bloom_hash_cols(c)]
+    )
+    out_fields = [
+        StructField("file", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("hashes", IntegerType()),
+    ]
+    for c in cols:
+        out_fields += [
+            StructField(f"type_{c}", StringType()),
+            StructField(f"bloom_{c}", BinaryType()),
+        ]
+    out_schema = StructType(out_fields)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        m = 1 << max(6, (bits_per_row * n - 1).bit_length())  # pow2 >= 64
+        row = {
+            "file": [pdf["__file"].iloc[0]],
+            "n_rows": [n],
+            "hashes": [num_hashes],
+        }
+        for c in cols:
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            # int64 -> uint64 astype wraps two's-complement: a pure
+            # reinterpretation, no precision loss (nulls never arrive:
+            # coalesced JVM-side, see _bloom_hash_cols)
+            h1 = pdf[f"__h1_{c}"].to_numpy(np.int64).astype(np.uint64)
+            h2 = pdf[f"__h2_{c}"].to_numpy(np.int64).astype(np.uint64)
+            # uint64 wraparound IS the double-hash arithmetic
+            with np.errstate(over="ignore"):
+                for i in range(num_hashes):
+                    pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                    # bitwise_or.at: unbuffered, duplicate positions in
+                    # one batch all land (|= would drop repeats)
+                    np.bitwise_or.at(
+                        bits,
+                        (pos >> np.uint64(3)).astype(np.int64),
+                        (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+                    )
+            row[f"type_{c}"] = [types[c]]
+            row[f"bloom_{c}"] = [bits.tobytes()]
+        return pd.DataFrame(row)
+
+    return hashed.groupBy("__file").applyInPandas(build, out_schema)
+
+
+def _probe_hashes(
+    spark: SparkSession, values: list, spark_type: str
+) -> list[tuple[int, int]]:
+    """(h1, h2) per probe value, computed by the SAME JVM xxhash64 the
+    build used, over literals cast to the column's recorded type — the
+    only way int-vs-bigint / physical-type hashing can never skew. One
+    tiny local job (len(values) rows)."""
+    vdf = spark.createDataFrame(
+        [(v,) for v in values],
+        StructType([StructField("v", _parse_type(spark_type))]),
+    )
+    rows = vdf.select(
+        F.coalesce(F.xxhash64(F.col("v")), F.lit(_NULL_HASH_SENTINEL)).alias("h1"),
+        F.coalesce(
+            F.xxhash64(F.col("v"), F.lit(_BLOOM_SALT)),
+            F.lit(_NULL_HASH_SENTINEL),
+        ).alias("h2"),
+    ).collect()
+    return [(r["h1"], r["h2"]) for r in rows]
+
+
+def _parse_type(simple: str):
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(simple)
+
+
+def prune_files_bloom(
+    spark: SparkSession,
+    blooms: DataFrame,
+    probes: dict[str, list],
+) -> tuple[list[str], PruneReport]:
+    """Files whose Bloom sidecars can't rule out the probe: for EVERY
+    probed column, at least ONE of its values might be present (matches
+    ``a IN (...) AND b IN (...)`` — the IN-list ORs, the columns AND).
+    Membership evaluation runs DISTRIBUTED over the sidecar table (a
+    pandas UDF per row's bytes); only kept file NAMES come back to the
+    driver, so the manifest itself never needs collecting — at 800k
+    files x 16 KiB the sidecars are ~13 GB, driver-collectable never,
+    one executor pass always. NULL probe values are rejected (equality
+    never matches NULL; use the n_rows/nnull stats for IS NULL)."""
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    # one evaluation serves the params read AND the membership scan — a
+    # lazily-built sidecar (file_blooms output) would otherwise run its
+    # per-file aggregate twice
+    blooms = blooms.persist()
+    try:
+        first = blooms.select(
+            "hashes", *[f"type_{c}" for c in probes]
+        ).first()
+        if first is None:  # empty sidecar table: nothing to keep
+            return [], PruneReport(0, 0, 0)
+        k = first["hashes"]
+        cond = F.lit(True)
+        for c, values in probes.items():
+            if not values:
+                raise ValueError(f"empty probe list for column {c!r}")
+            if any(v is None for v in values):
+                raise ValueError(f"NULL probe value for column {c!r}")
+            hp = _probe_hashes(spark, list(values), first[f"type_{c}"])
+            h1s = np.array([h for h, _ in hp], dtype=np.int64).astype(np.uint64)
+            h2s = np.array([h for _, h in hp], dtype=np.int64).astype(np.uint64)
+
+            def make_probe(h1s=h1s, h2s=h2s, k=k):
+                @F.pandas_udf(BooleanType())
+                def might_contain(blob: pd.Series) -> pd.Series:
+                    out = []
+                    # uint64 wraparound IS the double-hash arithmetic —
+                    # silence numpy's scalar-overflow warning for it
+                    with np.errstate(over="ignore"):
+                        for b in blob:
+                            if b is None:
+                                out.append(True)  # unknown sidecar: keep
+                                continue
+                            bits = np.frombuffer(b, dtype=np.uint8)
+                            m = np.uint64(len(bits) * 8)
+                            hit = False
+                            for h1, h2 in zip(h1s, h2s):
+                                ok = True
+                                for i in range(k):
+                                    pos = (h1 + np.uint64(i) * h2) % m
+                                    if not (
+                                        bits[int(pos >> np.uint64(3))]
+                                        >> int(pos & np.uint64(7))
+                                    ) & 1:
+                                        ok = False
+                                        break
+                                if ok:
+                                    hit = True
+                                    break
+                            out.append(hit)
+                    return pd.Series(out)
+
+                return might_contain
+
+            cond = cond & make_probe()(F.col(f"bloom_{c}"))
+        rows = blooms.select("file", "n_rows", cond.alias("__keep")).collect()
+    finally:
+        blooms.unpersist()
+    kept = [decode_file_url(r["file"]) for r in rows if r["__keep"]]
+    rep = PruneReport(
+        files_total=len(rows),
+        files_read=len(kept),
+        rows_possible=sum(r["n_rows"] for r in rows if r["__keep"]),
+    )
+    return kept, rep
+
+
+def pruned_parquet_point(
+    spark: SparkSession,
+    path: str,
+    blooms: DataFrame,
+    probes: dict[str, list],
+) -> tuple[DataFrame, PruneReport]:
+    """Point-lookup reader over only the files whose Bloom sidecars might
+    hold the probed values. Same contract as :func:`pruned_parquet`: the
+    caller still applies the real predicate (false positives read, then
+    filter away); the sidecar must cover every live file (rebuild after
+    writes) — an unprofiled file would be silently skipped, exactly like
+    a stale range-stats manifest."""
+    kept, rep = prune_files_bloom(spark, blooms, probes)
+    if not kept:
+        schema = spark.read.parquet(path).schema
+        return spark.createDataFrame([], schema), rep
+    return spark.read.parquet(*kept), rep
 
 
 def pruned_parquet(

@@ -128,10 +128,18 @@ def test_compact_preserves_zorder_locality(spark, tmp_path):
     areas_after = _per_file_bbox_areas(spark, path)
     mean_after = sum(areas_after) / len(areas_after)
     # merged neighbor files cover the union of adjacent curve windows:
-    # footprint grows by ~the merge factor, NOT to the whole space.
-    # unsorted baseline for this data is ~180*120/a few; assert we stay
-    # far below 1/4 of the global footprint per file.
-    assert mean_after < (120.0 * 360.0) / 4.0
+    # footprint grows by ~the merge factor (32 -> ~10 files, ~3.2x), NOT
+    # to the whole space (randomly grouped z-windows would union to most
+    # of the globe). The bound is RELATIVE because the absolute areas
+    # drift run-to-run: repartitionByRange samples with a seed derived
+    # from the RDD id, so file boundaries depend on how many RDDs the
+    # shared session created before this test (observed mean_after
+    # 9.4k-11.3k for identical code — an absolute threshold at 10.8k
+    # flaked). Ratio observed 2.4-3.2x; 4.5x is the claim with slack.
+    merge_factor = stats.files_before / stats.files_after
+    assert mean_after < 4.5 * mean_before, (mean_after, mean_before)
+    assert mean_after < 1.5 * merge_factor * mean_before, (
+        mean_after, mean_before, merge_factor)
     # and z-order within each merged file survives: file rows sorted on zval
     import numpy as np
     import pyarrow.parquet as pq

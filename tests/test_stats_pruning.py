@@ -99,3 +99,150 @@ def test_all_null_stats_file_is_kept(spark, tmp_path):
     stats = st.file_stats(spark, path, ["lat"])
     kept, rep = st.prune_files(stats, {"lat": (0.0, 1.0)})
     assert rep.files_read == 1  # conservative: never exclude on NULL stats
+
+
+# ---------------------------------------------------------------------------
+# Bloom sidecars: equality-predicate file skipping
+# ---------------------------------------------------------------------------
+
+
+def _keyed(spark, n=40000):
+    # high-cardinality key hash-scattered across files: min/max ranges
+    # are useless here by construction — the bloom is the only pruner
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("u"), F.col("id")).alias("s"),
+    )
+
+
+def test_bloom_pruned_read_equals_full_filter(spark, tmp_path):
+    """Soundness end-to-end: pruned point-read + real filter == full-scan
+    filter, for planted keys (every present key MUST be found — a bloom
+    can never exclude a present value)."""
+    path = str(tmp_path / "b")
+    _keyed(spark).repartition(8).write.parquet(path)
+    bl = st.file_blooms(spark, path, ["k", "s"]).cache()
+    try:
+        keys = [0, 5, 777, 12345, 39999] + list(range(600, 620))
+        pruned, rep = st.pruned_parquet_point(spark, path, bl, {"k": keys})
+        got = sorted(r["k"] for r in pruned.filter(F.col("k").isin(keys)).collect())
+        assert got == sorted(keys)
+        # the measured claim: 25 keys hit at most 25 of 8... all 8 files
+        # may legitimately hold one of 25 keys; probe single keys instead
+        singles = [st.prune_files_bloom(spark, bl, {"k": [v]})[1] for v in keys[:6]]
+        assert all(r.files_total == 8 for r in singles)
+        assert all(r.files_read >= 1 for r in singles)
+        assert sum(r.files_read for r in singles) <= 10  # ~1 file/key + rare fp
+    finally:
+        bl.unpersist()
+
+
+def test_bloom_absent_values_prune_nearly_everything(spark, tmp_path):
+    """The value claim: keys NOT in the table keep ~zero files (min/max
+    stats would keep all 8 — ranges span the key space in every file)."""
+    path = str(tmp_path / "b")
+    _keyed(spark).repartition(8).write.parquet(path)
+    bl = st.file_blooms(spark, path, ["k"]).cache()
+    try:
+        rng = random.Random(11)
+        absent = [rng.randrange(10**9, 10**10) for _ in range(25)]
+        kept_total = sum(
+            st.prune_files_bloom(spark, bl, {"k": [v]})[1].files_read
+            for v in absent
+        )
+        # fpp ~0.9% per file at 10 bits/row k=5: expect ~0-2 of 200 reads
+        assert kept_total <= 8, kept_total
+        # contrast: range stats keep every file for an in-range absent key
+        stats = st.file_stats(spark, path, ["k"])
+        _, rrep = st.pruned_parquet(spark, path, stats, {"k": (600, 600)})
+        assert rrep.files_read == 8
+    finally:
+        bl.unpersist()
+
+
+def test_bloom_string_and_multi_column_and_null_probe(spark, tmp_path):
+    path = str(tmp_path / "b")
+    _keyed(spark, 5000).repartition(4).write.parquet(path)
+    bl = st.file_blooms(spark, path, ["k", "s"]).cache()
+    try:
+        # AND across columns: both must be possible in a kept file
+        pruned, rep = st.pruned_parquet_point(
+            spark, path, bl, {"k": [42], "s": ["u42"]}
+        )
+        assert pruned.filter((F.col("k") == 42) & (F.col("s") == "u42")).count() == 1
+        # string-typed probes hash via the recorded column type
+        _, rep2 = st.prune_files_bloom(spark, bl, {"s": ["definitely_absent"]})
+        assert rep2.files_read == 0
+        with pytest.raises(ValueError, match="NULL probe"):
+            st.prune_files_bloom(spark, bl, {"k": [None]})
+        with pytest.raises(ValueError, match="empty probe"):
+            st.prune_files_bloom(spark, bl, {"k": []})
+    finally:
+        bl.unpersist()
+
+
+def test_bloom_null_values_never_cause_false_exclusion(spark, tmp_path):
+    """Files holding NULL key rows must still answer probes for their
+    non-null keys (the null-hash sentinel only ADDs bits)."""
+    from pyspark.sql import Row as R
+
+    path = str(tmp_path / "b")
+    spark.createDataFrame(
+        [R(k=None if i % 3 == 0 else i) for i in range(300)],
+        "k bigint",
+    ).repartition(2).write.parquet(path)
+    bl = st.file_blooms(spark, path, ["k"]).cache()
+    try:
+        present = [i for i in range(300) if i % 3 != 0][:20]
+        pruned, _ = st.pruned_parquet_point(spark, path, bl, {"k": present})
+        got = sorted(r["k"] for r in pruned.filter(F.col("k").isin(present)).collect())
+        assert got == sorted(present)
+    finally:
+        bl.unpersist()
+
+
+def test_bloom_soundness_randomized(spark, tmp_path):
+    """Model check: for random tables and random probe sets, the pruned
+    read NEVER loses a present key; measured fp file-reads stay small."""
+    rng = random.Random(23)
+    path = str(tmp_path / "r")
+    vals = sorted(rng.sample(range(10**6), 3000))
+    spark.createDataFrame([(v,) for v in vals], "k bigint").repartition(
+        6
+    ).write.parquet(path)
+    bl = st.file_blooms(spark, path, ["k"]).cache()
+    try:
+        fp_reads = 0
+        for _ in range(5):
+            present = rng.sample(vals, 8)
+            absent = [v for v in (rng.randrange(10**6) for _ in range(8))
+                      if v not in set(vals)]
+            probe = present + absent
+            pruned, rep = st.pruned_parquet_point(spark, path, bl, {"k": probe})
+            got = sorted(r["k"] for r in pruned.filter(F.col("k").isin(probe)).collect())
+            assert got == sorted(present), "bloom lost a present key"
+            fp_reads += rep.files_read
+        assert fp_reads <= 5 * 6  # never worse than reading everything
+    finally:
+        bl.unpersist()
+
+
+def test_snapshot_file_blooms_respects_mor_deletes(spark, tmp_path):
+    """Probing a tombstoned key keeps its file (bloom bits outlive MoR
+    deletes — conservative) and the read returns zero rows for it."""
+    from geocore_spark.sources import snapshots as snap
+
+    root = str(tmp_path / "t")
+    snap.create_table(spark, root, _keyed(spark, 2000).repartition(4))
+    snap.delete_where(spark, root, F.col("k") == 1234)
+    bl = snap.snapshot_file_blooms(spark, root, ["k"]).cache()
+    try:
+        kept, rep = st.prune_files_bloom(spark, bl, {"k": [1234]})
+        assert rep.files_read >= 1  # conservative: file still probed
+        live = snap.read_snapshot(spark, root)
+        assert live.filter(F.col("k") == 1234).count() == 0
+        # and a surviving neighbor is still found through the same sidecar
+        pruned, _ = st.prune_files_bloom(spark, bl, {"k": [1235]})
+        assert len(pruned) >= 1
+    finally:
+        bl.unpersist()
