@@ -1,0 +1,105 @@
+"""Graph motif counting: distributed exact triangle counts.
+
+Extends the link-graph family (``operators/links.py`` — PageRank,
+centrality, components) with the classic motif operator the reference
+lacks entirely (its graph surface is pandas-side; see
+``modeling/datasets/test_data.py`` for the reference's flat-table view).
+Triangle counts feed spam/quality features on web host graphs
+(clustering coefficient of a host's neighborhood).
+
+Algorithm: degree-oriented wedge closing (Suri & Vassilvitskii,
+"Counting triangles and the curse of the last reducer", WWW'11 — public
+paper). Orient every undirected edge from its (degree, id)-smaller
+endpoint to the larger; each vertex's oriented out-degree is then
+O(sqrt(m)), so the wedge self-join is bounded even on power-law graphs
+where a raw neighbor join explodes on hub vertices. Every triangle is
+produced exactly once (its three vertices are totally ordered by
+(degree, id); the wedge pivots at the smallest).
+
+Scale shape: distinct + degree groupBy + two degree-attach joins + one
+wedge self-join keyed on the pivot + one closing equi-join keyed on the
+(x, y) pair. All hash equi-joins, no cartesian, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["triangle_count", "triangles"]
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edges as (a, b) with a < b; self-loops and
+    null endpoints dropped."""
+    u, v = F.col(src), F.col(dst)
+    return (
+        edges.where(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .distinct()
+    )
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Enumerate each undirected triangle exactly once.
+
+    Returns columns (ta, tb, tc): the triangle's vertices with ``ta`` the
+    wedge pivot (the (degree, id)-smallest vertex) and (tb, tc) its
+    (degree, id)-ordered other corners. Note tb/tc order follows the
+    degree orientation, not plain id order.
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    # Wedges at pivot u: pick the (deg, id)-ordered pair of out-neighbors
+    # so the closing edge (x -> y) matches its oriented spelling.
+    o1 = oriented.select(
+        F.col("u").alias("wu"), F.col("v").alias("x"), F.col("dv").alias("dx")
+    )
+    o2 = oriented.select(
+        F.col("u").alias("wu"), F.col("v").alias("y"), F.col("dv").alias("dy")
+    )
+    wedge = o1.join(o2, "wu").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    return wedge.join(closing, ["x", "y"]).select(
+        F.col("wu").alias("ta"), F.col("x").alias("tb"), F.col("y").alias("tc")
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the undirected graph.
+
+    Returns (node, n_triangles) for every node that participates in at
+    least one triangle (nodes with zero triangles are absent — join back
+    against your vertex set if you need explicit zeros). The global
+    triangle count is ``sum(n_triangles) / 3``.
+    """
+    tri = triangles(edges, src, dst)
+    nodes = (
+        tri.select(F.col("ta").alias("node"))
+        .unionAll(tri.select(F.col("tb").alias("node")))
+        .unionAll(tri.select(F.col("tc").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
