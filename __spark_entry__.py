@@ -4431,6 +4431,46 @@ FROM corners GROUP BY node ORDER BY node
 """
 
 
+def q_set_similarity(spark, sf_dir):
+    """Exact set-similarity join (operators/setjoin.py): all user pairs
+    whose event-token sets (event_id % 149) have Jaccard >= 3/10, found
+    via prefix filtering (Bayardo et al. WWW'07) — rare-first token
+    order, per-set prefixes, token-keyed candidate join, id-keyed
+    verification. The exact complement of the MinHash/LSH approximate
+    path. The DuckDB twin is the naive all-pairs intersection join,
+    identical by the prefix-filter completeness theorem; all threshold
+    math is integer so the match is bit-exact."""
+    from geocore_spark.operators import setjoin
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tok = ev.select(
+        F.col("user_id").alias("doc_id"),
+        (F.col("event_id") % 149).alias("token"),
+    )
+    out = setjoin.set_similarity_join(tok, threshold_num=3, threshold_den=10)
+    return out.orderBy("id_a", "id_b")
+
+
+_SQL_SET_SIMILARITY = """
+WITH tok AS (SELECT DISTINCT user_id AS id, event_id % 149 AS token
+             FROM events
+             WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+sz AS (SELECT id, COUNT(*) AS s FROM tok GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+          FROM tok a JOIN tok b ON a.token = b.token AND a.id < b.id
+          GROUP BY a.id, b.id)
+SELECT id_a, id_b, inter,
+       CAST(sa.s + sb.s - inter AS BIGINT) AS "union",
+       CAST((inter * 1000000) // (sa.s + sb.s - inter) AS BIGINT)
+         AS jaccard_micro
+FROM inter
+JOIN sz sa ON sa.id = id_a
+JOIN sz sb ON sb.id = id_b
+WHERE 10 * inter >= 3 * (sa.s + sb.s - inter)
+ORDER BY id_a, id_b
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4514,6 +4554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
         "triangle_count": q_triangle_count,
+        "set_similarity": q_set_similarity,
         "bloom_point_lookup": q_bloom_point_lookup,
         "snapshot_merge": q_snapshot_merge,
         "stream_changes": q_stream_changes,
@@ -4597,6 +4638,7 @@ def oracle_sql() -> dict[str, str]:
         "label_dedup": _SQL_LABEL_DEDUP,
         "decile_stats": _SQL_DECILES,
         "triangle_count": _SQL_TRIANGLE_COUNT,
+        "set_similarity": _SQL_SET_SIMILARITY,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,
         "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "stream_changes": _SQL_STREAM_CHANGES,
