@@ -4471,6 +4471,56 @@ ORDER BY id_a, id_b
 """
 
 
+def q_resample_interp(spark, sf_dir):
+    """Gap-filling resample (operators/temporal.py resample_fill): every
+    user's event values on a complete hourly grid, interior gaps
+    linearly interpolated in exact BIGINT micro-units (truncating
+    division — Spark ``div`` == DuckDB ``//`` even on negative deltas,
+    verified). Observed buckets carry the round-half-up micro-unit
+    mean. The DuckDB twin replays the grid with generate_series and the
+    fill with IGNORE NULLS windows — bit-exact by construction."""
+    from geocore_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = temporal.resample_fill(ev, "user_id", "ts", "value", step_seconds=3600)
+    return out.orderBy("user_id", "bucket")
+
+
+_SQL_RESAMPLE_INTERP = """
+WITH obs AS (
+  SELECT user_id,
+         CAST(trunc(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+         CAST((2 * SUM(CAST(round(value * 1000000.0) AS BIGINT))
+               + COUNT(value)) // (2 * COUNT(value)) AS BIGINT) AS obs_v
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+spans AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+          FROM obs GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bucket FROM spans),
+j AS (
+  SELECT g.user_id, g.bucket, o.obs_v,
+    last_value(CASE WHEN o.obs_v IS NOT NULL THEN g.bucket END IGNORE NULLS)
+      OVER w_prev AS pb,
+    last_value(o.obs_v IGNORE NULLS) OVER w_prev AS pv,
+    first_value(CASE WHEN o.obs_v IS NOT NULL THEN g.bucket END IGNORE NULLS)
+      OVER w_next AS nb,
+    first_value(o.obs_v IGNORE NULLS) OVER w_next AS nv
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+  WINDOW
+    w_prev AS (PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, bucket,
+  CAST(CASE WHEN obs_v IS NOT NULL THEN obs_v
+            ELSE pv + ((nv - pv) * (bucket - pb)) // (nb - pb)
+       END AS BIGINT) AS value_micro,
+  obs_v IS NOT NULL AS observed
+FROM j ORDER BY user_id, bucket
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4555,6 +4605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-verified by tools/verify_local.py every session) ------------
         "triangle_count": q_triangle_count,
         "set_similarity": q_set_similarity,
+        "resample_interp": q_resample_interp,
         "bloom_point_lookup": q_bloom_point_lookup,
         "snapshot_merge": q_snapshot_merge,
         "stream_changes": q_stream_changes,
@@ -4639,6 +4690,7 @@ def oracle_sql() -> dict[str, str]:
         "decile_stats": _SQL_DECILES,
         "triangle_count": _SQL_TRIANGLE_COUNT,
         "set_similarity": _SQL_SET_SIMILARITY,
+        "resample_interp": _SQL_RESAMPLE_INTERP,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,
         "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "stream_changes": _SQL_STREAM_CHANGES,
