@@ -4521,6 +4521,57 @@ FROM j ORDER BY user_id, bucket
 """
 
 
+def q_grouped_auc(spark, sf_dir):
+    """Distributed exact ROC-AUC (operators/metrics.py grouped_auc):
+    per-group rank-sum AUC with tie handling, computed from
+    per-distinct-score (pos, neg) counts so the group-partitioned
+    window runs over score levels, never raw rows — no global sort
+    anywhere, the same scale fix as the metrics-module deciles. Score
+    is trunc(value*10) (the pinned Spark-cast / DuckDB-trunc parity
+    recipe) so ties are plentiful; all arithmetic is BIGINT so the
+    DuckDB twin matches bit-exactly."""
+    from geocore_spark.operators import metrics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id").isNotNull()
+    )
+    scored = ev.select(
+        (F.col("user_id") % 4).alias("grp"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("label"),
+        (F.col("value") * 10).cast("long").alias("score"),
+    )
+    return metrics.grouped_auc(scored, "grp", "label", "score").orderBy("grp")
+
+
+_SQL_GROUPED_AUC = """
+WITH base AS (
+  SELECT user_id % 4 AS grp,
+         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+         CAST(trunc(value * 10) AS BIGINT) AS s
+  FROM events
+  WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL),
+per AS (
+  SELECT grp, s, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+  FROM base GROUP BY grp, s),
+cum AS (
+  SELECT grp, pos, neg,
+         COALESCE(CAST(SUM(neg) OVER (PARTITION BY grp ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS below
+  FROM per),
+ag AS (
+  SELECT grp, CAST(SUM(pos * (2 * below + neg)) AS BIGINT) AS num2,
+         CAST(SUM(pos) AS BIGINT) AS pos, CAST(SUM(neg) AS BIGINT) AS neg
+  FROM cum GROUP BY grp)
+SELECT grp, pos, neg,
+       CASE WHEN pos > 0 AND neg > 0
+            THEN CAST((num2 * 1000000) // (2 * pos * neg) AS BIGINT)
+       END AS auc_micro
+FROM ag ORDER BY grp
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4606,6 +4657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "set_similarity": q_set_similarity,
         "resample_interp": q_resample_interp,
+        "grouped_auc": q_grouped_auc,
         "bloom_point_lookup": q_bloom_point_lookup,
         "snapshot_merge": q_snapshot_merge,
         "stream_changes": q_stream_changes,
@@ -4691,6 +4743,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _SQL_TRIANGLE_COUNT,
         "set_similarity": _SQL_SET_SIMILARITY,
         "resample_interp": _SQL_RESAMPLE_INTERP,
+        "grouped_auc": _SQL_GROUPED_AUC,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,
         "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "stream_changes": _SQL_STREAM_CHANGES,

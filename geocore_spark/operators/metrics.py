@@ -162,3 +162,81 @@ def exact_percent_rank(
         col,
         (F.col("__mx_rn") - F.lit(1)).cast("double") / F.lit(float(total - 1)),
     ).drop("__mx_rn")
+
+
+def grouped_auc(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Exact per-group ROC-AUC via the rank-sum identity, all-integer.
+
+    AUC = P(score_pos > score_neg) + 0.5 * P(tie) — computed from
+    per-distinct-score (pos, neg) counts: collapse to one row per
+    (group, score) first (a map-side-combined agg, so the window below
+    runs over |distinct scores| rows, not |input| rows), then for each
+    score level add ``pos * (2 * neg_strictly_below + neg_at)`` — twice
+    the Mann-Whitney numerator, kept doubled so ties stay integral.
+    ``auc_micro = (num2 * 1e6) div (2 * P * N)`` is exact BIGINT
+    arithmetic end-to-end; an ANSI-SQL twin replays it bit-exactly.
+
+    Scale shape: one (group, score) groupBy with partial aggregation,
+    one group-partitioned ordered window over the collapsed rows, one
+    group groupBy. Never a global sort; skew bound = distinct scores of
+    the largest group. Labels must be 0/1 (or boolean); any other value
+    raises rather than silently corrupting the rank sum. Groups with no
+    positives or no negatives return NULL auc_micro. The integer path
+    needs ``num2 * 1e6 < 2^63`` — i.e. P*N < ~4.6e12 per group (~2M
+    balanced rows); beyond that the guard raises rather than wrapping.
+    """
+    y = F.col(label_col).cast("long")
+    y = F.when(y.isin(0, 1), y).otherwise(
+        F.raise_error(F.lit("grouped_auc: label must be 0/1")).cast("long")
+    )
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"), F.col(score_col).alias("_s"), y.alias("_y")
+    )
+    per = base.groupBy("_g", "_s").agg(
+        F.sum("_y").alias("_pos"),
+        (F.count(F.lit(1)) - F.sum("_y")).alias("_neg"),
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_s").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.withColumn(
+        "_below", F.coalesce(F.sum("_neg").over(w), F.lit(0))
+    )
+    ag = cum.groupBy("_g").agg(
+        F.sum(
+            F.col("_pos") * (F.lit(2) * F.col("_below") + F.col("_neg"))
+        ).alias("_num2"),
+        F.sum("_pos").cast("long").alias("pos"),
+        F.sum("_neg").cast("long").alias("neg"),
+    )
+    guarded = ag.withColumn(
+        "_num2g",
+        F.when(
+            F.col("_num2") <= F.lit((2**63 - 1) // 1_000_000),
+            F.col("_num2"),
+        ).otherwise(
+            F.raise_error(
+                F.lit("grouped_auc: num2 * 1e6 would overflow BIGINT")
+            ).cast("long")
+        ),
+    )
+    return guarded.select(
+        F.col("_g").alias(group_col),
+        "pos",
+        "neg",
+        F.when(
+            (F.col("pos") > 0) & (F.col("neg") > 0),
+            F.expr("(_num2g * 1000000) div (2 * pos * neg)"),
+        ).cast("long").alias("auc_micro"),
+    )
