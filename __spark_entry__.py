@@ -4572,6 +4572,138 @@ FROM ag ORDER BY grp
 """
 
 
+def q_grouped_corr(spark, sf_dir):
+    """Per-group exact Pearson correlation (operators/metrics.py
+    grouped_corr): integer moment sums (one map-side-combined groupBy,
+    no window, no sort), final value assembled from BIGINT moments with
+    IEEE-correctly-rounded double ops only — so the DOUBLE correlation
+    itself matches the DuckDB twin bit-exactly, no micro-unit rounding
+    needed. Overflow guard raises instead of wrapping."""
+    from geocore_spark.operators import metrics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    scored = ev.select(
+        (F.col("user_id") % 5).alias("grp"),
+        (F.col("value") * 10).cast("long").alias("x"),
+        ((F.col("value") * 10).cast("long") + F.col("event_id") % 7).alias("y"),
+    )
+    return metrics.grouped_corr(scored, "grp", "x", "y").orderBy("grp")
+
+
+_SQL_GROUPED_CORR = """
+WITH base AS (
+  SELECT user_id % 5 AS grp,
+         CAST(trunc(value * 10) AS BIGINT) AS x,
+         CAST(trunc(value * 10) AS BIGINT) + (event_id % 7) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL),
+m AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM base GROUP BY grp)
+SELECT grp, n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS corr
+FROM m ORDER BY grp
+"""
+
+
+def q_interval_coverage(spark, sf_dir):
+    """Merged-interval statistics (operators/rangejoin.py
+    interval_coverage): per-key island count + total covered length via
+    the key-partitioned sweep (running-max window + cumulative start
+    flags) — never a global sort. Integer bounds from events
+    arithmetic; the per-key aggregate is tie-order invariant so the
+    windowed SQL twin matches exactly."""
+    from geocore_spark.operators import rangejoin
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    iv = ev.select(
+        (F.col("user_id") % 10).alias("k"),
+        (F.col("event_id") % 1000).alias("lo"),
+        (F.col("event_id") % 1000 + F.col("event_id") % 37).alias("hi"),
+    )
+    out = rangejoin.interval_coverage(iv, "k", "lo", "hi")
+    return out.select(
+        "k", "n_intervals", "n_islands", F.col("covered").cast("long").alias("covered")
+    ).orderBy("k")
+
+
+_SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id % 10 AS k, event_id % 1000 AS lo,
+         (event_id % 1000) + (event_id % 37) AS hi
+  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+fl AS (
+  SELECT k, lo, hi,
+         CASE WHEN MAX(hi) OVER w_prev IS NULL OR lo > MAX(hi) OVER w_prev
+              THEN 1 ELSE 0 END AS new
+  FROM iv
+  WINDOW w_prev AS (PARTITION BY k ORDER BY lo, hi
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+isl AS (
+  SELECT k, lo, hi,
+         SUM(new) OVER (PARTITION BY k ORDER BY lo, hi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM fl),
+g AS (SELECT k, island, MIN(lo) AS ilo, MAX(hi) AS ihi, COUNT(*) AS n
+      FROM isl GROUP BY k, island)
+SELECT k, CAST(SUM(n) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(ihi - ilo) AS BIGINT) AS covered
+FROM g GROUP BY k ORDER BY k
+"""
+
+
+def q_funnel(spark, sf_dir):
+    """Funnel analysis (operators/temporal.py funnel): earliest
+    strictly-ordered view -> click -> purchase completion per user.
+    Greedy-earliest is provably minimal, so k-1 entity-keyed
+    min-agg + equi-join stages compute it without any window over raw
+    events. Epoch-second timestamps (truncating on both engines) keep
+    the comparison rendering-free."""
+    from geocore_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = temporal.funnel(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    return out.orderBy("user_id")
+
+
+_SQL_FUNNEL = """
+WITH base AS (
+  SELECT user_id AS e, CAST(trunc(epoch(ts)) AS BIGINT) AS ts, event_type AS tp
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+s1 AS (SELECT e, MIN(ts) AS t1 FROM base WHERE tp = 'view' GROUP BY e),
+s2 AS (SELECT b.e, MIN(b.ts) AS t2 FROM base b JOIN s1 ON s1.e = b.e
+       WHERE b.tp = 'click' AND b.ts > s1.t1 GROUP BY b.e),
+s3 AS (SELECT b.e, MIN(b.ts) AS t3 FROM base b JOIN s2 ON s2.e = b.e
+       WHERE b.tp = 'purchase' AND b.ts > s2.t2 GROUP BY b.e)
+SELECT s1.e AS user_id, s1.t1 AS t1, s2.t2 AS t2, s3.t3 AS t3,
+       CAST((CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS steps_completed
+FROM s1 LEFT JOIN s2 ON s2.e = s1.e LEFT JOIN s3 ON s3.e = s1.e
+ORDER BY user_id
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4658,6 +4790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_similarity": q_set_similarity,
         "resample_interp": q_resample_interp,
         "grouped_auc": q_grouped_auc,
+        "grouped_corr": q_grouped_corr,
+        "interval_coverage": q_interval_coverage,
+        "funnel": q_funnel,
         "bloom_point_lookup": q_bloom_point_lookup,
         "snapshot_merge": q_snapshot_merge,
         "stream_changes": q_stream_changes,
@@ -4744,6 +4879,9 @@ def oracle_sql() -> dict[str, str]:
         "set_similarity": _SQL_SET_SIMILARITY,
         "resample_interp": _SQL_RESAMPLE_INTERP,
         "grouped_auc": _SQL_GROUPED_AUC,
+        "grouped_corr": _SQL_GROUPED_CORR,
+        "interval_coverage": _SQL_INTERVAL_COVERAGE,
+        "funnel": _SQL_FUNNEL,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,
         "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "stream_changes": _SQL_STREAM_CHANGES,

@@ -240,3 +240,69 @@ def grouped_auc(
             F.expr("(_num2g * 1000000) div (2 * pos * neg)"),
         ).cast("long").alias("auc_micro"),
     )
+
+
+def grouped_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact per-group Pearson correlation from integer moments.
+
+    ``x``/``y`` must be integer-valued (quantize upstream — e.g.
+    ``trunc(value*10)``): the five moment sums are then exact BIGINT,
+    and the final ``num / (sqrt(a) * sqrt(b))`` is bit-reproducible
+    across engines because BIGINT->DOUBLE conversion, sqrt, multiply
+    and divide are all IEEE-754 correctly rounded — so an ANSI-SQL twin
+    matches the double exactly, no micro-unit dance needed.
+
+    One map-side-combined groupBy; no window, no sort. Overflow guard:
+    the same pass aggregates max|x|, max|y| and raises when
+    ``n * max|x| * max|y|`` (an upper bound for every moment term)
+    approaches 2^62, instead of letting non-ANSI arithmetic wrap
+    silently. Constant series (zero variance) return NULL corr.
+    """
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    ag = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.max(F.abs(F.col("_x"))).alias("_mx"),
+        F.max(F.abs(F.col("_y"))).alias("_my"),
+    )
+    bound = F.greatest(F.col("_mx"), F.lit(1)) * F.greatest(
+        F.col("_my"), F.lit(1)
+    ) * F.col("n")
+    guarded = ag.withColumn(
+        "_ok",
+        F.when(bound < F.lit(2**62), F.lit(1)).otherwise(
+            F.raise_error(
+                F.lit("grouped_corr: moment sums would overflow BIGINT")
+            ).cast("int")
+        ),
+    )
+    a = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    b = F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    corr = F.when(
+        (a > 0) & (b > 0) & (F.col("_ok") == 1),
+        num.cast("double")
+        / (F.sqrt(a.cast("double")) * F.sqrt(b.cast("double"))),
+    )
+    return guarded.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        corr.alias("corr"),
+    )

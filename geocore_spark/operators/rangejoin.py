@@ -158,3 +158,72 @@ def interval_overlap_join(
     )
     proof = _bucket(F.greatest(F.col(llo), F.col(rlo)), bucket_width)
     return joined.filter(F.col("__b") == proof).drop("__b")
+
+
+def interval_coverage(
+    intervals: DataFrame,
+    key_col: str,
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """Per-key merged-interval statistics: union the key's intervals,
+    count the disjoint islands, and measure the total covered length.
+
+    The classic sweep, expressed as key-partitioned windows (never a
+    global sort): order by (lo, hi); a row starts a new island when its
+    lo exceeds the running max hi of every earlier row; the island id is
+    the running sum of start flags; islands then collapse to
+    [min lo, max hi]. Touching intervals ([0,2],[2,4]) merge — length is
+    continuous measure. The per-key aggregate is tie-order invariant
+    (tied (lo,hi) rows produce identical flags), so an ANSI-SQL twin
+    matches bit-exactly on integer bounds. Inverted intervals (lo > hi)
+    denote the empty set — dropped, like NULLs and NaN bounds (the same
+    conventions as the range joins above).
+
+    Output: (key, n_intervals, n_islands, covered).
+    """
+    from pyspark.sql import Window
+
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    ok = (
+        F.col(key_col).isNotNull()
+        & lo.isNotNull()
+        & hi.isNotNull()
+        & (lo <= hi)
+    )
+    for c in (lo_col, hi_col):
+        if dict(intervals.dtypes)[c] in ("double", "float"):
+            ok = ok & ~F.isnan(F.col(c))
+    base = intervals.where(ok).select(
+        F.col(key_col).alias("_k"), lo.alias("_lo"), hi.alias("_hi")
+    )
+    w_prev = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_lo").asc(), F.col("_hi").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_lo").asc(), F.col("_hi").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = base.withColumn(
+        "_new",
+        F.when(
+            F.max("_hi").over(w_prev).isNull()
+            | (F.col("_lo") > F.max("_hi").over(w_prev)),
+            1,
+        ).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(w_run))
+    islands = flagged.groupBy("_k", "_isl").agg(
+        F.min("_lo").alias("_ilo"),
+        F.max("_hi").alias("_ihi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return islands.groupBy("_k").agg(
+        F.sum("_n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("_ihi") - F.col("_ilo")).alias("covered"),
+    ).select(
+        F.col("_k").alias(key_col), "n_intervals", "n_islands", "covered"
+    )

@@ -260,3 +260,62 @@ def hour_bucket_join(
     return floored.join(a, [entity_col, "__hour"], "left").withColumnRenamed(
         "__hour", "bucket_hour"
     )
+
+
+def funnel(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Earliest strictly-ordered completion of a step sequence per
+    entity — the product-analytics funnel (view -> click -> purchase).
+
+    Greedy-earliest semantics: t1 = the entity's earliest step-1 event;
+    t_i = the earliest step-i event strictly after t_{i-1}. Greedy is
+    optimal here — taking the earliest feasible timestamp at each step
+    never forecloses a later completion — so this IS the minimal
+    completion, and each stage is one entity-keyed min-aggregate + one
+    equi-join (k-1 joins total for k steps, no window over raw events,
+    no UDF). Entities that never performed step 1 are absent; later
+    steps are NULL once the chain breaks.
+
+    Timestamps are returned as epoch seconds (``unix_timestamp``,
+    truncating) so cross-engine comparison avoids timestamp-rendering
+    skew; ``steps_completed`` counts the non-null prefix.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    base = df.where(
+        F.col(entity_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("_e"),
+        F.expr(f"unix_timestamp({ts_col})").alias("_ts"),
+        F.col(type_col).alias("_tp"),
+    )
+    cur = (
+        base.where(F.col("_tp") == steps[0])
+        .groupBy("_e")
+        .agg(F.min("_ts").alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            base.where(F.col("_tp") == step)
+            .join(cur.select("_e", F.col(f"t{i-1}")), "_e")
+            .where(F.col("_ts") > F.col(f"t{i-1}"))
+            .groupBy("_e")
+            .agg(F.min("_ts").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, "_e", "left")
+    ts_cols = [f"t{i}" for i in range(1, len(steps) + 1)]
+    completed = sum(
+        (F.col(c).isNotNull().cast("int") for c in ts_cols), F.lit(0)
+    )
+    return cur.select(
+        F.col("_e").alias(entity_col),
+        *ts_cols,
+        completed.cast("int").alias("steps_completed"),
+    )
