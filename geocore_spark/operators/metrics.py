@@ -259,9 +259,11 @@ def grouped_corr(
 
     One map-side-combined groupBy; no window, no sort. Overflow guard:
     the same pass aggregates max|x|, max|y| and raises when
-    ``n * max|x| * max|y|`` (an upper bound for every moment term)
-    approaches 2^62, instead of letting non-ANSI arithmetic wrap
-    silently. Constant series (zero variance) return NULL corr.
+    ``(n * max(|x|,|y|))^2`` — an upper bound for every intermediate,
+    including the n^2 terms of ``n*Sxy - Sx*Sy`` and ``Sxx`` when
+    |x| >> |y| — approaches 2^61, instead of letting non-ANSI
+    arithmetic wrap silently. Constant series (zero variance) return
+    NULL corr.
     """
     base = df.where(
         F.col(group_col).isNotNull()
@@ -282,12 +284,15 @@ def grouped_corr(
         F.max(F.abs(F.col("_x"))).alias("_mx"),
         F.max(F.abs(F.col("_y"))).alias("_my"),
     )
-    bound = F.greatest(F.col("_mx"), F.lit(1)) * F.greatest(
-        F.col("_my"), F.lit(1)
-    ) * F.col("n")
+    # the largest intermediate is n*Sxy - Sx*Sy, bounded by 2*n^2*m^2
+    # with m = max(|x|, |y|): n*m*m alone would miss both the n^2 terms
+    # and Sxx when |x| >> |y|. Checked in double (conservative margin —
+    # 1-ulp slack is nothing next to the 2^61 headroom).
+    m = F.greatest(F.col("_mx"), F.col("_my"), F.lit(1)).cast("double")
+    bound = F.col("n").cast("double") * m
     guarded = ag.withColumn(
         "_ok",
-        F.when(bound < F.lit(2**62), F.lit(1)).otherwise(
+        F.when(bound * bound < F.lit(float(2**61)), F.lit(1)).otherwise(
             F.raise_error(
                 F.lit("grouped_corr: moment sums would overflow BIGINT")
             ).cast("int")

@@ -72,19 +72,7 @@ def _prefix_rows(
     return ranked.where(F.col("_r") <= p).select("_id", "_tok", "_s")
 
 
-def candidate_pairs(
-    tok: DataFrame,
-    id_col: str = "doc_id",
-    token_col: str = "token",
-    threshold_num: int = 1,
-    threshold_den: int = 2,
-) -> DataFrame:
-    """Prefix-filter candidate pairs (id_a < id_b) — a superset of the
-    qualifying pairs, exposed for selectivity tests and staging."""
-    if not (0 < threshold_num <= threshold_den):
-        raise ValueError("threshold must satisfy 0 < num/den <= 1")
-    t, sizes = _prepare(tok, id_col, token_col)
-    pref = _prefix_rows(t, sizes, threshold_num, threshold_den)
+def _candidates_from(pref: DataFrame, threshold_num: int, threshold_den: int):
     a = pref.select(
         F.col("_id").alias("id_a"), F.col("_tok").alias("_tok"), F.col("_s").alias("_sa")
     )
@@ -106,6 +94,22 @@ def candidate_pairs(
     )
 
 
+def candidate_pairs(
+    tok: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Prefix-filter candidate pairs (id_a < id_b) — a superset of the
+    qualifying pairs, exposed for selectivity tests and staging."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must satisfy 0 < num/den <= 1")
+    t, sizes = _prepare(tok, id_col, token_col)
+    pref = _prefix_rows(t, sizes, threshold_num, threshold_den)
+    return _candidates_from(pref, threshold_num, threshold_den)
+
+
 def set_similarity_join(
     tok: DataFrame,
     id_col: str = "doc_id",
@@ -120,8 +124,13 @@ def set_similarity_join(
     id_a < id_b and jaccard_micro = floor(1e6 * |a∩b| / |a∪b|) — all
     integer arithmetic, so an ANSI-SQL twin reproduces it bit-exactly.
     """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must satisfy 0 < num/den <= 1")
     t, sizes = _prepare(tok, id_col, token_col)
-    cand = candidate_pairs(tok, id_col, token_col, threshold_num, threshold_den)
+    # candidates share t/sizes lineage with verification, so the
+    # distinct/size exchanges canonicalize equal and Spark reuses them
+    pref = _prefix_rows(t, sizes, threshold_num, threshold_den)
+    cand = _candidates_from(pref, threshold_num, threshold_den)
     ta = t.select(F.col("_id").alias("id_a"), "_tok")
     tb = t.select(F.col("_id").alias("id_b"), "_tok")
     inter = (

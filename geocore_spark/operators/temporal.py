@@ -186,7 +186,7 @@ def resample_fill(
         )
         .select(
             F.col(entity_col).alias("entity"),
-            F.expr(f"unix_timestamp({ts_col}) div {step_seconds}").alias("bucket"),
+            F.expr(f"unix_timestamp(`{ts_col}`) div {step_seconds}").alias("bucket"),
             v6.alias("_v6"),
         )
         .groupBy("entity", "bucket")
@@ -293,7 +293,7 @@ def funnel(
         & F.col(type_col).isNotNull()
     ).select(
         F.col(entity_col).alias("_e"),
-        F.expr(f"unix_timestamp({ts_col})").alias("_ts"),
+        F.expr(f"unix_timestamp(`{ts_col}`)").alias("_ts"),
         F.col(type_col).alias("_tp"),
     )
     cur = (

@@ -52,6 +52,13 @@ def test_corr_perfect_and_overflow_guard(spark):
     )
     with pytest.raises(Exception):
         metrics.grouped_corr(big, "g", "x", "y").collect()
+    # Sxx overflows even though every |x*y| product is tiny: the guard
+    # must bound on max(|x|,|y|)^2, not |x|*|y|
+    lopsided = spark.createDataFrame(
+        [(0, 2**33, 1), (0, 2**33 + 1, 0)], "g int, x long, y long"
+    )
+    with pytest.raises(Exception):
+        metrics.grouped_corr(lopsided, "g", "x", "y").collect()
 
 
 # ----------------------------------------------------------- coverage
