@@ -1704,9 +1704,10 @@ SELECT doc_id,
             WHEN de >= fr AND de > 0 THEN 'de'
             WHEN fr > 0 THEN 'fr'
             ELSE 'unknown' END AS lang_guess,
-       round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+       CASE WHEN text IS NULL THEN NULL
+            ELSE round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
               + least({orc.stopword_ratio_sql('text', tx.STOPWORDS)} * 4.0, 1.0)) / 2.0, 6)
-         AS quality,
+       END AS quality,
        md5({orc.norm_text_sql('text')}) AS fingerprint
 FROM c
 """
@@ -2517,7 +2518,8 @@ kept AS (
     FROM corpus2x) WHERE rn = 1),
 curated AS (
   SELECT * FROM kept
-  WHERE round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+  WHERE text IS NOT NULL
+    AND round((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
                + least({orc.stopword_ratio_sql('text', tx.STOPWORDS)} * 4.0, 1.0)) / 2.0, 6)
           >= 0.5
     AND (SELECT CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'

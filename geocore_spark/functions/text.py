@@ -134,7 +134,12 @@ def quality_score(text: Column) -> Column:
     ln = F.length(text).cast("double")
     len_score = F.least(ln / F.lit(500.0), F.lit(1.0))
     stop_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
-    return F.round((len_score + stop_score) / 2.0, 6)
+    # least() SKIPS nulls (the recurring least/greatest trap): without
+    # the guard a NULL text scores least(NULL, 1.0) = a perfect 1.0 and
+    # sails through every quality filter. NULL in, NULL out.
+    return F.when(
+        text.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.round((len_score + stop_score) / 2.0, 6))
 
 
 def lang_guess(text: Column) -> Column:

@@ -71,3 +71,20 @@ def test_extract_text_null_html(spark):
         ).collect()
     }
     assert got == {"u1": "T\nhi", "u2": None}
+
+
+def test_quality_score_null_text_is_null_not_perfect(spark):
+    from geocore_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the and of is to " * 60)], "id long, text string"
+    )
+    out = {r["id"]: r["q"] for r in
+           df.select("id", tx.quality_score(F.col("text")).alias("q")).collect()}
+    # least() skips nulls: without the guard this was a perfect 1.0
+    assert out[1] is None
+    assert out[2] is not None and 0.0 <= out[2] <= 1.0
+    # and a null-text doc must not pass a quality filter
+    kept = df.filter(tx.quality_score(F.col("text")) >= 0.0).count()
+    assert kept == 1
