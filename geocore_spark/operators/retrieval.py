@@ -72,17 +72,35 @@ def bm25_topk(
     once — the ``IN``-filter formulation has set semantics by
     construction; this dedupe just makes that explicit).
 
-    Plan note: the corpus is scanned + tokenized for the stats aggregate
-    and again for the match explode (different downstream partitionings,
-    so Catalyst plans independent scans) — capacity-plan for 2x the
-    tokenize cost per query, or persist the token frame across a query
-    batch.
+    Plan note: the corpus is scanned + tokenized THREE times — the stats
+    aggregate, the match explode, and the doc-length join side (dl is
+    referenced under two different partitionings, so Catalyst plans
+    independent scans for each) — capacity-plan for 3x the tokenize cost
+    per query, or persist the token frame across a query batch.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    terms = sorted({t.lower() for t in query_terms})
+    # normalize query terms through the SAME rules as cleaning.tokens
+    # (lowercase, whitespace split, empties dropped): a term with
+    # embedded/trailing whitespace ('new york', 'York ') can never equal
+    # a corpus token, so it would silently contribute zero matches.
+    # Java's \\s is ASCII-only — split on the ASCII class, not
+    # Python's Unicode str.split(), per the classify train/apply skew.
+    import re
+
+    terms = sorted(
+        {
+            w
+            for t in query_terms
+            if t is not None
+            for w in re.split(r"[ \t\n\r\f\x0b]+", t.lower())
+            if w
+        }
+    )
+    if not terms:
+        raise ValueError("query_terms contain no usable tokens")
 
     toks = docs.select(
         F.col(id_col).alias("__id"),

@@ -162,7 +162,12 @@ def dsir_select(
     if mode == "exact":
         import math
 
-        n = raw.count()
+        # frac applies to the SCORED population (w) in both modes: the
+        # threshold mode's quantile is over w, so counting `raw` here
+        # would make the two modes disagree wholesale whenever token-less
+        # docs exist (ceil(frac*raw) of a smaller scored set is a larger
+        # effective fraction) — and it cost an extra full raw scan.
+        n = w.count()
         # ceil per the contract, with an epsilon guard so exact decimal
         # fractions don't gain a row to float noise (0.3*10 -> 3, not 4)
         # or lose one to truncation (0.29*100 -> 29, not 28)

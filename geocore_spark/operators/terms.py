@@ -108,7 +108,11 @@ def inverted_index(
     """
     if min_df < 1:
         raise ValueError("min_df must be >= 1")
-    terms = df.select(
+    # NULL ids count into tf but vanish from count_distinct/collect_set,
+    # which would emit (tf=1, doc_freq=0, postings=[]) rows whose tf
+    # disagrees with their own posting list — drop them up front, the
+    # same guard tfidf_top_terms applies.
+    terms = df.where(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.explode(cleaning.tokens(F.col(text_col))).alias("term"),
     )

@@ -106,17 +106,27 @@ class StageCheckpoint:
         invalidated stage names (for logging/tests)."""
         recorded = self.chain()
         if not recorded and self.stages():
-            recorded = [{"name": n, "params": None} for n in self.stages()]
-        div = len(configured)
-        for i, (name, params) in enumerate(configured):
-            if (
-                i >= len(recorded)
-                or recorded[i].get("name") != name
-                or recorded[i].get("params") != params
-            ):
-                div = i
-                break
-        stale = [e["name"] for e in recorded[div:] if e["name"] in self.stages()]
+            # committed stages but no recorded chain: unknown provenance,
+            # fully divergent BY DECREE — every committed stage is stale.
+            # (Synthesizing a recorded chain with params=None here would
+            # spuriously MATCH a configured stage whose params are also
+            # None, resuming a snapshot of unknown configuration; and the
+            # synthesized order would be manifest-dict insertion order,
+            # not chain order.)
+            stale = list(self.stages())
+        else:
+            div = len(configured)
+            for i, (name, params) in enumerate(configured):
+                if (
+                    i >= len(recorded)
+                    or recorded[i].get("name") != name
+                    or recorded[i].get("params") != params
+                ):
+                    div = i
+                    break
+            stale = [
+                e["name"] for e in recorded[div:] if e["name"] in self.stages()
+            ]
         for name in stale:
             self.invalidate(name)
         manifest = self._manifest()

@@ -44,7 +44,12 @@ def read_jsonl(
 
     Corrupt lines never fail the job. Default: DROPMALFORMED — bad lines
     vanish at parse time, nothing extra is materialized (the 100 TB
-    posture). ``keep_corrupt=True``: PERMISSIVE with the raw line
+    posture). CAVEAT: the drop is projection-dependent — a query that
+    prunes every column (``df.count()``) lets Spark skip full parsing
+    and can count malformed lines, disagreeing with any query that
+    reads real columns. For ingest bookkeeping, count a materialized
+    column (``df.where(col(id).isNotNull()).count()``) or the written
+    output, never the bare source. ``keep_corrupt=True``: PERMISSIVE with the raw line
     captured in ``_corrupt_record`` (schema fields null on those rows)
     for quarantine/debugging. Spark disallows queries that reference
     ONLY the corrupt column straight off the source

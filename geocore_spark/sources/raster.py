@@ -42,12 +42,24 @@ def value_sql(row: str, col: str) -> str:
 
 def grid_row(lat: Column) -> Column:
     """Raster row of a latitude — THE affine transform, shared by the
-    analytic fast path and the join path so they can never diverge."""
-    return F.floor((lat - F.lit(LAT0)) / F.lit(DLAT)).cast("long")
+    analytic fast path and the join path so they can never diverge.
+
+    NULL for NaN input: Spark's floor(double)->LONG sends NaN to 0, so
+    an unguarded transform would map a garbage coordinate onto corner
+    cell (0, 0) and fabricate a sample — the same trap class CLAUDE.md
+    records for latlng_to_cell. NULL propagates through floor already.
+    """
+    return F.when(
+        ~F.isnan(lat.cast("double")),
+        F.floor((lat - F.lit(LAT0)) / F.lit(DLAT)).cast("long"),
+    )
 
 
 def grid_col(lon: Column) -> Column:
-    return F.floor((lon - F.lit(LON0)) / F.lit(DLON)).cast("long")
+    return F.when(
+        ~F.isnan(lon.cast("double")),
+        F.floor((lon - F.lit(LON0)) / F.lit(DLON)).cast("long"),
+    )
 
 
 def raster_table(spark: SparkSession) -> DataFrame:
@@ -85,10 +97,16 @@ def sample_expr(lat: Column, lon: Column) -> Column:
 
 
 def sample_sql(lat: str, lon: str) -> str:
+    # NaN short-circuits FIRST: DuckDB's CAST(floor(NaN) AS BIGINT)
+    # errors outright (vs Spark's silent 0), so the bounds test must
+    # never see a NaN coordinate. CASE evaluates lazily, so ordering
+    # the isnan arm first suppresses the cast.
     row = f"CAST(floor((({lat}) - ({LAT0})) / {DLAT}) AS BIGINT)"
     col = f"CAST(floor((({lon}) - ({LON0})) / {DLON}) AS BIGINT)"
     return (
-        f"(CASE WHEN {row} >= 0 AND {row} < {NROWS}"
+        f"(CASE WHEN isnan(CAST({lat} AS DOUBLE)) OR isnan(CAST({lon} AS DOUBLE))"
+        f" THEN NULL"
+        f" WHEN {row} >= 0 AND {row} < {NROWS}"
         f" AND {col} >= 0 AND {col} < {NCOLS}"
         f" THEN {value_sql(row, col)} END)"
     )

@@ -6,8 +6,8 @@ needs per-group state that outlives a batch. Spark's built-in
 column; this operator instead manages state explicitly with
 ``applyInPandasWithState`` — the engine's pattern for custom stateful
 operators (harness contract): state = the set of seen 64-bit url hashes
-per hash-shard group, stored as a packed int64 list, with group-level
-timeout handling left to the caller's watermark policy.
+per hash-shard group, stored as a packed int64 list, with an optional
+idle-shard TTL (ProcessingTimeTimeout eviction) bounding total state.
 
 The state key is ``pmod(xxhash64(url), n_groups)`` — URL-hash sharding,
 NOT host sharding: it distributes state evenly regardless of host skew,
@@ -54,19 +54,46 @@ def _dedup_fn(
     state.update((seen.tolist(),))
 
 
-def streaming_url_dedup(pages: DataFrame, n_groups: int = 64) -> DataFrame:
+def streaming_url_dedup(
+    pages: DataFrame, n_groups: int = 64, ttl_minutes: float | None = None
+) -> DataFrame:
     """First-seen URL filter over a streaming pages DataFrame.
 
     Emits each url once across all micro-batches (probabilistic: a
     64-bit hash collision between distinct urls drops the later one —
     see the module docstring). Grouping key is a stable hash shard so
     state distributes evenly over executors.
+
+    ``ttl_minutes`` bounds state: a shard idle that long is evicted via
+    ProcessingTimeTimeout, at the cost of re-admitting urls first seen
+    before the eviction. The default (None) keeps state for the life of
+    the query — exact first-seen, but the seen-set only ever grows
+    (~8 B/url), so long-running crawls SHOULD set a TTL sized to their
+    re-delivery horizon. (Before this knob existed the NoTimeout was
+    hardcoded and no watermark could shrink the state.)
     """
+    if ttl_minutes is not None and ttl_minutes <= 0:
+        raise ValueError("ttl_minutes must be positive (or None)")
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, batches, state):
+        if ttl_minutes is not None and state.hasTimedOut:
+            state.remove()
+            return
+        yield from _dedup_fn(key, batches, state)
+        # after _dedup_fn's state.update, so the state object exists
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(int(ttl_minutes * 60_000))
+
     keyed = pages.withColumn("group_id", F.pmod(F.xxhash64("url"), F.lit(n_groups)))
     return keyed.groupBy("group_id").applyInPandasWithState(
-        _dedup_fn,
+        fn,
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -274,6 +274,30 @@ def test_sample_expr_null_outside_coverage_matches_join_path(spark):
     assert analytic[2] is not None and analytic[3] is not None
 
 
+def test_sample_nan_coord_is_null_not_corner_cell(spark):
+    # floor(NaN) -> 0 as LONG in Spark, so an unguarded transform maps a
+    # NaN coordinate onto corner cell (0,0) and fabricates a sample, in
+    # BOTH the analytic and join paths (the latlng_to_cell trap class)
+    nan = float("nan")
+    pts = spark.createDataFrame(
+        [(0, nan, 10.0), (1, 10.0, nan), (2, nan, nan), (3, 10.0, 10.0)],
+        "id long, lat double, lon double",
+    )
+    analytic = {
+        r["id"]: r["v"]
+        for r in pts.select(
+            "id", rst.sample_expr(F.col("lat"), F.col("lon")).alias("v")
+        ).collect()
+    }
+    assert analytic[0] is None and analytic[1] is None and analytic[2] is None
+    assert analytic[3] is not None
+    joined = {
+        r["id"]: r["value"]
+        for r in zonal.sample_points_join(pts, rst.raster_table(spark)).collect()
+    }
+    assert joined == analytic
+
+
 def test_sample_points_join_rejects_value_collision(spark):
     pts = spark.createDataFrame([(0, 10.0, 10.0, 1.0)], "id long, lat double, lon double, value double")
     import pytest as _pytest
