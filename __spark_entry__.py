@@ -4706,6 +4706,53 @@ ORDER BY user_id
 """
 
 
+def q_grouped_ols(spark, sf_dir):
+    """Per-group simple linear regression (operators/metrics.py
+    grouped_ols): slope/intercept assembled from BIGINT moment sums with
+    IEEE correctly-rounded double ops only — the grouped_corr trick —
+    so the DOUBLE outputs match the DuckDB twin bit-exactly. One
+    map-side-combined groupBy, no window, no sort."""
+    from geocore_spark.operators import metrics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    scored = ev.select(
+        (F.col("user_id") % 6).alias("grp"),
+        (F.col("event_id") % 500).alias("x"),
+        ((F.col("value") * 10).cast("long") + F.col("event_id") % 500).alias("y"),
+    )
+    return metrics.grouped_ols(scored, "grp", "x", "y").orderBy("grp")
+
+
+_SQL_GROUPED_OLS = """
+WITH base AS (
+  SELECT user_id % 6 AS grp, event_id % 500 AS x,
+         CAST(trunc(value * 10) AS BIGINT) + (event_id % 500) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL),
+m AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY grp),
+s AS (
+  SELECT grp, n, sx, sy,
+         CASE WHEN (n * sxx - sx * sx) > 0
+              THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+         END AS slope
+  FROM m)
+SELECT grp, n, slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         AS intercept
+FROM s ORDER BY grp
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4793,6 +4840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_interp": q_resample_interp,
         "grouped_auc": q_grouped_auc,
         "grouped_corr": q_grouped_corr,
+        "grouped_ols": q_grouped_ols,
         "interval_coverage": q_interval_coverage,
         "funnel": q_funnel,
         "bloom_point_lookup": q_bloom_point_lookup,
@@ -4882,6 +4930,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_interp": _SQL_RESAMPLE_INTERP,
         "grouped_auc": _SQL_GROUPED_AUC,
         "grouped_corr": _SQL_GROUPED_CORR,
+        "grouped_ols": _SQL_GROUPED_OLS,
         "interval_coverage": _SQL_INTERVAL_COVERAGE,
         "funnel": _SQL_FUNNEL,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,

@@ -311,3 +311,63 @@ def grouped_corr(
         F.col("n").cast("long").alias("n"),
         corr.alias("corr"),
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact per-group simple linear regression (y = slope*x + intercept)
+    from the same integer moment sums as :func:`grouped_corr`.
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) and
+    intercept = (Sy - slope*Sx) / n are assembled from BIGINT moments
+    with IEEE correctly-rounded double ops only (cast, mul, div), so the
+    doubles are bit-reproducible against an ANSI-SQL twin — the
+    :func:`grouped_corr` trick. Same one-pass agg, same overflow guard,
+    NULL slope/intercept for zero-variance x.
+    """
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    ag = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.max(F.abs(F.col("_x"))).alias("_mx"),
+        F.max(F.abs(F.col("_y"))).alias("_my"),
+    )
+    m = F.greatest(F.col("_mx"), F.col("_my"), F.lit(1)).cast("double")
+    bound = F.col("n").cast("double") * m
+    guarded = ag.withColumn(
+        "_ok",
+        F.when(bound * bound < F.lit(float(2**61)), F.lit(1)).otherwise(
+            F.raise_error(
+                F.lit("grouped_ols: moment sums would overflow BIGINT")
+            ).cast("int")
+        ),
+    )
+    a = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = F.when(
+        (a > 0) & (F.col("_ok") == 1), num.cast("double") / a.cast("double")
+    )
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
+    ) / F.col("n").cast("double")
+    return guarded.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

@@ -166,3 +166,37 @@ def test_funnel_same_timestamp_not_counted(spark):
 def test_funnel_single_step_raises(spark):
     with pytest.raises(ValueError):
         temporal.funnel(_mk_events(spark, []), "e", "ts", "tp", ["view"])
+
+
+def test_ols_matches_python_exactly(spark):
+    rng = random.Random(99)
+    data = []
+    series = {}
+    for g in range(3):
+        xs = [rng.randrange(-40, 40) for _ in range(120)]
+        ys = [5 * x - 17 + rng.randrange(-10, 10) for x in xs]
+        series[g] = (xs, ys)
+        data += [(g, x, y) for x, y in zip(xs, ys)]
+    data += [(9, 3, 1), (9, 3, 2)]  # zero-variance x
+    df = spark.createDataFrame(data, "g int, x long, y long")
+    out = {r["g"]: (r["slope"], r["intercept"]) for r in
+           metrics.grouped_ols(df, "g", "x", "y").collect()}
+    for g in range(3):
+        xs, ys = series[g]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        a = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / a
+        intercept = (sy - slope * sx) / n
+        assert out[g] == (slope, intercept)  # bit-exact
+    assert out[9] == (None, None)
+
+
+def test_ols_exact_line_recovered(spark):
+    df = spark.createDataFrame(
+        [(0, i, 3 * i + 7) for i in range(20)], "g int, x long, y long"
+    )
+    r = metrics.grouped_ols(df, "g", "x", "y").collect()[0]
+    assert r["slope"] == 3.0 and r["intercept"] == 7.0

@@ -252,6 +252,41 @@ def pipe():
     assert stats["rows_tombstoned"] > 1_000_000, stats
     return stats
 """,
+    # degree-oriented triangle counting (operators/motifs.py) over a 10M-edge
+    # random graph on 1M nodes — all JVM: distinct + degree joins + the
+    # wedge self-join (the O(sqrt(m)) out-degree bound keeps it ~45M rows)
+    # + the closing equi-join. No Python workers; ceiling = shuffle width.
+    "triangles": """
+from pyspark.sql import functions as F
+from geocore_spark.operators import motifs
+e = spark.range(10_000_000).select(
+    (F.col("id") % 1_000_000).alias("src"),
+    F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("dst"),
+)
+def pipe():
+    out = motifs.triangle_count(e)
+    return out.agg(F.count(F.lit(1)), F.sum("n_triangles")).collect()
+""",
+    # prefix-filter exact set-similarity join (operators/setjoin.py):
+    # 50k 40-token sets over a 200k universe + 500 planted near-dup pairs.
+    # All JVM: freq agg, per-doc window, token-keyed prefix join, id-keyed
+    # verification joins + pair groupBy. The planted pairs are the only
+    # survivors (random 40-of-200k sets never reach J >= 1/2).
+    "setjoin": """
+from pyspark.sql import functions as F
+from geocore_spark.operators import setjoin
+tok = spark.range(2_000_000).select(
+    (F.col("id") % 50_000).alias("doc_id"),
+    F.pmod(F.xxhash64("id"), F.lit(200_000)).alias("token"),
+)
+dup = tok.where(F.col("doc_id") < 500).select(
+    (F.col("doc_id") + 50_000).alias("doc_id"), "token"
+)
+tok = tok.unionAll(dup)
+def pipe():
+    out = setjoin.set_similarity_join(tok, threshold_num=1, threshold_den=2)
+    return out.agg(F.count(F.lit(1)), F.sum("inter")).collect()
+""",
     # real-codec media path over 20k mixed BMP/PNG/JPEG/GIF/fake payloads
     # (operators/multimodal.py + jpegcodec + gifcodec) — per-row Python
     # decode in Arrow-batched mapInPandas, embarrassingly parallel: the
@@ -319,6 +354,8 @@ def main() -> None:
         "mor_read": "10M rows 10pct deleted",
         "merge": "10M-row table, 1.4M-key batch",
         "mor_read_plain": "10M rows v1 no vectors",
+        "triangles": "10M edges 1M nodes",
+        "setjoin": "50k x 40-token sets t=1/2",
     }
     entry = {"ts": time.time(), "pinned": True, "ops": {}}
     print("| operator | t(2) s | t(8) s | eff(2->8) |")
