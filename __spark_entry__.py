@@ -4753,6 +4753,41 @@ FROM s ORDER BY grp
 """
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Edit-distance fuzzy join (operators/fuzzyjoin.py): all pairs of
+    distinct event-derived strings within Levenshtein distance 2, via
+    q-gram blocking (Gravano et al. VLDB'01) + a length-bucketed short
+    path — no all-pairs compare. The DuckDB twin is the naive cross
+    join + levenshtein filter over the same distinct strings; both
+    engines implement the identical DP, so distances match exactly."""
+    from geocore_spark.operators import fuzzyjoin
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    strs = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit("-"), (F.col("user_id") % 40).cast("string")
+        ).alias("s")
+    ).distinct()
+    out = fuzzyjoin.fuzzy_pairs(
+        strs.select(F.col("s").alias("id"), "s"), max_dist=2, q=3
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+_SQL_FUZZY_PAIRS = """
+WITH strs AS (
+  SELECT DISTINCT event_type || '-' || CAST(user_id % 40 AS VARCHAR) AS s
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL)
+SELECT a.s AS id_a, b.s AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INT) AS dist
+FROM strs a JOIN strs b ON a.s < b.s
+WHERE levenshtein(a.s, b.s) <= 2
+ORDER BY id_a, id_b
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4843,6 +4878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_ols": q_grouped_ols,
         "interval_coverage": q_interval_coverage,
         "funnel": q_funnel,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "bloom_point_lookup": q_bloom_point_lookup,
         "snapshot_merge": q_snapshot_merge,
         "stream_changes": q_stream_changes,
@@ -4933,6 +4969,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_ols": _SQL_GROUPED_OLS,
         "interval_coverage": _SQL_INTERVAL_COVERAGE,
         "funnel": _SQL_FUNNEL,
+        "fuzzy_pairs": _SQL_FUZZY_PAIRS,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,
         "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "stream_changes": _SQL_STREAM_CHANGES,
