@@ -4788,6 +4788,90 @@ ORDER BY id_a, id_b
 """
 
 
+def q_co_occurrence(spark, sf_dir):
+    """Item co-occurrence + lift (operators/cooccur.py): which event
+    tokens appear for the same users, with lift assembled from BIGINT
+    counts via IEEE correctly-rounded double ops (bit-exact vs the SQL
+    twin). Per-entity pair explosion is capped (power users dropped
+    deterministically); the fixture stays under the cap so the oracle
+    is the plain distinct-pair self-join."""
+    from geocore_spark.operators import cooccur
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    items = ev.select(
+        F.col("user_id").alias("e"),
+        F.concat(F.col("event_type"), F.lit(":"), (F.col("event_id") % 7).cast("string")).alias("i"),
+    )
+    out = cooccur.co_occurrence(items, "e", "i", min_pair_count=2)
+    return out.orderBy("item_a", "item_b")
+
+
+_SQL_CO_OCCURRENCE = """
+WITH base AS (
+  SELECT DISTINCT user_id AS e,
+         event_type || ':' || CAST(event_id % 7 AS VARCHAR) AS i
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND event_id IS NOT NULL),
+n_total AS (SELECT CAST(COUNT(DISTINCT e) AS BIGINT) AS n FROM base),
+item_n AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY i),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_n
+  FROM base a JOIN base b ON a.e = b.e AND a.i < b.i
+  GROUP BY a.i, b.i HAVING COUNT(*) >= 2)
+SELECT item_a, item_b, pair_n, na.cnt AS n_a, nb.cnt AS n_b,
+       (CAST(pair_n AS DOUBLE) * CAST(n_total.n AS DOUBLE))
+         / (CAST(na.cnt AS DOUBLE) * CAST(nb.cnt AS DOUBLE)) AS lift
+FROM pairs
+JOIN item_n na ON na.i = item_a
+JOIN item_n nb ON nb.i = item_b
+CROSS JOIN n_total
+ORDER BY item_a, item_b
+"""
+
+
+def q_transition_matrix(spark, sf_dir):
+    """First-order Markov transitions (operators/cooccur.py
+    transition_counts): per-user event_type sequences ordered by
+    (ts, event_id) — the tiebreak makes the order total, so both
+    engines see the same sequence — with exact BIGINT micro-unit
+    transition probabilities."""
+    from geocore_spark.operators import cooccur
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    seq = ev.select(
+        "user_id",
+        F.struct(F.col("ts"), F.col("event_id")).alias("ord"),
+        "event_type",
+    )
+    out = cooccur.transition_counts(seq, "user_id", "ord", "event_type")
+    return out.orderBy("src", "dst")
+
+
+_SQL_TRANSITION_MATRIX = """
+WITH steps AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+trans AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM steps WHERE src IS NOT NULL GROUP BY src, dst),
+outn AS (SELECT src, CAST(SUM(n) AS BIGINT) AS out_n FROM trans GROUP BY src)
+SELECT t.src, t.dst, t.n, o.out_n,
+       CAST((t.n * 1000000) // o.out_n AS BIGINT) AS p_micro
+FROM trans t JOIN outn o ON o.src = t.src
+ORDER BY t.src, t.dst
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4879,6 +4963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": q_interval_coverage,
         "funnel": q_funnel,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "co_occurrence": q_co_occurrence,
+        "transition_matrix": q_transition_matrix,
         "bloom_point_lookup": q_bloom_point_lookup,
         "snapshot_merge": q_snapshot_merge,
         "stream_changes": q_stream_changes,
@@ -4970,6 +5056,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_coverage": _SQL_INTERVAL_COVERAGE,
         "funnel": _SQL_FUNNEL,
         "fuzzy_pairs": _SQL_FUZZY_PAIRS,
+        "co_occurrence": _SQL_CO_OCCURRENCE,
+        "transition_matrix": _SQL_TRANSITION_MATRIX,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,
         "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "stream_changes": _SQL_STREAM_CHANGES,
