@@ -4675,8 +4675,9 @@ def q_funnel(spark, sf_dir):
     strictly-ordered view -> click -> purchase completion per user.
     Greedy-earliest is provably minimal, so k-1 entity-keyed
     min-agg + equi-join stages compute it without any window over raw
-    events. Epoch-second timestamps (truncating on both engines) keep
-    the comparison rendering-free."""
+    events. Matching and output run at full microsecond precision
+    (unix_micros / epoch_us) — second-truncating before the strict
+    comparison would break sub-second chains."""
     from geocore_spark.operators import temporal
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -4688,7 +4689,7 @@ def q_funnel(spark, sf_dir):
 
 _SQL_FUNNEL = """
 WITH base AS (
-  SELECT user_id AS e, CAST(trunc(epoch(ts)) AS BIGINT) AS ts, event_type AS tp
+  SELECT user_id AS e, epoch_us(ts) AS ts, event_type AS tp
   FROM events
   WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
 s1 AS (SELECT e, MIN(ts) AS t1 FROM base WHERE tp = 'view' GROUP BY e),

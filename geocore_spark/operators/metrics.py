@@ -190,8 +190,11 @@ def grouped_auc(
     needs ``num2 * 1e6 < 2^63`` — i.e. P*N < ~4.6e12 per group (~2M
     balanced rows); beyond that the guard raises rather than wrapping.
     """
-    y = F.col(label_col).cast("long")
-    y = F.when(y.isin(0, 1), y).otherwise(
+    # validate the RAW value, not its long cast: cast('long') truncates
+    # 0.7 -> 0 and 1.5 -> 1, which would satisfy an after-cast isin(0,1)
+    # and silently corrupt the rank sum with soft labels
+    y_ok = F.col(label_col).cast("double").isin(0.0, 1.0)
+    y = F.when(y_ok, F.col(label_col).cast("long")).otherwise(
         F.raise_error(F.lit("grouped_auc: label must be 0/1")).cast("long")
     )
     base = df.where(
@@ -242,29 +245,19 @@ def grouped_auc(
     )
 
 
-def grouped_corr(
-    df: DataFrame,
-    group_col: str,
-    x_col: str,
-    y_col: str,
+def _guarded_moments(
+    df: DataFrame, group_col: str, x_col: str, y_col: str, op_name: str
 ) -> DataFrame:
-    """Exact per-group Pearson correlation from integer moments.
-
-    ``x``/``y`` must be integer-valued (quantize upstream — e.g.
-    ``trunc(value*10)``): the five moment sums are then exact BIGINT,
-    and the final ``num / (sqrt(a) * sqrt(b))`` is bit-reproducible
-    across engines because BIGINT->DOUBLE conversion, sqrt, multiply
-    and divide are all IEEE-754 correctly rounded — so an ANSI-SQL twin
-    matches the double exactly, no micro-unit dance needed.
-
-    One map-side-combined groupBy; no window, no sort. Overflow guard:
-    the same pass aggregates max|x|, max|y| and raises when
-    ``(n * max(|x|,|y|))^2`` — an upper bound for every intermediate,
-    including the n^2 terms of ``n*Sxy - Sx*Sy`` and ``Sxx`` when
-    |x| >> |y| — approaches 2^61, instead of letting non-ANSI
-    arithmetic wrap silently. Constant series (zero variance) return
-    NULL corr.
-    """
+    """Shared one-pass BIGINT moment aggregate for grouped_corr/ols:
+    (n, Sx, Sy, Sxy, Sxx, Syy) per group plus the ``_ok`` overflow
+    sentinel. The largest intermediate downstream is n*Sxy - Sx*Sy,
+    bounded by 2*(n*m)^2 with m = max(|x|, |y|) — n*m*m alone would
+    miss both the n^2 terms and Sxx when |x| >> |y| — so the guard
+    raises when (n*m)^2 approaches 2^61 (checked in double; 1-ulp
+    slack is nothing next to the headroom). ``_ok`` must be the FIRST
+    conjunct wherever it gates a result: And short-circuits, and a
+    wrapped variance term that happens to be <= 0 would otherwise skip
+    the raise and masquerade as the NULL constant-series case."""
     base = df.where(
         F.col(group_col).isNotNull()
         & F.col(x_col).isNotNull()
@@ -284,25 +277,43 @@ def grouped_corr(
         F.max(F.abs(F.col("_x"))).alias("_mx"),
         F.max(F.abs(F.col("_y"))).alias("_my"),
     )
-    # the largest intermediate is n*Sxy - Sx*Sy, bounded by 2*n^2*m^2
-    # with m = max(|x|, |y|): n*m*m alone would miss both the n^2 terms
-    # and Sxx when |x| >> |y|. Checked in double (conservative margin —
-    # 1-ulp slack is nothing next to the 2^61 headroom).
     m = F.greatest(F.col("_mx"), F.col("_my"), F.lit(1)).cast("double")
     bound = F.col("n").cast("double") * m
-    guarded = ag.withColumn(
+    return ag.withColumn(
         "_ok",
         F.when(bound * bound < F.lit(float(2**61)), F.lit(1)).otherwise(
             F.raise_error(
-                F.lit("grouped_corr: moment sums would overflow BIGINT")
+                F.lit(f"{op_name}: moment sums would overflow BIGINT")
             ).cast("int")
         ),
     )
+
+
+def grouped_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact per-group Pearson correlation from integer moments.
+
+    ``x``/``y`` must be integer-valued (quantize upstream — e.g.
+    ``trunc(value*10)``): the five moment sums are then exact BIGINT,
+    and the final ``num / (sqrt(a) * sqrt(b))`` is bit-reproducible
+    across engines because BIGINT->DOUBLE conversion, sqrt, multiply
+    and divide are all IEEE-754 correctly rounded — so an ANSI-SQL twin
+    matches the double exactly, no micro-unit dance needed.
+
+    One map-side-combined groupBy; no window, no sort; overflow raises
+    (see :func:`_guarded_moments`). Constant series return NULL corr.
+    """
+    guarded = _guarded_moments(df, group_col, x_col, y_col, "grouped_corr")
     a = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     b = F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
     num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    # _ok FIRST: see _guarded_moments
     corr = F.when(
-        (a > 0) & (b > 0) & (F.col("_ok") == 1),
+        (F.col("_ok") == 1) & (a > 0) & (b > 0),
         num.cast("double")
         / (F.sqrt(a.cast("double")) * F.sqrt(b.cast("double"))),
     )
@@ -326,41 +337,16 @@ def grouped_ols(
     intercept = (Sy - slope*Sx) / n are assembled from BIGINT moments
     with IEEE correctly-rounded double ops only (cast, mul, div), so the
     doubles are bit-reproducible against an ANSI-SQL twin — the
-    :func:`grouped_corr` trick. Same one-pass agg, same overflow guard,
-    NULL slope/intercept for zero-variance x.
+    :func:`grouped_corr` trick. Same one-pass agg and overflow guard
+    (shared via :func:`_guarded_moments`); NULL slope/intercept for
+    zero-variance x.
     """
-    base = df.where(
-        F.col(group_col).isNotNull()
-        & F.col(x_col).isNotNull()
-        & F.col(y_col).isNotNull()
-    ).select(
-        F.col(group_col).alias("_g"),
-        F.col(x_col).cast("long").alias("_x"),
-        F.col(y_col).cast("long").alias("_y"),
-    )
-    ag = base.groupBy("_g").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("_x").alias("_sx"),
-        F.sum("_y").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
-        F.max(F.abs(F.col("_x"))).alias("_mx"),
-        F.max(F.abs(F.col("_y"))).alias("_my"),
-    )
-    m = F.greatest(F.col("_mx"), F.col("_my"), F.lit(1)).cast("double")
-    bound = F.col("n").cast("double") * m
-    guarded = ag.withColumn(
-        "_ok",
-        F.when(bound * bound < F.lit(float(2**61)), F.lit(1)).otherwise(
-            F.raise_error(
-                F.lit("grouped_ols: moment sums would overflow BIGINT")
-            ).cast("int")
-        ),
-    )
+    guarded = _guarded_moments(df, group_col, x_col, y_col, "grouped_ols")
     a = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    # _ok FIRST: see _guarded_moments
     slope = F.when(
-        (a > 0) & (F.col("_ok") == 1), num.cast("double") / a.cast("double")
+        (F.col("_ok") == 1) & (a > 0), num.cast("double") / a.cast("double")
     )
     intercept = (
         F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")

@@ -281,9 +281,14 @@ def funnel(
     no UDF). Entities that never performed step 1 are absent; later
     steps are NULL once the chain breaks.
 
-    Timestamps are returned as epoch seconds (``unix_timestamp``,
-    truncating) so cross-engine comparison avoids timestamp-rendering
-    skew; ``steps_completed`` counts the non-null prefix.
+    Matching runs at full MICROSECOND precision (``unix_micros``) and
+    the t_i columns are returned as epoch microseconds — truncating to
+    seconds before the strict ``t_i > t_{i-1}`` comparison would make
+    step events inside the same second unable to chain, silently
+    dropping genuinely completed sub-second funnels (clickstream data
+    has plenty). Integer epochs also keep cross-engine comparison
+    rendering-free (DuckDB twin: ``epoch_us``). ``steps_completed``
+    counts the non-null prefix.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
@@ -293,7 +298,7 @@ def funnel(
         & F.col(type_col).isNotNull()
     ).select(
         F.col(entity_col).alias("_e"),
-        F.expr(f"unix_timestamp(`{ts_col}`)").alias("_ts"),
+        F.expr(f"unix_micros(cast(`{ts_col}` as timestamp))").alias("_ts"),
         F.col(type_col).alias("_tp"),
     )
     cur = (

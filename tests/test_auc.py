@@ -89,3 +89,17 @@ def test_null_rows_dropped(spark):
     out = metrics.grouped_auc(df, "g", "y", "s").collect()
     assert len(out) == 1 and out[0]["auc_micro"] == 1_000_000
     assert (out[0]["pos"], out[0]["neg"]) == (1, 1)
+
+
+def test_soft_labels_raise_not_truncate(spark):
+    # 0.7 truncates to 0 under cast('long') — an after-cast isin(0,1)
+    # check would pass it and corrupt the rank sum
+    df = spark.createDataFrame(
+        [(0, 0.7, 5), (0, 1.0, 9), (0, 0.0, 1)], "g int, y double, s long"
+    )
+    with pytest.raises(Exception):
+        metrics.grouped_auc(df, "g", "y", "s").collect()
+    clean = spark.createDataFrame(
+        [(0, 1.0, 9), (0, 0.0, 1)], "g int, y double, s long"
+    )
+    assert metrics.grouped_auc(clean, "g", "y", "s").collect()[0]["auc_micro"] == 1_000_000

@@ -151,8 +151,8 @@ def test_funnel_strict_ordering_and_greedy_earliest(spark):
     assert out["u1"][3] == 3
     assert out["u2"][3] == 2 and out["u2"][2] is None
     assert out["u3"][3] == 1 and out["u3"][1] is None
-    # greedy earliest: u1 t2 is minute 5
-    assert out["u1"][1] - out["u1"][0] == 300
+    # greedy earliest: u1 t2 is minute 5 (epoch MICROSECONDS)
+    assert out["u1"][1] - out["u1"][0] == 300 * 1_000_000
 
 
 def test_funnel_same_timestamp_not_counted(spark):
@@ -161,6 +161,20 @@ def test_funnel_same_timestamp_not_counted(spark):
         _mk_events(spark, rows), "e", "ts", "tp", ["view", "click"]
     ).collect()
     assert out[0]["steps_completed"] == 1 and out[0]["t2"] is None
+
+
+def test_funnel_sub_second_steps_chain(spark):
+    # events 200ms apart inside ONE second: second-truncated matching
+    # (the reviewed bug) made these unable to chain
+    base = dt.datetime(2024, 1, 1, 10, 0, 0, 200_000)
+    rows = [
+        ("u", base, "view"),
+        ("u", base + dt.timedelta(microseconds=700_000), "click"),
+    ]
+    df = spark.createDataFrame(rows, "e string, ts timestamp, tp string")
+    out = temporal.funnel(df, "e", "ts", "tp", ["view", "click"]).collect()
+    assert out[0]["steps_completed"] == 2
+    assert out[0]["t2"] - out[0]["t1"] == 700_000
 
 
 def test_funnel_single_step_raises(spark):
