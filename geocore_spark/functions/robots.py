@@ -91,15 +91,23 @@ def robots_filter(
     robots cache, tiny relative to the URL stream, so it broadcasts;
     hosts with no robots row allow everything via the left join's null
     rules). Parse runs once per host, never per URL.
+
+    BOTH join keys are normalized to the lowercase bare host (port
+    stripped): the failure mode of a key mismatch is allow-everything —
+    a cache row keyed 'Example.com' or a URL carrying ':8080' would
+    silently bypass every disallow rule if either side joined verbatim.
     """
+    bare = F.regexp_replace(F.lower(F.col(host_col)), r":\d+$", "")
     rules = robots.select(
-        F.col(host_col),
+        bare.alias("__rkey"),
         parse_robots_udf()(F.col(body_col)).alias("__rules"),
     )
-    with_host = urls.withColumn("__host", url_host(F.col(url_col)))
+    with_host = urls.withColumn(
+        "__host", F.regexp_replace(url_host(F.col(url_col)), r":\d+$", "")
+    )
     joined = with_host.join(
-        F.broadcast(rules), with_host["__host"] == rules[host_col], "left"
-    ).drop(rules[host_col])
+        F.broadcast(rules), with_host["__host"] == rules["__rkey"], "left"
+    ).drop("__rkey")
     return (
         joined.filter(is_allowed(url_path(F.col(url_col)), F.col("__rules")))
         .drop("__host", "__rules")

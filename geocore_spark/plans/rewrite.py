@@ -83,6 +83,40 @@ _DWITHIN_RE = _dwithin_regex()
 _D_SUFFIX_RE = re.compile(r"(\d(?:\.\d+)?(?:[Ee][+-]?\d+)?)D\b")
 
 
+def _strip_d_suffix(sql: str) -> str:
+    """Strip Catalyst's double-literal D suffix OUTSIDE quoted regions.
+
+    A blanket regex sub corrupts quoted content: ``tag = '3D'`` would
+    become ``tag = '3'`` — a SILENTLY wrong filter (it still parses) —
+    and a backticked identifier like ``p3D`` would mangle into a
+    resolution error. Single-quoted literals (with backslash escapes)
+    and backtick-quoted identifiers pass through untouched.
+    """
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", "`"):
+            j = i + 1
+            while j < n:
+                if ch == "'" and sql[j] == "\\":
+                    j += 2
+                    continue
+                if sql[j] == ch:
+                    j += 1
+                    break
+                j += 1
+            out.append(sql[i:j])
+            i = j
+        else:
+            j1 = sql.find("'", i)
+            j2 = sql.find("`", i)
+            j = min(x for x in (j1, j2, n) if x != -1)
+            out.append(_D_SUFFIX_RE.sub(r"\1", sql[i:j]))
+            i = j
+    return "".join(out)
+
+
 def _strip_backticks(name: str) -> str:
     return name.strip("`")
 
@@ -200,7 +234,7 @@ def rewrite_dwithin(
     )
     for c in rest:  # re-apply the non-distance conjuncts
         try:
-            out = out.filter(F.expr(_D_SUFFIX_RE.sub(r"\1", c.sql())))
+            out = out.filter(F.expr(_strip_d_suffix(c.sql())))
         except Exception:
             return df  # unparseable leftover predicate: keep original plan
     return out.select(*[F.col(c) for c in left_names + right_names])

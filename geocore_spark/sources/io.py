@@ -74,6 +74,18 @@ def read_vector_layer(spark: SparkSession, path: str) -> DataFrame:
             "write_vector_layer() on a machine that has it"
         )
     gdf = _gpd.read_file(path)
+    # real vector layers routinely carry features with a MISSING geometry
+    # (geopandas renders them as None) — a bare g.wkb would abort the
+    # whole layer read with AttributeError. Drop them, loudly.
+    missing = [g is None for g in gdf.geometry]
+    if any(missing):
+        import warnings
+
+        warnings.warn(
+            f"read_vector_layer: dropping {sum(missing)} feature(s) with "
+            f"missing geometry from {path}"
+        )
+        gdf = gdf[[not m for m in missing]].reset_index(drop=True)
     pdf = pd.DataFrame(
         {
             "geom_id": np.arange(len(gdf), dtype=np.int64),

@@ -18,8 +18,8 @@ Every value is a deterministic integer function of ``id``:
 - ``text`` is the golden extractor output — the byte-identity invariant
   (input_hint) is testable because extract(html) must equal it exactly.
 
-The identical arithmetic is emitted as ANSI SQL by :func:`pages_sql` so the
-DuckDB oracle can reproduce the table without Spark.
+The oracle reproduces derived columns via the SQL builders in oracle.py
+(``derived_lat_sql`` and friends); the generator itself is Spark-only.
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ LANGS = ["en", "en", "en", "en", "en", "en", "de", "fr", "es", None]
 
 
 def _lat_expr(id_col):
-    """Deterministic latitude; SQL twin in pages_sql. Range ~[-59.99, 60)."""
+    """Deterministic latitude. Range ~[-59.99, 60)."""
     background = (((id_col * 37 + 11) % 12000) / 100.0) - 60.0
     jitter = ((id_col * 7919) % 1000) / 100000.0  # 0..0.01 deg inside a cluster
     out = background
@@ -51,22 +51,12 @@ def _lon_expr(id_col):
     return out
 
 
-def lat_sql(id_sql: str = "id") -> str:
-    """ANSI-SQL twin of _lat_expr (integer arithmetic — bit-exact)."""
-    expr = f"((({id_sql} * 37 + 11) % 12000) / 100.0) - 60.0"
-    jit = f"((({id_sql} * 7919) % 1000) / 100000.0)"
-    for k, (clat, _clon) in enumerate(CLUSTERS):
-        expr = f"CASE WHEN ({id_sql} % 10) = {k} THEN {clat} + {jit} ELSE {expr} END"
-    return f"({expr})"
-
-
-def lon_sql(id_sql: str = "id") -> str:
-    expr = f"((({id_sql} * 91 + 17) % 36000) / 100.0) - 180.0"
-    jit = f"((({id_sql} * 104729) % 1000) / 100000.0)"
-    for k, (_clat, clon) in enumerate(CLUSTERS):
-        expr = f"CASE WHEN ({id_sql} % 10) = {k} THEN {clon} + {jit} ELSE {expr} END"
-    return f"({expr})"
-
+# NOTE: there are deliberately NO lat_sql/lon_sql twins here. The oracle
+# derives coordinates via oracle.derived_lat_sql (which has no cluster
+# branches); an earlier unused pair rendered bare decimal literals
+# ('40.71 + ...') that DuckDB would parse as exact DECIMAL while Spark
+# computes doubles — the CLAUDE.md bare-literal trap — so they were
+# removed rather than left as a wrong-if-ever-used attraction.
 
 def pages(spark: SparkSession, n: int = 10_000, partitions: int | None = None) -> DataFrame:
     """Build the pages DataFrame. Lazy; nothing touches the driver."""

@@ -46,16 +46,22 @@ def _schedule_batch(
     pdf: pd.DataFrame, next_allowed_us: int, delay_us: int
 ) -> tuple[pd.DataFrame, int]:
     """Assign scheduled_ts for one host's batch; returns (rows, new state)."""
+    # a NULL discovered_ts becomes NaT = INT64_MIN after the int64 view:
+    # disc_us - steps then WRAPS to ~+9.2e18 for any later row, the
+    # running max propagates the poison to the whole batch, and either
+    # to_datetime overflows (task failure kills the stream) or
+    # next_allowed persists as ~infinity, deferring the host forever.
+    # Undated discoveries are schedulable immediately: treat as epoch 0.
     pdf = pdf.sort_values(
         ["priority", "url"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
     # normalize to int64 microseconds whatever resolution pandas hands us
-    disc_us = (
-        pd.to_datetime(pdf["discovered_ts"])
-        .astype("datetime64[us]")
-        .astype("int64")
-        .to_numpy()
-    )
+    disc = pd.to_datetime(pdf["discovered_ts"]).astype("datetime64[us]")
+    disc_us = np.where(
+        disc.isna().to_numpy(),
+        np.int64(0),
+        disc.astype("int64").to_numpy(),
+    ).astype(np.int64)
     # The chain s_i = max(s_{i-1}+delay, d_i) linearizes: with
     # e_j = d_j - j*delay,  s_i = i*delay + max(next0, max_{j<=i} e_j)
     # — a running max, fully vectorized (no per-row Python).
@@ -117,7 +123,14 @@ def crawl_frontier(
     delay_us = int(delay_seconds * _US)
     if host_col != "host":
         # kernels and OUT_SCHEMA name the key 'host'; a custom host_col
-        # must be renamed here or every task KeyErrors on pdf["host"]
+        # must be renamed here or every task KeyErrors on pdf["host"].
+        # A pre-existing 'host' column would silently duplicate the name
+        # (ambiguous groupBy / two-column pdf['host']) — refuse loudly.
+        if "host" in discovered.columns:
+            raise ValueError(
+                "crawl_frontier: frame already has a 'host' column; drop or "
+                f"rename it before passing host_col={host_col!r}"
+            )
         discovered = discovered.withColumnRenamed(host_col, "host")
     if discovered.isStreaming:
         return discovered.groupBy("host").applyInPandasWithState(

@@ -81,13 +81,40 @@ def main(argv: list[str] | None = None) -> None:
     if not args.resume:
         for stage in list(cp.stages()):
             cp.invalidate(stage)
+    # stage identity is (name, params) — without this, `--resume --res 10`
+    # would reuse tile/pip snapshots keyed at the OLD resolution and join
+    # them against res-10 covers (mismatched keys, silently empty output),
+    # and `--resume --pages N` would keep the old ingest. Same mechanism
+    # as run_curation.py; invalidation cascades from the first divergence.
+    configured_chain = [
+        ("ingest", {"pages": args.pages}),
+        ("geotag", {}),
+        ("tile", {"res": args.res}),
+        ("pip", {"res": args.res}),
+        ("features", {}),
+        ("curate", {"min_quality": args.min_quality}),
+    ]
+    if args.zorder:
+        configured_chain += [("layout", {"res": args.res}), ("layout_stats", {})]
+    stale = cp.reconcile_chain(configured_chain)
+    if stale:
+        print(f"[resume] chain diverged; invalidated: {' '.join(stale)}", flush=True)
     log = LineageLog()
     t_start = time.time()
 
+    # cascade-invalidation resume (the run_curation pattern): once any
+    # stage rebuilds, every later snapshot is stale by definition
+    upstream_rebuilt = False
+
     def staged(name, build):
+        nonlocal upstream_rebuilt
         t0 = time.time()
+        if upstream_rebuilt and cp.is_done(name):
+            cp.invalidate(name)
         was_done = cp.is_done(name)
         df = cp.run(name, build)
+        if not was_done:
+            upstream_rebuilt = True
         rows = cp.stages()[name]["rows"]
         log.record(
             name,
@@ -226,10 +253,14 @@ def main(argv: list[str] | None = None) -> None:
     metrics_path = os.path.join(args.checkpoint_root, "metrics.json")
     with open(metrics_path, "w") as f:
         f.write(log.to_json())
+    # counts come from the checkpoint manifest (Observation on the write
+    # action) — re-running count() here would re-scan three stage
+    # snapshots on every invocation, including pure --resume runs
+    stage_rows = cp.stages()
     summary = {
-        "feature_cells": features.count(),
-        "pip_hits": pip.count(),
-        "curated_groups": curated.count(),
+        "feature_cells": stage_rows["features"]["rows"],
+        "pip_hits": stage_rows["pip"]["rows"],
+        "curated_groups": stage_rows["curate"]["rows"],
         "metrics": metrics_path,
         "seconds": round(time.time() - t_start, 2),
     }

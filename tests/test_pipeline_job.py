@@ -69,3 +69,20 @@ def test_pipeline_zorder_leg_and_resume(tmp_path):
     assert sorted(
         tuple(r.items()) for r in v1.to_pylist()
     ) == sorted(tuple(r.items()) for r in v2.to_pylist())
+
+
+def test_pipeline_resume_with_changed_params_rebuilds(tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    _run(ckpt, [])
+    # same params resume: everything reuses
+    _, stages = _run(ckpt, ["--resume"])
+    assert all("resumed=True" in s for s in stages)
+    # changed --res on --resume: pre-fix, tile/pip snapshots keyed at the
+    # OLD resolution were silently reused against new-res covers
+    _, stages = _run(ckpt, ["--resume", "--res", "11"])
+    by_name = {s.split()[1].rstrip("]"): s for s in stages}
+    assert "resumed=True" in by_name["ingest"]   # upstream of divergence
+    assert "resumed=True" in by_name["geotag"]
+    assert "resumed=False" in by_name["tile"]    # divergent stage onward
+    assert "resumed=False" in by_name["pip"]
+    assert "resumed=False" in by_name["curate"]

@@ -70,3 +70,59 @@ def test_streaming_dedup_ttl_validation():
         stateful.streaming_url_dedup(None, ttl_minutes=0)
     with pytest.raises(ValueError):
         stateful.streaming_url_dedup(None, ttl_minutes=-5)
+
+
+def test_frontier_null_discovered_ts_does_not_poison_schedule(spark):
+    import datetime as dt
+
+    from geocore_spark.streaming import frontier
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("h.com", "https://h.com/a", 1.0, base),
+        ("h.com", "https://h.com/b", 0.5, None),  # NaT = INT64_MIN hazard
+        ("h.com", "https://h.com/c", 0.2, base),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, url string, priority double, discovered_ts timestamp"
+    )
+    out = frontier.crawl_frontier(df, delay_seconds=5.0).orderBy("scheduled_ts")
+    got = [(r["url"], r["scheduled_ts"]) for r in out.collect()]
+    assert len(got) == 3
+    # schedule is finite, 5s apart, and the dated rows anchor the chain
+    times = [t for _, t in got]
+    assert all(t.year == 2024 for t in times)
+    deltas = {(b - a).total_seconds() for a, b in zip(times, times[1:])}
+    assert deltas == {5.0}
+
+
+def test_frontier_host_col_collision_raises(spark):
+    from geocore_spark.streaming import frontier
+
+    df = spark.createDataFrame(
+        [("x", "y", "u", 1.0, None)],
+        "host string, domain string, url string, priority double, "
+        "discovered_ts timestamp",
+    )
+    with pytest.raises(ValueError):
+        frontier.crawl_frontier(df, host_col="domain")
+
+
+def test_robots_filter_normalizes_case_and_port(spark):
+    from geocore_spark.functions import robots as rb
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://example.com/private/x"),
+            (2, "https://EXAMPLE.com:8080/private/y"),
+            (3, "https://example.com/public"),
+        ],
+        "id long, url string",
+    )
+    cache = spark.createDataFrame(
+        [("Example.com", "User-agent: *\nDisallow: /private")],
+        "host string, robots_txt string",
+    )
+    kept = {r["id"] for r in rb.robots_filter(urls, cache).collect()}
+    # pre-fix: the case/port mismatches joined nothing -> fail-open kept 1,2
+    assert kept == {3}

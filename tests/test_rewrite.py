@@ -120,3 +120,26 @@ def test_rewrite_bails_out_conservatively(spark):
         >= F.lit(50.0)
     )
     assert rewrite_dwithin(nm4) is nm4
+
+
+def test_rewrite_preserves_digit_d_string_literals(spark):
+    # the D-suffix strip must not touch quoted content: a blanket regex
+    # turned tag = '3D' into tag = '3' — a silently wrong filter
+    rows = [(1, 40.71, -74.00, "3D"), (2, 40.75, -73.99, "2D"), (3, 40.72, -74.01, "3D")]
+    a = spark.createDataFrame(rows, "aid long, alat double, alon double, tag string")
+    b = spark.createDataFrame(
+        [(10, 40.71, -74.00), (11, 51.51, -0.13)], "bid long, blat double, blon double"
+    )
+    naive = a.crossJoin(b).filter(
+        (
+            haversine_km(F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon"))
+            <= F.lit(50.0)
+        )
+        & (F.col("tag") == "3D")
+    )
+    rw = rewrite_dwithin(naive)
+    assert rw is not naive and cartesian_free(rw)
+    expect = {(r["aid"], r["bid"]) for r in naive.collect()}
+    got = {(r["aid"], r["bid"]) for r in rw.collect()}
+    assert got == expect
+    assert got == {(1, 10), (3, 10)}  # the 3D-tagged NYC rows only
