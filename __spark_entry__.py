@@ -4873,6 +4873,64 @@ ORDER BY t.src, t.dst
 """
 
 
+def q_kcore(spark, sf_dir):
+    """k-core decomposition (operators/components.py kcore): iterative
+    peeling with per-round localCheckpoint lineage truncation (each
+    round references its parent ~4x, so an unpruned plan re-expands
+    4^rounds-fold). Skewed events graph (300 popular nodes) whose
+    12-core keeps 299 nodes after a 3-round cascade. The DuckDB twin
+    unrolls 6 peel rounds with MATERIALIZED CTEs — fixpoint rounds are
+    idempotent, so over-unrolling is safe."""
+    from geocore_spark.operators import components
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id").isNotNull() & F.col("user_id").isNotNull()
+    )
+    edges = ev.select(
+        (F.col("event_id") % 997).alias("src"),
+        ((F.col("event_id") * F.col("event_id") + F.col("user_id")) % 300).alias(
+            "dst"
+        ),
+    )
+    return components.kcore(edges, k=12).orderBy("node")
+
+
+def _sql_kcore(k: int = 12, rounds: int = 6) -> str:
+    """Unrolled peel: e_{i+1} keeps edges whose BOTH endpoints have
+    degree >= k in e_i. MATERIALIZED is load-bearing (each level is
+    referenced three times — the components_exact re-expansion note)."""
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(event_id % 997, (event_id*event_id + user_id) % 300) AS a,
+         GREATEST(event_id % 997, (event_id*event_id + user_id) % 300) AS b
+  FROM events
+  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+    AND (event_id % 997) <> ((event_id*event_id + user_id) % 300))"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM e{i} UNION ALL SELECT b AS node FROM e{i})
+  GROUP BY node)"""
+        )
+        parts.append(
+            f"""e{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{i}
+  WHERE a IN (SELECT node FROM d{i} WHERE deg >= {k})
+    AND b IN (SELECT node FROM d{i} WHERE deg >= {k}))"""
+        )
+    parts.append(
+        f"""dfin AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node FROM e{rounds})
+  GROUP BY node)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT node FROM dfin WHERE deg >= {k} ORDER BY node"
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -4966,6 +5024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "co_occurrence": q_co_occurrence,
         "transition_matrix": q_transition_matrix,
+        "kcore": q_kcore,
         "bloom_point_lookup": q_bloom_point_lookup,
         "snapshot_merge": q_snapshot_merge,
         "stream_changes": q_stream_changes,
@@ -5059,6 +5118,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_pairs": _SQL_FUZZY_PAIRS,
         "co_occurrence": _SQL_CO_OCCURRENCE,
         "transition_matrix": _SQL_TRANSITION_MATRIX,
+        "kcore": _sql_kcore(),
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,
         "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "stream_changes": _SQL_STREAM_CHANGES,

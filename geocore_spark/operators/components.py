@@ -117,3 +117,66 @@ def dedup_clusters(
         .withColumn("keeper_id", F.coalesce("__cc_component", F.col(id_col)))
         .drop("__cc_component")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node keeps
+    degree >= k — the standard density filter for link-graph quality
+    (spam farms shed fast; genuinely interlinked hubs survive).
+
+    Iterative peeling: each round drops every node whose CURRENT degree
+    is below k (degrees recomputed on the surviving subgraph), until a
+    fixpoint. Rounds are one degree groupBy + two anti-joins over the
+    shrinking edge list; the previous round's persisted frame is
+    released each time. Converges in at most n rounds (each round that
+    continues removes >= 1 node); exhaustion of ``max_iter`` RAISES
+    like :func:`connected_components` rather than returning a
+    not-yet-fixpoint set. Degree counts distinct neighbors (parallel
+    edges and self-loops dropped up front).
+
+    Returns one ``node`` column. Empty for k larger than the densest
+    core. An ANSI-SQL twin unrolls the peel rounds (fixpoint rounds are
+    idempotent, so unrolling MORE rounds than needed is safe).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u, v = F.col(src), F.col(dst)
+    # lineage discipline: every round's frame references its parent ~4x
+    # (anti-join left side + twice through the degree union), so a
+    # persist-only loop grows the LOGICAL PLAN 4^rounds-fold — observed
+    # as a 2 GB plan string and a 24-core analysis hang at ~10 rounds
+    # (the Spark-side sibling of the DuckDB closure-CTE re-expansion
+    # note in CLAUDE.md). localCheckpoint(eager=True) each round
+    # materializes AND truncates the plan, keeping every round O(1);
+    # superseded checkpoint RDDs are reclaimed by the ContextCleaner.
+    e = (
+        edges.where(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        bad = deg.where(F.col("deg") < k).select("node")
+        if bad.isEmpty():
+            return deg.select("node")
+        e = (
+            e.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"kcore: not converged after {max_iter} rounds; raise max_iter"
+    )
