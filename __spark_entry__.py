@@ -4931,6 +4931,371 @@ def _sql_kcore(k: int = 12, rounds: int = 6) -> str:
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (operators/product_analytics.py
+    cohort_retention): cohort = epoch-day of a user's first event,
+    cells count users active k days later; retention_micro is exact
+    BIGINT. 1500 pseudo-users (user_id*10 + event_id%10) spread first
+    events across the 30-day fixture so cohorts actually diversify."""
+    from geocore_spark.operators import product_analytics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    ps = ev.select(
+        (F.col("user_id") * 10 + F.col("event_id") % 10).alias("uid"),
+        F.col("ts"),
+    )
+    out = product_analytics.cohort_retention(ps, "uid", "ts")
+    return out.orderBy("cohort_period", "period_offset")
+
+
+_SQL_COHORT_RETENTION = """
+WITH active AS (
+  SELECT DISTINCT user_id * 10 + event_id % 10 AS u,
+         epoch_us(ts) // 86400000000 AS p
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL),
+firstp AS (SELECT u, MIN(p) AS cohort FROM active GROUP BY u),
+cells AS (
+  SELECT cohort AS cohort_period, p - cohort AS period_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM active JOIN firstp USING (u) GROUP BY 1, 2),
+sizes AS (
+  SELECT cohort_period, n_active AS cohort_size
+  FROM cells WHERE period_offset = 0)
+SELECT c.cohort_period, c.period_offset, c.n_active, s.cohort_size,
+       CAST((1000000 * c.n_active) // s.cohort_size AS BIGINT)
+         AS retention_micro
+FROM cells c JOIN sizes s USING (cohort_period)
+ORDER BY 1, 2
+"""
+
+
+def q_attribution(spark, sf_dir):
+    """Multi-touch conversion attribution (product_analytics.attribution):
+    purchases are conversions, click/view touches within a 48 h lookback
+    get last-touch counts + linear 1e6-div-k micro-credits — exact
+    integers, user-key equi-join, one conversion-keyed window."""
+    from geocore_spark.operators import product_analytics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    touches = ev.where(F.col("event_type").isin("click", "view"))
+    convs = ev.where(F.col("event_type") == "purchase")
+    out = product_analytics.attribution(
+        touches,
+        convs,
+        user_col="user_id",
+        ts_col="ts",
+        channel_col="event_type",
+        conv_id_col="event_id",
+        touch_id_col="event_id",
+        lookback_us=48 * 3600 * 1_000_000,
+    )
+    return out.orderBy("channel")
+
+
+_SQL_ATTRIBUTION = """
+WITH t AS (
+  SELECT user_id AS u, epoch_us(ts) AS tts, event_type AS ch,
+         event_id AS tid
+  FROM events
+  WHERE event_type IN ('click', 'view')
+    AND user_id IS NOT NULL AND ts IS NOT NULL),
+c AS (
+  SELECT user_id AS u, epoch_us(ts) AS cts, event_id AS cid
+  FROM events
+  WHERE event_type = 'purchase'
+    AND user_id IS NOT NULL AND ts IS NOT NULL),
+j AS (
+  SELECT t.ch, c.cid, t.tts, t.tid
+  FROM t JOIN c ON t.u = c.u
+   AND t.tts < c.cts AND t.tts >= c.cts - 172800000000),
+scored AS (
+  SELECT ch,
+         COUNT(*) OVER (PARTITION BY cid) AS k,
+         ROW_NUMBER() OVER (
+           PARTITION BY cid ORDER BY tts DESC, tid DESC) AS rn
+  FROM j)
+SELECT ch AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch_convs,
+       CAST(SUM(1000000 // k) AS BIGINT) AS linear_micro
+FROM scored GROUP BY ch ORDER BY ch
+"""
+
+
+def q_grouped_outliers(spark, sf_dir):
+    """Exact sigma-outlier flags (operators/metrics.py grouped_outliers):
+    (x-mean)^2 > k^2*var cleared of denominators and compared in
+    DECIMAL(38,0) / HUGEINT — zero floats, no boundary ambiguity.
+    k = 3/2 sigma (2-sigma flags nothing on the near-uniform fixture)."""
+    from geocore_spark.operators import metrics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    scored = ev.select(
+        (F.col("user_id") % 5).alias("grp"),
+        F.col("event_id"),
+        (F.col("value") * 10).cast("long").alias("x"),
+    )
+    out = metrics.grouped_outliers(scored, "grp", "x", k_num=3, k_den=2)
+    return (
+        out.where(F.col("is_outlier"))
+        .select("grp", "event_id", "x", "n")
+        .orderBy("grp", "event_id")
+    )
+
+
+_SQL_GROUPED_OUTLIERS = """
+WITH base AS (
+  SELECT user_id % 5 AS grp, event_id,
+         CAST(trunc(value * 10) AS BIGINT) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    AND value IS NOT NULL),
+stats AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY grp)
+SELECT b.grp, b.event_id, b.x, s.n
+FROM base b JOIN stats s USING (grp)
+WHERE s.n >= 2
+  AND CAST(2 * (s.n * b.x - s.sx) AS HUGEINT)
+        * CAST(2 * (s.n * b.x - s.sx) AS HUGEINT)
+      > CAST(9 AS HUGEINT) * CAST(s.n * s.sxx - s.sx * s.sx AS HUGEINT)
+ORDER BY grp, event_id
+"""
+
+
+def q_ab_test(spark, sf_dir):
+    """Two-proportion z-test per experiment (operators/metrics.py
+    ab_test): BIGINT arm counts, z assembled in a PINNED sequence of
+    IEEE correctly-rounded double ops — the twin spells the identical
+    tree, so the DOUBLE matches bit-exactly (grouped_corr technique)."""
+    from geocore_spark.operators import metrics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    scored = ev.select(
+        F.col("event_type").alias("grp"),
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("v"),
+        (F.col("value") > 250).cast("int").alias("succ"),
+    )
+    out = metrics.ab_test(scored, "grp", "v", "A", "B", "succ")
+    return out.orderBy("grp")
+
+
+_SQL_AB_TEST = """
+WITH base AS (
+  SELECT event_type AS grp,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         CASE WHEN value > 250 THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND value IS NOT NULL),
+ag AS (
+  SELECT grp,
+    CAST(SUM(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN v = 'A' THEN y ELSE 0 END) AS BIGINT) AS s_a,
+    CAST(SUM(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN v = 'B' THEN y ELSE 0 END) AS BIGINT) AS s_b
+  FROM base GROUP BY grp)
+SELECT grp, n_a, s_a, n_b, s_b,
+  CASE WHEN n_a > 0 AND n_b > 0
+        AND sqrt(((CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (CAST(1 AS DOUBLE)
+                 - CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))
+             * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) > 0
+   THEN (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        / sqrt(((CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (CAST(1 AS DOUBLE)
+                 - CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))
+             * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+  END AS z
+FROM ag ORDER BY grp
+"""
+
+
+def q_concentration(spark, sf_dir):
+    """Per-user item-concentration profile (operators/metrics.py
+    concentration): HHI from exact BIGINT counts via correctly-rounded
+    double ops, top-item share in exact micro-units, wrap-proof via
+    non-wrapping post-agg bound."""
+    from geocore_spark.operators import metrics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    scored = ev.select(
+        F.col("user_id").alias("grp"),
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            (F.col("event_id") % 5).cast("string"),
+        ).alias("item"),
+    )
+    return metrics.concentration(scored, "grp", "item").orderBy("grp")
+
+
+_SQL_CONCENTRATION = """
+WITH base AS (
+  SELECT user_id AS grp,
+         event_type || ':' || CAST(event_id % 5 AS VARCHAR) AS i
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND event_id IS NOT NULL),
+per AS (
+  SELECT grp, i, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY grp, i),
+ag AS (
+  SELECT grp, CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c * c) AS BIGINT) AS ssq,
+         CAST(MAX(c) AS BIGINT) AS top, CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM per GROUP BY grp)
+SELECT grp, n, n_items,
+       CAST((1000000 * top) // n AS BIGINT) AS top_share_micro,
+       CAST(ssq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS hhi
+FROM ag ORDER BY grp
+"""
+
+
+def q_gini(spark, sf_dir):
+    """Per-group Gini coefficient (operators/metrics.py
+    gini_coefficient): rank-form identity over ascending per-group
+    row_number (tie-safe: equal values commute across adjacent ranks),
+    exact BIGINT micro-units, non-wrapping overflow bound."""
+    from geocore_spark.operators import metrics
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_returnflag").isNotNull() & F.col("l_quantity").isNotNull()
+    )
+    scored = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("long").alias("v"),
+    )
+    return metrics.gini_coefficient(scored, "grp", "v").orderBy("grp")
+
+
+_SQL_GINI = """
+WITH base AS (
+  SELECT l_returnflag AS grp, CAST(trunc(l_quantity) AS BIGINT) AS x
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+ranked AS (
+  SELECT grp, x,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x ASC) AS i
+  FROM base),
+ag AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(i * x) AS BIGINT) AS six
+  FROM ranked GROUP BY grp)
+SELECT grp, n, sx AS total,
+  CASE WHEN n >= 2 AND sx > 0
+   THEN CAST((1000000 * (2 * six - (n + 1) * sx)) // (n * sx) AS BIGINT)
+  END AS gini_micro
+FROM ag ORDER BY grp
+"""
+
+
+def q_user_paths(spark, sf_dir):
+    """First-3-step journey paths (product_analytics.user_paths):
+    per-user top-N window, path via array_sort(struct)+array_join vs
+    DuckDB's ordered string_agg — exact strings under the (ts,
+    event_id) total order."""
+    from geocore_spark.operators import product_analytics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = product_analytics.user_paths(
+        ev,
+        user_col="user_id",
+        order_col="ts",
+        tiebreak_col="event_id",
+        state_col="event_type",
+        max_steps=3,
+    )
+    return out.orderBy("path")
+
+
+_SQL_USER_PATHS = """
+WITH base AS (
+  SELECT user_id AS u, ts AS o, event_id AS tb, event_type AS s
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+stepped AS (
+  SELECT u, o, tb, s,
+         ROW_NUMBER() OVER (PARTITION BY u ORDER BY o ASC, tb ASC) AS rn
+  FROM base),
+paths AS (
+  SELECT u, string_agg(s, '>' ORDER BY o ASC, tb ASC) AS path,
+         CAST(COUNT(*) AS BIGINT) AS len
+  FROM stepped WHERE rn <= 3 GROUP BY u)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MAX(len) AS BIGINT) AS path_len
+FROM paths GROUP BY path ORDER BY path
+"""
+
+
+def q_max_drawdown(spark, sf_dir):
+    """Per-user max drawdown of a running signed-value sum
+    (product_analytics.max_drawdown): cumsum + running max in ONE
+    group-partitioned sort, exact BIGINT; values centered (-2450) so
+    the running sum actually dips."""
+    from geocore_spark.operators import product_analytics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    scored = ev.select(
+        F.col("user_id").alias("grp"),
+        F.col("ts"),
+        F.col("event_id"),
+        ((F.col("value") * 10).cast("long") - 2450).alias("x"),
+    )
+    out = product_analytics.max_drawdown(scored, "grp", "ts", "event_id", "x")
+    return out.orderBy("grp")
+
+
+_SQL_MAX_DRAWDOWN = """
+WITH base AS (
+  SELECT user_id AS g, ts AS o, event_id AS tb,
+         CAST(trunc(value * 10) AS BIGINT) - 2450 AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL),
+run AS (
+  SELECT g, o, tb, x,
+         CAST(SUM(x) OVER (
+           PARTITION BY g ORDER BY o ASC, tb ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum
+  FROM base),
+run2 AS (
+  SELECT g, x, cum,
+         MAX(cum) OVER (
+           PARTITION BY g ORDER BY o ASC, tb ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM run)
+SELECT g AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS total,
+       CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown
+FROM run2 GROUP BY g ORDER BY g
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5013,6 +5378,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        "cohort_retention": q_cohort_retention,
+        "attribution": q_attribution,
+        "grouped_outliers": q_grouped_outliers,
+        "ab_test": q_ab_test,
+        "concentration": q_concentration,
+        "gini": q_gini,
+        "user_paths": q_user_paths,
+        "max_drawdown": q_max_drawdown,
         "triangle_count": q_triangle_count,
         "set_similarity": q_set_similarity,
         "resample_interp": q_resample_interp,
@@ -5119,6 +5492,14 @@ def oracle_sql() -> dict[str, str]:
         "co_occurrence": _SQL_CO_OCCURRENCE,
         "transition_matrix": _SQL_TRANSITION_MATRIX,
         "kcore": _sql_kcore(),
+        "cohort_retention": _SQL_COHORT_RETENTION,
+        "attribution": _SQL_ATTRIBUTION,
+        "grouped_outliers": _SQL_GROUPED_OUTLIERS,
+        "ab_test": _SQL_AB_TEST,
+        "concentration": _SQL_CONCENTRATION,
+        "gini": _SQL_GINI,
+        "user_paths": _SQL_USER_PATHS,
+        "max_drawdown": _SQL_MAX_DRAWDOWN,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,
         "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "stream_changes": _SQL_STREAM_CHANGES,

@@ -357,3 +357,255 @@ def grouped_ols(
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def grouped_outliers(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    k_num: int = 2,
+    k_den: int = 1,
+) -> DataFrame:
+    """Flag per-group sigma-outliers with exact integer arithmetic —
+    no sqrt, no float, no boundary ambiguity.
+
+    Row ``x`` in group ``g`` is an outlier iff ``(x - mean)^2 >
+    k^2 * var`` (population variance, k = k_num/k_den). Multiplying
+    through by ``n^2 * k_den^2`` clears every denominator:
+
+        (k_den * (n*x - Sx))^2  >  k_num^2 * (n*Sxx - Sx^2)
+
+    Both sides are exact integers. The squares can exceed 64 bits, so
+    the comparison runs in DECIMAL(38,0) (Spark keeps scale-0 decimal
+    products exact up to 38 digits; a DuckDB twin uses HUGEINT) — the
+    standard :func:`_guarded_moments` guard ((n*m)^2 < 2^61) already
+    bounds every term below 10^38. Groups with n < 2 flag nothing.
+
+    Scale shape: one map-side-combined moment groupBy, one shuffle join
+    back on the group key (co-partitioned). No window, no sort.
+    Output: the input's (group, x) pairs under their op-internal names
+    ``(group_col, x, n, is_outlier)`` plus any ``id_cols`` carried
+    through — quantize x upstream (integer-valued), like grouped_corr.
+    """
+    if k_num <= 0 or k_den <= 0:
+        raise ValueError("grouped_outliers: k_num and k_den must be > 0")
+    guarded = _guarded_moments(df, group_col, x_col, x_col, "grouped_outliers")
+    stats = guarded.select(
+        F.col("_g"),
+        F.col("n"),
+        F.col("_sx"),
+        F.col("_sxx"),
+        F.col("_ok"),
+    )
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(x_col).isNotNull()
+    ).select(
+        "*", F.col(x_col).cast("long").alias("_xq")
+    )
+    j = base.join(stats, base[group_col] == stats["_g"], "inner")
+    dev = (F.col("n") * F.col("_xq") - F.col("_sx")) * F.lit(int(k_den))
+    dev_d = dev.cast("decimal(38,0)")
+    rhs = (
+        (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+            "decimal(38,0)"
+        )
+        * F.lit(int(k_num * k_num)).cast("decimal(38,0)")
+    )
+    # _ok FIRST: see _guarded_moments
+    flag = F.when(
+        (F.col("_ok") == 1) & (F.col("n") >= 2), dev_d * dev_d > rhs
+    ).otherwise(F.lit(False))
+    return j.select(
+        *[c for c in df.columns],
+        F.col("n").cast("long").alias("n"),
+        flag.alias("is_outlier"),
+    )
+
+
+def ab_test(
+    df: DataFrame,
+    group_col: str,
+    variant_col: str,
+    variant_a: str,
+    variant_b: str,
+    success_col: str,
+) -> DataFrame:
+    """Per-group two-proportion z-test (pooled), bit-reproducible.
+
+    Counts are exact BIGINT; the z statistic is assembled from them in a
+    PINNED sequence of IEEE correctly-rounded double ops (cast, add, sub,
+    mul, div, sqrt) — the grouped_corr trick — so an ANSI-SQL twin that
+    spells the identical expression tree matches the double bit-exactly:
+
+        pa = Sa/Na;  pb = Sb/Nb;  p = (Sa+Sb)/(Na+Nb)
+        z  = (pa - pb) / sqrt((p * (1-p)) * (1/Na + 1/Nb))
+
+    ``success_col`` must be 0/1 (validated on the RAW value before the
+    long cast — a truncated 0.7 would otherwise pass). Rows with other
+    variant values are ignored. Groups where either arm is empty, or
+    the pooled rate is degenerate (p in {0,1} → se = 0), return NULL z.
+
+    Scale shape: ONE map-side-combined groupBy over the filtered input
+    (conditional sums per arm); no join, no window. Scales trivially.
+    """
+    y_ok = F.col(success_col).cast("double").isin(0.0, 1.0)
+    y = F.when(y_ok, F.col(success_col).cast("long")).otherwise(
+        F.raise_error(F.lit("ab_test: success must be 0/1")).cast("long")
+    )
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(variant_col).isNotNull()
+        & F.col(success_col).isNotNull()
+        & F.col(variant_col).isin(variant_a, variant_b)
+    ).select(
+        F.col(group_col).alias("_g"),
+        (F.col(variant_col) == variant_a).alias("_isa"),
+        y.alias("_y"),
+    )
+    ag = base.groupBy("_g").agg(
+        F.sum(F.when(F.col("_isa"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_isa"), F.col("_y")).otherwise(0)).alias("s_a"),
+        F.sum(F.when(~F.col("_isa"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(~F.col("_isa"), F.col("_y")).otherwise(0)).alias("s_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("s_a").cast("double") / na
+    pb = F.col("s_b").cast("double") / nb
+    p = (F.col("s_a") + F.col("s_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt((p * (F.lit(1.0) - p)) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0), (pa - pb) / se
+    )
+    return ag.select(
+        F.col("_g").alias(group_col),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("s_a").cast("long").alias("s_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("s_b").cast("long").alias("s_b"),
+        z.alias("z"),
+    )
+
+
+def concentration(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Per-group market-concentration profile over an item column:
+    Herfindahl-Hirschman index, top-item share, and item count.
+
+    hhi = sum_i (c_i / n)^2 is assembled as ``Ssq / (n * n)`` from exact
+    BIGINT counts with IEEE correctly-rounded double ops only (cast,
+    mul, div) — bit-reproducible vs an ANSI-SQL twin. top_share_micro =
+    (1e6 * max c) div n is exact BIGINT. NULL items are dropped.
+
+    Overflow honesty: ``sum(c^2)`` is summed in BIGINT, which wraps
+    silently with ANSI off — so the op re-checks AFTER the agg using
+    aggregates that cannot wrap (count(items) * max(c)^2, in double) and
+    raises when the sum could have exceeded 2^63. Wrap-proof without a
+    second pass.
+
+    Scale shape: two map-side-combined groupBys ((g, item) then g); no
+    join, no window, no sort.
+    """
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
+    per = base.groupBy("_g", "_i").agg(F.count(F.lit(1)).alias("_c"))
+    ag = per.groupBy("_g").agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ssq"),
+        F.max("_c").alias("_top"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    wrap_bound = (
+        F.col("n_items").cast("double")
+        * F.col("_top").cast("double")
+        * F.col("_top").cast("double")
+    )
+    ssq = F.when(wrap_bound < F.lit(float(2**62)), F.col("_ssq")).otherwise(
+        F.raise_error(
+            F.lit("concentration: sum of squared counts would overflow")
+        ).cast("long")
+    )
+    hhi = ssq.cast("double") / (
+        F.col("_n").cast("double") * F.col("_n").cast("double")
+    )
+    return ag.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.expr("(1000000 * _top) div _n").cast("long").alias(
+            "top_share_micro"
+        ),
+        hhi.alias("hhi"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a NON-NEGATIVE integer value
+    column, exact to the micro-unit.
+
+    Uses the rank form G = (2 * sum_i i*x_(i) - (n+1) * Sx) / (n * Sx)
+    with i = 1..n the ascending rank. Ties are harmless: permuting equal
+    values across adjacent ranks leaves sum(i*x) unchanged, so a plain
+    per-group row_number is deterministic enough. gini_micro =
+    (1e6 * num) div den in exact BIGINT; groups with Sx = 0 or n < 2
+    return NULL. Negative values raise (Gini is undefined there).
+
+    Overflow: sum(i*x) <= n^2 * max(x); checked AFTER the agg via
+    non-wrapping aggregates (count, max) in double, raising instead of
+    silently wrapping — and 1e6 * num needs another factor 2e6 of
+    headroom, folded into the same bound.
+
+    Scale shape: one group-partitioned sort window (rank) over the
+    filtered rows + one group agg. Skew bound = largest group; no
+    global sort.
+    """
+    x_ok = F.col(value_col) >= 0
+    x = F.when(x_ok, F.col(value_col).cast("long")).otherwise(
+        F.raise_error(F.lit("gini_coefficient: negative value")).cast("long")
+    )
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("_g"), x.alias("_x"))
+    w = Window.partitionBy("_g").orderBy(F.col("_x").asc())
+    ranked = base.withColumn("_i", F.row_number().over(w))
+    ag = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_six"),
+        F.max("_x").alias("_mx"),
+    )
+    # non-wrapping wrap check: 1e6 * (2*sum(i*x)) <= 2e6 * n^2 * max(x)
+    bound = (
+        F.col("_n").cast("double")
+        * F.col("_n").cast("double")
+        * F.greatest(F.col("_mx"), F.lit(1)).cast("double")
+        * F.lit(2.0e6)
+    )
+    ok = F.when(bound < F.lit(float(2**62)), F.lit(1)).otherwise(
+        F.raise_error(
+            F.lit("gini_coefficient: rank sum would overflow BIGINT")
+        ).cast("int")
+    )
+    # ok FIRST: And short-circuits, same rationale as _guarded_moments
+    gini = F.when(
+        (ok == 1) & (F.col("_n") >= 2) & (F.col("_sx") > 0),
+        F.expr(
+            "(1000000 * (2 * _six - (_n + 1) * _sx)) div (_n * _sx)"
+        ),
+    ).cast("long")
+    return ag.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.col("_sx").cast("long").alias("total"),
+        gini.alias("gini_micro"),
+    )
