@@ -383,9 +383,9 @@ def grouped_outliers(
 
     Scale shape: one map-side-combined moment groupBy, one shuffle join
     back on the group key (co-partitioned). No window, no sort.
-    Output: the input's (group, x) pairs under their op-internal names
-    ``(group_col, x, n, is_outlier)`` plus any ``id_cols`` carried
-    through — quantize x upstream (integer-valued), like grouped_corr.
+    Output: every input column carried through, plus ``n`` and
+    ``is_outlier`` — quantize x upstream (integer-valued), like
+    grouped_corr.
     """
     if k_num <= 0 or k_den <= 0:
         raise ValueError("grouped_outliers: k_num and k_den must be > 0")
@@ -448,6 +448,8 @@ def ab_test(
     Scale shape: ONE map-side-combined groupBy over the filtered input
     (conditional sums per arm); no join, no window. Scales trivially.
     """
+    if variant_a == variant_b:
+        raise ValueError("ab_test: variant_a and variant_b must differ")
     y_ok = F.col(success_col).cast("double").isin(0.0, 1.0)
     y = F.when(y_ok, F.col(success_col).cast("long")).otherwise(
         F.raise_error(F.lit("ab_test: success must be 0/1")).cast("long")

@@ -110,7 +110,9 @@ def attribution(
     micro-credits (exact integers; the <= k-1 micro remainder per
     conversion is deliberately dropped — deterministic beats
     pretty-summing). Conversions with no touchpoint in the window are
-    unattributed and absent.
+    unattributed and absent. ``conv_id_col`` must be globally unique
+    across conversions — a collision would merge two conversions'
+    touchpoint windows and corrupt both k and the last-touch pick.
 
     Output per channel: (channel, n_touchpoints, last_touch_convs,
     linear_micro).
