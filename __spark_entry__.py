@@ -5296,6 +5296,124 @@ FROM run2 GROUP BY g ORDER BY g
 """
 
 
+def q_ktruss(spark, sf_dir):
+    """k-truss edges (operators/motifs.py ktruss): iterative support
+    peel over the kcore events graph — k=4 cascades through SIX peel
+    rounds down to 257 edges. Per-round lineage truncated via
+    localCheckpoint (the kcore 5^rounds plan-re-expansion discipline).
+    Oracle: 8 unrolled MATERIALIZED recount-and-filter rounds
+    (fixpoint rounds are idempotent, so over-unrolling is safe)."""
+    from geocore_spark.operators import motifs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        (F.col("event_id") % 997).alias("src"),
+        (
+            (F.col("event_id") * F.col("event_id") + F.col("user_id")) % 300
+        ).alias("dst"),
+    )
+    return motifs.ktruss(edges, k=4).orderBy("a", "b")
+
+
+def _sql_ktruss(k: int = 4, rounds: int = 8) -> str:
+    """Unrolled truss peel: canonical a<b edges; triangles x<y<z via the
+    three-edge self-join; per-edge support from the three sides; keep
+    support >= k-2. MATERIALIZED is load-bearing (each level referenced
+    several times — the kcore/components closure-CTE note)."""
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(event_id % 997, (event_id*event_id + user_id) % 300) AS a,
+         GREATEST(event_id % 997, (event_id*event_id + user_id) % 300) AS b
+  FROM events
+  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+    AND (event_id % 997) <> ((event_id*event_id + user_id) % 300))"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e{i} e1
+  JOIN e{i} e2 ON e2.a = e1.b
+  JOIN e{i} e3 ON e3.a = e1.a AND e3.b = e2.b)"""
+        )
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS s FROM (
+    SELECT x AS a, y AS b FROM t{i}
+    UNION ALL SELECT y AS a, z AS b FROM t{i}
+    UNION ALL SELECT x AS a, z AS b FROM t{i})
+  GROUP BY a, b)"""
+        )
+        parts.append(
+            f"""e{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM s{i} WHERE s >= {k - 2})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT a, b FROM e{rounds} ORDER BY a, b"
+    )
+
+
+def q_changepoint(spark, sf_dir):
+    """Exact CUSUM mean-shift changepoint per group (operators/
+    temporal.py changepoint): argmax_i |n*S_i - i*S_n| in pure BIGINT,
+    smallest i on ties. A +1500 step is planted at mid-month so every
+    group has a real break; value quantized trunc(value*10) (the
+    Spark-truncates / DuckDB-rounds cast trap)."""
+    from geocore_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    scored = ev.select(
+        (F.col("user_id") % 10).alias("grp"),
+        F.col("ts"),
+        F.col("event_id"),
+        (
+            (F.col("value") * 10).cast("long")
+            + F.when(F.dayofmonth("ts") >= 16, 1500).otherwise(0)
+        ).alias("x"),
+    )
+    return temporal.changepoint(scored, "grp", "ts", "event_id", "x").orderBy(
+        "grp"
+    )
+
+
+_SQL_CHANGEPOINT = """
+WITH base AS (
+  SELECT user_id % 10 AS g, ts AS o, event_id AS tb,
+         CAST(trunc(value * 10) AS BIGINT)
+           + CASE WHEN day(ts) >= 16 THEN 1500 ELSE 0 END AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    AND ts IS NOT NULL AND value IS NOT NULL),
+scored AS (
+  SELECT g,
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY o ASC, tb ASC) AS i,
+    CAST(SUM(x) OVER (
+      PARTITION BY g ORDER BY o ASC, tb ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS si,
+    CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT) AS sn,
+    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM base),
+st AS (SELECT g, i, n, sn, abs(n * si - i * sn) AS stat FROM scored),
+ag AS (
+  SELECT g, MAX(stat) AS cusum, MAX(n) AS n, MAX(sn) AS total
+  FROM st GROUP BY g),
+pos AS (
+  SELECT st.g, CAST(MIN(i) AS BIGINT) AS break_i
+  FROM st JOIN ag ON st.g = ag.g AND st.stat = ag.cusum
+  GROUP BY st.g)
+SELECT ag.g AS grp, n, total, cusum,
+       CASE WHEN cusum > 0 THEN break_i END AS break_i
+FROM ag JOIN pos ON ag.g = pos.g ORDER BY grp
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5386,6 +5504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": q_gini,
         "user_paths": q_user_paths,
         "max_drawdown": q_max_drawdown,
+        "ktruss": q_ktruss,
+        "changepoint": q_changepoint,
         "triangle_count": q_triangle_count,
         "set_similarity": q_set_similarity,
         "resample_interp": q_resample_interp,
@@ -5500,6 +5620,8 @@ def oracle_sql() -> dict[str, str]:
         "gini": _SQL_GINI,
         "user_paths": _SQL_USER_PATHS,
         "max_drawdown": _SQL_MAX_DRAWDOWN,
+        "ktruss": _sql_ktruss(),
+        "changepoint": _SQL_CHANGEPOINT,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,
         "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "stream_changes": _SQL_STREAM_CHANGES,

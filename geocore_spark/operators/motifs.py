@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["triangle_count", "triangles"]
+__all__ = ["triangle_count", "triangles", "ktruss"]
 
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -102,4 +102,68 @@ def triangle_count(
     )
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Edges of the k-truss: the maximal subgraph where every edge
+    participates in >= k-2 triangles (support counted WITHIN the
+    surviving subgraph). The edge-grained sibling of :func:`kcore` —
+    a stricter community filter (a k-truss is always inside the
+    (k-1)-core, never vice versa).
+
+    Iterative peeling: each round recounts per-edge support via the
+    degree-oriented :func:`triangles` enumeration (each triangle
+    credits its three canonical edges once), drops edges below
+    support k-2, and repeats to a fixpoint. Per-round lineage is
+    truncated with ``localCheckpoint(eager=True)`` — the kcore
+    discipline: support recount references the edge frame ~5x, so a
+    persist-only loop re-expands the logical plan 5^rounds-fold.
+    ``max_iter`` exhaustion RAISES rather than returning a
+    not-yet-fixpoint edge set. k=2 is the whole (deduped) graph by
+    definition and returns immediately.
+
+    Returns canonical surviving edges (a, b) with a < b. An ANSI-SQL
+    twin unrolls the rounds (fixpoint rounds are idempotent, so
+    over-unrolling is safe).
+    """
+    if k < 2:
+        raise ValueError("ktruss: k must be >= 2")
+    u, v = F.col(src), F.col(dst)
+    e = (
+        edges.where(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if k == 2:
+        return e
+    thresh = k - 2
+    for _ in range(max_iter):
+        tri = triangles(e, "a", "b")
+        sides = (
+            tri.select(F.col("ta").alias("p"), F.col("tb").alias("q"))
+            .unionAll(tri.select(F.col("ta").alias("p"), F.col("tc").alias("q")))
+            .unionAll(tri.select(F.col("tb").alias("p"), F.col("tc").alias("q")))
+        )
+        supp = (
+            sides.select(
+                F.least(F.col("p"), F.col("q")).alias("a"),
+                F.greatest(F.col("p"), F.col("q")).alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("s"))
+        )
+        good = supp.where(F.col("s") >= thresh).select("a", "b")
+        if e.join(good, ["a", "b"], "left_anti").isEmpty():
+            return e
+        e = good.localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"ktruss: not converged after {max_iter} rounds; raise max_iter"
     )

@@ -324,3 +324,99 @@ def funnel(
         *ts_cols,
         completed.cast("int").alias("steps_completed"),
     )
+
+
+def changepoint(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact single-changepoint detection per group: the CUSUM-style
+    mean-shift statistic, all-integer.
+
+    For the (order, tiebreak)-ordered integer series x_1..x_n with
+    prefix sums S_i, the statistic at split i is |n*S_i - i*S_n| —
+    n^2 times the classic |mean(prefix) - mean(all)| * i weighting, so
+    the argmax is the same split and everything stays BIGINT-exact.
+    Output per group: (group, n, total, cusum, break_i) where
+    ``break_i`` is the 1-based prefix length maximizing the statistic
+    (smallest such i on ties — deterministic) and NULL when the
+    statistic is identically zero (perfectly linear/constant mass:
+    no break exists).
+
+    Overflow: |n*S_i| <= n^2 * max|x|; bounded AFTER the aggregation
+    with non-wrapping aggregates (count, max(abs)) in double, raising
+    instead of wrapping (and ANSI mode raises on the way there too).
+
+    Scale shape: one group-partitioned ordered window (prefix sum +
+    row number in one sort; the full-frame sum/count ride the same
+    partitioning), one group agg for the max, one co-partitioned join
+    + min-agg for the tie-broken argmax. The windowed frame is
+    computed twice (max pass + argmax pass) — persist upstream if the
+    input scan is expensive.
+    """
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(tiebreak_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    w_seq = Window.partitionBy("_g").orderBy(F.col("_o").asc(), F.col("_tb").asc())
+    w_cum = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("_g")
+    scored = base.select(
+        "_g",
+        F.row_number().over(w_seq).alias("_i"),
+        F.sum("_x").over(w_cum).alias("_si"),
+        F.sum("_x").over(w_all).alias("_sn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        F.max(F.abs(F.col("_x"))).over(w_all).alias("_mx"),
+    )
+    ok = F.when(
+        F.col("_n").cast("double")
+        * F.col("_n").cast("double")
+        * F.greatest(F.col("_mx"), F.lit(1)).cast("double")
+        * F.lit(2.0)
+        < F.lit(float(2**62)),
+        F.lit(1),
+    ).otherwise(
+        F.raise_error(
+            F.lit("changepoint: n^2 * max|x| would overflow BIGINT")
+        ).cast("int")
+    )
+    # ok FIRST: And short-circuits (the _guarded_moments rationale)
+    stat = F.when(
+        ok == 1, F.abs(F.col("_n") * F.col("_si") - F.col("_i") * F.col("_sn"))
+    )
+    st = scored.select(
+        "_g", "_i", "_n", "_sn", stat.alias("_stat")
+    )
+    ag = st.groupBy("_g").agg(
+        F.max("_stat").alias("cusum"),
+        F.max("_n").alias("n"),
+        F.max("_sn").alias("total"),
+    )
+    pos = (
+        st.join(ag.select("_g", "cusum"), "_g")
+        .where(F.col("_stat") == F.col("cusum"))
+        .groupBy("_g")
+        .agg(F.min("_i").alias("break_i"))
+    )
+    return ag.join(pos, "_g").select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+        F.col("cusum").cast("long").alias("cusum"),
+        F.when(F.col("cusum") > 0, F.col("break_i")).cast("long").alias(
+            "break_i"
+        ),
+    )

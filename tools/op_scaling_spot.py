@@ -256,6 +256,36 @@ def pipe():
     # random graph on 1M nodes — all JVM: distinct + degree joins + the
     # wedge self-join (the O(sqrt(m)) out-degree bound keeps it ~45M rows)
     # + the closing equi-join. No Python workers; ceiling = shuffle width.
+    "attribution": """
+from pyspark.sql import functions as F
+from geocore_spark.operators import product_analytics as pa
+_day = 86_400_000_000
+t = spark.range(0, 10_000_000, 1, 32).select(
+    (F.col("id") % 500_000).alias("u"),
+    F.timestamp_micros(F.pmod(F.xxhash64("id"), F.lit(30 * _day))).alias("ts"),
+    F.concat(F.lit("c"), (F.col("id") % 5).cast("string")).alias("ch"),
+    F.col("id").alias("tid"),
+)
+c = spark.range(0, 1_000_000, 1, 32).select(
+    (F.col("id") % 500_000).alias("u"),
+    F.timestamp_micros(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(30 * _day))).alias("ts"),
+    F.col("id").alias("cid"),
+)
+def pipe():
+    out = pa.attribution(t, c, "u", "ts", "ch", "cid", "tid", 48 * 3600 * 1_000_000)
+    return out.agg(F.count(F.lit(1)), F.sum("linear_micro")).collect()
+""",
+    "gini": """
+from pyspark.sql import functions as F
+from geocore_spark.operators import metrics
+d = spark.range(0, 50_000_000, 1, 32).select(
+    (F.col("id") % 1000).alias("g"),
+    F.pmod(F.xxhash64("id"), F.lit(100)).alias("v"),
+)
+def pipe():
+    out = metrics.gini_coefficient(d, "g", "v")
+    return out.agg(F.count(F.lit(1)), F.sum("gini_micro")).collect()
+""",
     "triangles": """
 from pyspark.sql import functions as F
 from geocore_spark.operators import motifs
@@ -356,6 +386,8 @@ def main() -> None:
         "mor_read_plain": "10M rows v1 no vectors",
         "triangles": "10M edges 1M nodes",
         "setjoin": "50k x 40-token sets t=1/2",
+        "attribution": "10M touches 1M convs 500k users",
+        "gini": "50M rows 1000 groups",
     }
     entry = {"ts": time.time(), "pinned": True, "ops": {}}
     print("| operator | t(2) s | t(8) s | eff(2->8) |")
