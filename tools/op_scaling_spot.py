@@ -260,14 +260,14 @@ def pipe():
 from pyspark.sql import functions as F
 from geocore_spark.operators import product_analytics as pa
 _day = 86_400_000_000
-t = spark.range(0, 10_000_000, 1, 32).select(
-    (F.col("id") % 500_000).alias("u"),
+t = spark.range(0, 40_000_000, 1, 32).select(
+    (F.col("id") % 2_000_000).alias("u"),
     F.timestamp_micros(F.pmod(F.xxhash64("id"), F.lit(30 * _day))).alias("ts"),
     F.concat(F.lit("c"), (F.col("id") % 5).cast("string")).alias("ch"),
     F.col("id").alias("tid"),
 )
-c = spark.range(0, 1_000_000, 1, 32).select(
-    (F.col("id") % 500_000).alias("u"),
+c = spark.range(0, 4_000_000, 1, 32).select(
+    (F.col("id") % 2_000_000).alias("u"),
     F.timestamp_micros(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(30 * _day))).alias("ts"),
     F.col("id").alias("cid"),
 )
@@ -386,7 +386,7 @@ def main() -> None:
         "mor_read_plain": "10M rows v1 no vectors",
         "triangles": "10M edges 1M nodes",
         "setjoin": "50k x 40-token sets t=1/2",
-        "attribution": "10M touches 1M convs 500k users",
+        "attribution": "40M touches 4M convs 2M users",
         "gini": "50M rows 1000 groups",
     }
     entry = {"ts": time.time(), "pinned": True, "ops": {}}
