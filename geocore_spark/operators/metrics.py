@@ -385,39 +385,55 @@ def grouped_outliers(
     back on the group key (co-partitioned). No window, no sort.
     Output: every input column carried through, plus ``n`` and
     ``is_outlier`` — quantize x upstream (integer-valued), like
-    grouped_corr.
+    grouped_corr. Input columns named ``n``/``is_outlier`` (or in the
+    ``__mo_`` internal namespace) raise up front: silently shadowing
+    them would make the output ambiguous.
     """
     if k_num <= 0 or k_den <= 0:
         raise ValueError("grouped_outliers: k_num and k_den must be > 0")
+    bad = sorted(
+        c
+        for c in df.columns
+        if c in ("n", "is_outlier") or c.startswith("__mo_")
+    )
+    if bad:
+        raise ValueError(
+            f"grouped_outliers: input columns collide with output/internal "
+            f"names: {bad}"
+        )
     guarded = _guarded_moments(df, group_col, x_col, x_col, "grouped_outliers")
     stats = guarded.select(
-        F.col("_g"),
-        F.col("n"),
-        F.col("_sx"),
-        F.col("_sxx"),
-        F.col("_ok"),
+        F.col("_g").alias("__mo_g"),
+        F.col("n").alias("__mo_n"),
+        F.col("_sx").alias("__mo_sx"),
+        F.col("_sxx").alias("__mo_sxx"),
+        F.col("_ok").alias("__mo_ok"),
     )
     base = df.where(
         F.col(group_col).isNotNull() & F.col(x_col).isNotNull()
     ).select(
-        "*", F.col(x_col).cast("long").alias("_xq")
+        "*", F.col(x_col).cast("long").alias("__mo_xq")
     )
-    j = base.join(stats, base[group_col] == stats["_g"], "inner")
-    dev = (F.col("n") * F.col("_xq") - F.col("_sx")) * F.lit(int(k_den))
+    j = base.join(stats, base[group_col] == stats["__mo_g"], "inner")
+    dev = (
+        F.col("__mo_n") * F.col("__mo_xq") - F.col("__mo_sx")
+    ) * F.lit(int(k_den))
     dev_d = dev.cast("decimal(38,0)")
     rhs = (
-        (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
-            "decimal(38,0)"
-        )
+        (
+            F.col("__mo_n") * F.col("__mo_sxx")
+            - F.col("__mo_sx") * F.col("__mo_sx")
+        ).cast("decimal(38,0)")
         * F.lit(int(k_num * k_num)).cast("decimal(38,0)")
     )
-    # _ok FIRST: see _guarded_moments
+    # __mo_ok FIRST: see _guarded_moments
     flag = F.when(
-        (F.col("_ok") == 1) & (F.col("n") >= 2), dev_d * dev_d > rhs
+        (F.col("__mo_ok") == 1) & (F.col("__mo_n") >= 2),
+        dev_d * dev_d > rhs,
     ).otherwise(F.lit(False))
     return j.select(
         *[c for c in df.columns],
-        F.col("n").cast("long").alias("n"),
+        F.col("__mo_n").cast("long").alias("n"),
         flag.alias("is_outlier"),
     )
 
@@ -560,7 +576,9 @@ def gini_coefficient(
     values across adjacent ranks leaves sum(i*x) unchanged, so a plain
     per-group row_number is deterministic enough. gini_micro =
     (1e6 * num) div den in exact BIGINT; groups with Sx = 0 or n < 2
-    return NULL. Negative values raise (Gini is undefined there).
+    return NULL. Negative or NaN values raise (Gini is undefined
+    there; NaN passes a naive >= 0 check because NaN orders above every
+    double).
 
     Overflow: sum(i*x) <= n^2 * max(x); checked AFTER the agg via
     non-wrapping aggregates (count, max) in double, raising instead of
@@ -571,9 +589,16 @@ def gini_coefficient(
     filtered rows + one group agg. Skew bound = largest group; no
     global sort.
     """
-    x_ok = F.col(value_col) >= 0
+    # NaN orders ABOVE every double in Spark, so `>= 0` alone lets NaN
+    # through and the long cast would quietly make it 0 with ANSI off
+    # (the raster floor(NaN)->corner-cell trap class) — reject explicitly
+    x_ok = (F.col(value_col) >= 0) & ~F.isnan(
+        F.col(value_col).cast("double")
+    )
     x = F.when(x_ok, F.col(value_col).cast("long")).otherwise(
-        F.raise_error(F.lit("gini_coefficient: negative value")).cast("long")
+        F.raise_error(
+            F.lit("gini_coefficient: negative or NaN value")
+        ).cast("long")
     )
     base = df.where(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()

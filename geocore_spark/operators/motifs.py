@@ -47,7 +47,14 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     (degree, id)-ordered other corners. Note tb/tc order follows the
     degree orientation, not plain id order.
     """
-    e = _canonical_edges(edges, src, dst)
+    return _triangles_canonical(_canonical_edges(edges, src, dst))
+
+
+def _triangles_canonical(e: DataFrame) -> DataFrame:
+    """:func:`triangles` body for an ALREADY canonical (a < b, distinct,
+    loop-free) edge frame — skips the re-canonicalization shuffle; the
+    peel loop in :func:`ktruss` keeps edges canonical by construction
+    and calls this each round."""
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -135,18 +142,14 @@ def ktruss(
     """
     if k < 2:
         raise ValueError("ktruss: k must be >= 2")
-    u, v = F.col(src), F.col(dst)
-    e = (
-        edges.where(u.isNotNull() & v.isNotNull() & (u != v))
-        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     if k == 2:
         return e
     thresh = k - 2
     for _ in range(max_iter):
-        tri = triangles(e, "a", "b")
+        # edges stay canonical across rounds (supp keys by (a, b)), so
+        # the enumeration skips triangles()'s re-canonicalize shuffle
+        tri = _triangles_canonical(e)
         sides = (
             tri.select(F.col("ta").alias("p"), F.col("tb").alias("q"))
             .unionAll(tri.select(F.col("ta").alias("p"), F.col("tc").alias("q")))
@@ -160,10 +163,17 @@ def ktruss(
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("s"))
         )
-        good = supp.where(F.col("s") >= thresh).select("a", "b")
+        # checkpoint FIRST, fixpoint-check against the materialized
+        # frame: checking unpersisted lineage and then checkpointing
+        # would run the whole triangle chain twice per round
+        good = (
+            supp.where(F.col("s") >= thresh)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
         if e.join(good, ["a", "b"], "left_anti").isEmpty():
-            return e
-        e = good.localCheckpoint(eager=True)
+            return good
+        e = good
     raise RuntimeError(
         f"ktruss: not converged after {max_iter} rounds; raise max_iter"
     )

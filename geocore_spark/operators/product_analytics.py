@@ -122,10 +122,15 @@ def attribution(
     """
     if lookback_us <= 0:
         raise ValueError("attribution: lookback_us must be > 0")
+    # touch/conversion ids are partition + tie-break keys: a NULL id is
+    # the trivially reachable form of the id-collision corruption the
+    # docstring warns about (every NULL-cid conversion would merge into
+    # ONE window partition) — filter both, like every other key column
     t = touches.where(
         F.col(user_col).isNotNull()
         & F.col(ts_col).isNotNull()
         & F.col(channel_col).isNotNull()
+        & F.col(touch_id_col).isNotNull()
     ).select(
         F.col(user_col).alias("_u"),
         F.expr(f"unix_micros(cast(`{ts_col}` as timestamp))").alias("_tts"),
@@ -133,7 +138,9 @@ def attribution(
         F.col(touch_id_col).alias("_tid"),
     )
     c = conversions.where(
-        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(conv_id_col).isNotNull()
     ).select(
         F.col(user_col).alias("_u"),
         F.expr(f"unix_micros(cast(`{ts_col}` as timestamp))").alias("_cts"),
@@ -248,14 +255,19 @@ def max_drawdown(
     """Per-group maximum drawdown of the running sum of an integer
     value series: max over time of (running peak - running sum).
 
-    Exact BIGINT end-to-end (quantize values upstream). (order_col,
-    tiebreak_col) must totally order each group's rows — cumulative
-    sums over a partial order are engine-dependent. Output: (group, n,
-    total, max_drawdown); a never-declining series reports 0.
+    Exact BIGINT end-to-end (quantize values upstream to INTEGER-valued
+    numbers — a double NaN raises under ANSI and silently becomes 0
+    without it). (order_col, tiebreak_col) must totally order each
+    group's rows — cumulative sums over a partial order are
+    engine-dependent. Output: (group, n, total, max_drawdown); a
+    never-declining series reports 0.
 
     One group-partitioned ordered window computes cumsum and its
     running max in the SAME sort (two window functions, one Exchange +
-    one Sort), then a plain agg.
+    one Sort), then a plain agg. Overflow honesty: the running cumsum
+    is bounded by n * max|x| — checked AFTER the aggregation with
+    non-wrapping aggregates (count, max(abs)) in double, raising
+    instead of returning a wrapped drawdown.
     """
     base = df.where(
         F.col(group_col).isNotNull()
@@ -276,10 +288,28 @@ def max_drawdown(
     run = base.withColumn("_cum", F.sum("_x").over(w)).withColumn(
         "_peak", F.max(F.col("_cum")).over(w)
     )
-    return run.groupBy(F.col("_g").alias(group_col)).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("_x").cast("long").alias("total"),
-        F.max(F.col("_peak") - F.col("_cum")).cast("long").alias(
-            "max_drawdown"
-        ),
+    ag = run.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_total"),
+        F.max(F.col("_peak") - F.col("_cum")).alias("_dd"),
+        F.max(F.abs(F.col("_x"))).alias("_mx"),
+    )
+    # non-wrapping wrap check: |cum| <= n * max|x| (count/max can't wrap)
+    ok = F.when(
+        F.col("_n").cast("double")
+        * F.greatest(F.col("_mx"), F.lit(1)).cast("double")
+        * F.lit(2.0)
+        < F.lit(float(2**62)),
+        F.lit(1),
+    ).otherwise(
+        F.raise_error(
+            F.lit("max_drawdown: running sum would overflow BIGINT")
+        ).cast("int")
+    )
+    # ok FIRST: And short-circuits (the _guarded_moments rationale)
+    return ag.select(
+        group_col,
+        F.when(ok == 1, F.col("_n")).cast("long").alias("n"),
+        F.col("_total").cast("long").alias("total"),
+        F.col("_dd").cast("long").alias("max_drawdown"),
     )

@@ -336,6 +336,8 @@ def changepoint(
     """Exact single-changepoint detection per group: the CUSUM-style
     mean-shift statistic, all-integer.
 
+    Values must be integer-valued (quantize upstream; a double NaN
+    raises under ANSI and silently becomes 0 without it).
     For the (order, tiebreak)-ordered integer series x_1..x_n with
     prefix sums S_i, the statistic at split i is |n*S_i - i*S_n| —
     n^2 times the classic |mean(prefix) - mean(all)| * i weighting, so

@@ -113,3 +113,10 @@ def test_changepoint_overflow_guard_raises(spark):
     )
     with pytest.raises(Exception, match="overflow"):
         temporal.changepoint(df, "g", "o", "tb", "x").collect()
+
+
+def test_ktruss_fixpoint_first_round(spark):
+    # K5 at k=5 is already a fixpoint: result equals the canonical input
+    import itertools
+    k5 = list(itertools.combinations(range(5), 2))
+    assert _run(spark, k5, 5) == set(k5)

@@ -282,3 +282,44 @@ def test_gini_negative_raises_and_zero_total_null(spark):
     assert metrics.gini_coefficient(zero, "g", "v").collect()[0][
         "gini_micro"
     ] is None
+
+
+# ------------------------------------------------------- review regressions
+
+
+def test_attribution_null_conv_id_filtered(spark):
+    # NULL cids previously merged every null-cid conversion into ONE
+    # window partition (inflated k, single last_touch)
+    touches = [(1, _ts(0, 95), "A", 1)]
+    convs = [(1, _ts(0, 100), None), (1, _ts(0, 100), 10)]
+    got = _attr(spark, touches, convs)
+    assert got == {"A": (1, 1, 1_000_000)}
+
+
+def test_max_drawdown_overflow_guard_raises(spark):
+    big = 2**61  # n * max|x| * 2 = 3 * 2^62 > 2^62 -> guard trips
+    rows = [(1, _ts(0, i), i, big) for i in range(3)]
+    df = spark.createDataFrame(rows, "g long, ts timestamp, i long, x long")
+    with pytest.raises(Exception, match="overflow"):
+        pa.max_drawdown(df, "g", "ts", "i", "x").collect()
+
+
+def test_grouped_outliers_collision_raises_and_odd_names_work(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "g long, x long, n long")
+    with pytest.raises(ValueError, match="collide"):
+        metrics.grouped_outliers(df, "g", "x")
+    # a df whose columns shadow the OLD internal names must still work
+    odd = spark.createDataFrame(
+        [(1, i, x, 7) for i, x in enumerate([0, 0, 0, 0, 100])],
+        "g long, i long, x long, _sx long",
+    )
+    out = metrics.grouped_outliers(odd, "g", "x", k_num=199, k_den=100)
+    assert out.where("is_outlier").count() == 1
+
+
+def test_gini_nan_raises(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, float("nan"))], "g long, v double"
+    )
+    with pytest.raises(Exception, match="NaN"):
+        metrics.gini_coefficient(df, "g", "v").collect()
