@@ -5414,6 +5414,123 @@ FROM ag JOIN pos ON ag.g = pos.g ORDER BY grp
 """
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (operators/links.py hits_exact): L1-
+    normalized power iteration in exact integer units over the
+    host-link graph — per-step rescale (raw * mass) div total runs in
+    DECIMAL(38,0)/HUGEINT where a BIGINT raw can never overflow it.
+    The oracle replays the unrolled iterations bit-exactly."""
+    from geocore_spark.operators import links
+
+    return links.hits_exact(q_host_links(spark, sf_dir), iters=3).orderBy(
+        "host"
+    )
+
+
+def _sql_hits_exact(iters: int = 3, mass: int = 1_000_000_000_000) -> str:
+    """Unrolled integer HITS over the q_host_links edge CTE (same graph
+    prefix as _sql_pagerank_exact). Floor (//) matches Spark div: every
+    operand is non-negative."""
+    sql = f"""
+WITH pages AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.example.com' AS src_host,
+         'h' || CAST((user_id * 7 + event_id) % 20 AS VARCHAR)
+             || '.example.com' AS dst1,
+         'h' || CAST((user_id + 3) % 20 AS VARCHAR) || '.example.com' AS dst2
+  FROM events
+), hrefs AS (
+  SELECT src_host, dst1 AS dst_host FROM pages
+  UNION ALL
+  SELECT src_host, dst2 AS dst_host FROM pages
+), edges AS MATERIALIZED (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS w
+  FROM hrefs WHERE dst_host <> src_host GROUP BY src_host, dst_host
+), nodes AS MATERIALIZED (
+  SELECT src_host AS host FROM edges UNION SELECT dst_host FROM edges
+), h0 AS MATERIALIZED (
+  SELECT host,
+         CAST({mass} // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS v
+  FROM nodes
+)"""
+    for k in range(1, iters + 1):
+        sql += f""", ar{k} AS MATERIALIZED (
+  SELECT e.dst_host AS host, CAST(SUM(h.v * e.w) AS BIGINT) AS raw
+  FROM edges e JOIN h{k - 1} h ON h.host = e.src_host GROUP BY e.dst_host
+), a{k} AS MATERIALIZED (
+  SELECT host,
+         CAST((CAST(raw AS HUGEINT) * {mass})
+              // (SELECT CAST(SUM(raw) AS BIGINT) FROM ar{k}) AS BIGINT) AS v
+  FROM ar{k}
+), hr{k} AS MATERIALIZED (
+  SELECT e.src_host AS host, CAST(SUM(a.v * e.w) AS BIGINT) AS raw
+  FROM edges e JOIN a{k} a ON a.host = e.dst_host GROUP BY e.src_host
+), h{k} AS MATERIALIZED (
+  SELECT host,
+         CAST((CAST(raw AS HUGEINT) * {mass})
+              // (SELECT CAST(SUM(raw) AS BIGINT) FROM hr{k}) AS BIGINT) AS v
+  FROM hr{k}
+)"""
+    return sql + f"""
+SELECT n.host,
+       CAST(COALESCE(a.v, 0) AS BIGINT) AS auth_micro,
+       CAST(COALESCE(h.v, 0) AS BIGINT) AS hub_micro
+FROM nodes n
+LEFT JOIN a{iters} a ON a.host = n.host
+LEFT JOIN h{iters} h ON h.host = n.host
+ORDER BY n.host"""
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (operators/links.py assortativity): Pearson
+    correlation of endpoint degrees over both orientations of the
+    kcore events graph, on the grouped_corr exact-BIGINT moment
+    machinery — the DOUBLE matches the twin bit-exactly."""
+    from geocore_spark.operators import links
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        (F.col("event_id") % 997).alias("src"),
+        (
+            (F.col("event_id") * F.col("event_id") + F.col("user_id")) % 300
+        ).alias("dst"),
+    )
+    return links.assortativity(edges)
+
+
+_SQL_ASSORTATIVITY = """
+WITH e AS (
+  SELECT DISTINCT LEAST(event_id % 997, (event_id*event_id + user_id) % 300) AS a,
+         GREATEST(event_id % 997, (event_id*event_id + user_id) % 300) AS b
+  FROM events
+  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+    AND (event_id % 997) <> ((event_id*event_id + user_id) % 300)),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+  GROUP BY node),
+orient AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+  UNION ALL
+  SELECT db.deg AS x, da.deg AS y
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM orient)
+SELECT n AS n_endpoints,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS assortativity
+FROM m
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5506,6 +5623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown": q_max_drawdown,
         "ktruss": q_ktruss,
         "changepoint": q_changepoint,
+        "hits": q_hits,
+        "assortativity": q_assortativity,
         "triangle_count": q_triangle_count,
         "set_similarity": q_set_similarity,
         "resample_interp": q_resample_interp,
@@ -5622,6 +5741,8 @@ def oracle_sql() -> dict[str, str]:
         "max_drawdown": _SQL_MAX_DRAWDOWN,
         "ktruss": _sql_ktruss(),
         "changepoint": _SQL_CHANGEPOINT,
+        "hits": _sql_hits_exact(),
+        "assortativity": _SQL_ASSORTATIVITY,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,
         "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "stream_changes": _SQL_STREAM_CHANGES,

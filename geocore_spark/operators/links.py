@@ -496,3 +496,150 @@ def pagerank_exact(
             pnodes.unpersist()
         except NameError:
             pass
+
+
+def hits_exact(
+    edges: DataFrame,
+    iters: int = 3,
+    mass: int = 1_000_000_000_000,
+    weighted: bool = True,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg, JACM'99 — public paper) in
+    exact integer units -> (host, auth_micro, hub_micro).
+
+    Power iteration with L1 normalization, reformulated so every step
+    is deterministic integer arithmetic: hubs start uniform
+    (``mass div N``); an authority step sums weighted hub scores over
+    in-edges; the raw vector is rescaled back to total ``mass`` as
+    ``(raw * mass) div total`` — the product runs in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB twin), and can NEVER overflow there: raw
+    is a BIGINT (< 2^63 ~ 9.2e18, ANSI raises upstream otherwise), so
+    raw * mass < 9.2e30 << 1e38. Hub step mirrors with out-edges.
+    Integer sums commute, so results are partitioning-independent and
+    bit-exactly replayable by an unrolled ANSI-SQL twin.
+
+    L1 (sum) normalization replaces the textbook L2 — same fixpoint
+    direction, and it keeps the arithmetic rational; the per-step
+    ``div`` dust (< 1 unit per node) is the verification-grade
+    trade-off, exactly like :func:`pagerank_exact` vs :func:`pagerank`.
+
+    Plan shape: edges co-partitioned ONCE on each join side
+    (``_edge_weights_int`` discipline); each iteration shuffles only
+    the (host, score) vectors; vector lineage localCheckpoint-ed.
+    Nodes with no in-edges get authority 0; no out-edges, hub 0.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    ew = _edge_weights_int(edges, weighted).persist()
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select("dst_host"))
+        .distinct()
+        .persist()
+    )
+    try:
+        n = nodes.count()
+        if n == 0:
+            return nodes.select(
+                "host",
+                F.lit(0).cast("long").alias("auth_micro"),
+                F.lit(0).cast("long").alias("hub_micro"),
+            )
+        h = nodes.select(
+            "host", F.lit(mass // n).cast("long").alias("v")
+        ).localCheckpoint(eager=True)
+        a = None
+        for _ in range(iters):
+            araw = (
+                h.join(ew, h["host"] == ew["src_host"])
+                .groupBy(F.col("dst_host").alias("host"))
+                .agg(F.sum(F.col("v") * F.col("w")).alias("raw"))
+                .persist()
+            )
+            a_tot = araw.agg(F.sum("raw")).collect()[0][0]
+            a = araw.select(
+                "host",
+                F.expr(
+                    f"CAST((CAST(raw AS DECIMAL(38,0)) * {mass}) "
+                    f"div {a_tot} AS BIGINT)"
+                ).alias("v"),
+            ).localCheckpoint(eager=True)
+            araw.unpersist()
+            hraw = (
+                a.join(ew, a["host"] == ew["dst_host"])
+                .groupBy(F.col("src_host").alias("host"))
+                .agg(F.sum(F.col("v") * F.col("w")).alias("raw"))
+                .persist()
+            )
+            h_tot = hraw.agg(F.sum("raw")).collect()[0][0]
+            h = hraw.select(
+                "host",
+                F.expr(
+                    f"CAST((CAST(raw AS DECIMAL(38,0)) * {mass}) "
+                    f"div {h_tot} AS BIGINT)"
+                ).alias("v"),
+            ).localCheckpoint(eager=True)
+            hraw.unpersist()
+        return (
+            nodes.join(
+                a.withColumnRenamed("v", "auth_micro"), "host", "left"
+            )
+            .join(h.withColumnRenamed("v", "hub_micro"), "host", "left")
+            .select(
+                "host",
+                F.coalesce(F.col("auth_micro"), F.lit(0))
+                .cast("long")
+                .alias("auth_micro"),
+                F.coalesce(F.col("hub_micro"), F.lit(0))
+                .cast("long")
+                .alias("hub_micro"),
+            )
+        )
+    finally:
+        ew.unpersist()
+        nodes.unpersist()
+
+
+def assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of an undirected graph: the Pearson
+    correlation of endpoint degrees over edges (Newman, PRL'02 —
+    public paper), each undirected edge counted in BOTH orientations
+    (the standard symmetrization).
+
+    Built on :func:`metrics.grouped_corr`'s exact-BIGINT moment
+    machinery, so the DOUBLE correlation is bit-exactly replayable by
+    an ANSI-SQL twin. Output: one row (n_endpoints, assortativity) —
+    n_endpoints = 2 * |edges|; NULL on degree-regular graphs (zero
+    variance). Self-loops, nulls, and parallel edges dropped.
+    """
+    from geocore_spark.operators import metrics
+
+    u, v = F.col(src), F.col(dst)
+    e = (
+        edges.where(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b"
+    )
+    both = ed.select(
+        F.col("da").alias("x"), F.col("db").alias("y")
+    ).unionAll(ed.select(F.col("db").alias("x"), F.col("da").alias("y")))
+    out = metrics.grouped_corr(
+        both.withColumn("g", F.lit(1)), "g", "x", "y"
+    )
+    return out.select(
+        F.col("n").alias("n_endpoints"),
+        F.col("corr").alias("assortativity"),
+    )
