@@ -5531,6 +5531,95 @@ FROM m
 """
 
 
+def q_ewma_smooth(spark, sf_dir):
+    """Exact geometric smoothing (operators/temporal.py
+    geometric_smooth): EWMA truncated at W=4 dyadic lags so every
+    value is integer — W lag() columns in ONE ordered window, early
+    rows renormalized over present weights (pandas ewm(adjust=True)
+    semantics). Values kept non-negative so floor (//) and truncating
+    (div) integer division coincide."""
+    from geocore_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    scored = ev.select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        (F.col("value") * 10).cast("long").alias("x"),
+    )
+    out = temporal.geometric_smooth(
+        scored, "user_id", "ts", "event_id", "x", window=4
+    )
+    return out.orderBy("user_id", "ts", "event_id")
+
+
+_SQL_EWMA_SMOOTH = """
+WITH base AS (
+  SELECT user_id, ts, event_id, CAST(trunc(value * 10) AS BIGINT) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    AND ts IS NOT NULL AND value IS NOT NULL),
+lagged AS (
+  SELECT user_id, ts, event_id, x,
+         lag(x, 1) OVER w AS l1,
+         lag(x, 2) OVER w AS l2,
+         lag(x, 3) OVER w AS l3
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+SELECT user_id, ts, event_id, x,
+       CAST((1000000 * (8 * x + COALESCE(4 * l1, 0)
+                        + COALESCE(2 * l2, 0) + COALESCE(1 * l3, 0)))
+            // (8 + CASE WHEN l1 IS NULL THEN 0 ELSE 4 END
+                  + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END
+                  + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS smooth_micro
+FROM lagged ORDER BY user_id, ts, event_id
+"""
+
+
+def q_histogram(spark, sf_dir):
+    """Per-group equi-width histogram (operators/metrics.py
+    grouped_histogram): bin = ((x - min) * nbins) div (max - min + 1)
+    — exact integer bucketing, identical in any 64-bit engine; min/max
+    groupBy + co-partitioned join back + (group, bin) groupBy, no
+    window, no sort."""
+    from geocore_spark.operators import metrics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    scored = ev.select(
+        F.col("event_type").alias("grp"),
+        (F.col("value") * 10).cast("long").alias("x"),
+    )
+    return metrics.grouped_histogram(scored, "grp", "x", nbins=16).orderBy(
+        "grp", "bin"
+    )
+
+
+_SQL_HISTOGRAM = """
+WITH base AS (
+  SELECT event_type AS grp, CAST(trunc(value * 10) AS BIGINT) AS x
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+stats AS (
+  SELECT grp, CAST(MIN(x) AS BIGINT) AS mn, CAST(MAX(x) AS BIGINT) AS mx
+  FROM base GROUP BY grp)
+SELECT b.grp,
+       CAST(((b.x - s.mn) * 16) // (s.mx - s.mn + 1) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(s.mn) AS BIGINT) AS grp_min,
+       CAST(MAX(s.mx) AS BIGINT) AS grp_max
+FROM base b JOIN stats s USING (grp)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5625,6 +5714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": q_changepoint,
         "hits": q_hits,
         "assortativity": q_assortativity,
+        "ewma_smooth": q_ewma_smooth,
+        "histogram": q_histogram,
         "triangle_count": q_triangle_count,
         "set_similarity": q_set_similarity,
         "resample_interp": q_resample_interp,
@@ -5743,6 +5834,8 @@ def oracle_sql() -> dict[str, str]:
         "changepoint": _SQL_CHANGEPOINT,
         "hits": _sql_hits_exact(),
         "assortativity": _SQL_ASSORTATIVITY,
+        "ewma_smooth": _SQL_EWMA_SMOOTH,
+        "histogram": _SQL_HISTOGRAM,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,
         "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "stream_changes": _SQL_STREAM_CHANGES,

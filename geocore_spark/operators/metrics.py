@@ -636,3 +636,59 @@ def gini_coefficient(
         F.col("_sx").cast("long").alias("total"),
         gini.alias("gini_micro"),
     )
+
+
+def grouped_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    nbins: int = 20,
+) -> DataFrame:
+    """Per-group equi-width histogram over an integer value column,
+    exact bin assignment: bin = ((x - min) * nbins) div (max - min + 1)
+    lands every value in [0, nbins-1] with identical arithmetic in any
+    64-bit engine. Degenerate groups (min == max) put everything in
+    bin 0. NaN rejected like :func:`gini_coefficient` (NaN passes a
+    naive range check and would corrupt min/max extrema — the
+    file-stats trap class).
+
+    Output: (group, bin, n, grp_min, grp_max) for non-empty bins.
+    Scale shape: one min/max groupBy, one co-partitioned join back,
+    one (group, bin) groupBy — no window, no sort. A per-row guard
+    raises when (x - min) * nbins would overflow instead of wrapping.
+    """
+    if nbins < 1:
+        raise ValueError("grouped_histogram: nbins must be >= 1")
+    x_ok = ~F.isnan(F.col(value_col).cast("double"))
+    x = F.when(x_ok, F.col(value_col).cast("long")).otherwise(
+        F.raise_error(F.lit("grouped_histogram: NaN value")).cast("long")
+    )
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("_g"), x.alias("_x"))
+    stats = base.groupBy("_g").agg(
+        F.min("_x").alias("_mn"), F.max("_x").alias("_mx")
+    )
+    j = base.join(stats, "_g")
+    span_ok = (
+        (F.col("_mx").cast("double") - F.col("_mn").cast("double") + 1.0)
+        * F.lit(float(nbins))
+        < F.lit(float(2**62))
+    )
+    off = F.when(span_ok, F.col("_x") - F.col("_mn")).otherwise(
+        F.raise_error(
+            F.lit("grouped_histogram: bin arithmetic would overflow")
+        ).cast("long")
+    )
+    binned = j.withColumn("_off", off).withColumn(
+        "bin",
+        F.expr(f"CAST((_off * {int(nbins)}) div (_mx - _mn + 1) AS BIGINT)"),
+    )
+    return binned.groupBy(
+        F.col("_g").alias(group_col),
+        F.col("bin"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("_mn").cast("long").alias("grp_min"),
+        F.max("_mx").cast("long").alias("grp_max"),
+    )

@@ -422,3 +422,84 @@ def changepoint(
             "break_i"
         ),
     )
+
+
+def geometric_smooth(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """EWMA-style exponential smoothing made exact: a finite-window
+    geometric weighting with dyadic weights.
+
+    Classic EWMA (s_t = a*x_t + (1-a)*s_{t-1}) is an infinite
+    recurrence whose floats drift across engines; truncating it at
+    ``window`` lags with weights 2^(W-1-j) for lag j (halving, like
+    alpha = 1/2) keeps the SAME smoothing character while every
+    quantity stays an integer: smooth_micro = (1e6 * sum_j w_j *
+    x_{t-j}) div (sum_j w_j over the lags that exist), computed from W
+    lag() columns in ONE group-partitioned ordered window (one
+    Exchange + one Sort — lag columns share the window spec). Early
+    rows (< W history) renormalize over the weights actually present,
+    exactly like pandas ewm(adjust=True).
+
+    Values must be integer-valued (quantize upstream). Overflow:
+    |weighted sum| <= 2^W * max|x| and the 1e6 micro scale needs
+    another factor; a per-row guard raises when the weighted sum
+    leaves the safe range instead of wrapping. W is capped at 32 (the
+    weights themselves stay far from 2^63).
+
+    Output: input keys + (x, smooth_micro) per row.
+    """
+    from pyspark.sql import Window
+
+    if not 1 <= window <= 32:
+        raise ValueError("geometric_smooth: window must be in [1, 32]")
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(tiebreak_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    w = Window.partitionBy("_g").orderBy(
+        F.col("_o").asc(), F.col("_tb").asc()
+    )
+    num = None
+    den = None
+    for j in range(window):
+        weight = 1 << (window - 1 - j)
+        lagged = F.col("_x") if j == 0 else F.lag("_x", j).over(w)
+        term = F.when(
+            lagged.isNotNull(), lagged * F.lit(weight)
+        ).otherwise(F.lit(0))
+        have = F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = have if den is None else den + have
+    guarded_num = F.when(
+        F.abs(num) < F.lit((2**62) // 1_000_000), num
+    ).otherwise(
+        F.raise_error(
+            F.lit("geometric_smooth: weighted sum would overflow BIGINT")
+        ).cast("long")
+    )
+    scored = base.withColumn("__gs_num", guarded_num).withColumn(
+        "__gs_den", den
+    )
+    # den >= the current row's weight 2^(W-1): never zero
+    return scored.select(
+        F.col("_g").alias(group_col),
+        F.col("_o").alias(order_col),
+        F.col("_tb").alias(tiebreak_col),
+        F.col("_x").alias("x"),
+        F.expr(
+            "CAST((1000000 * __gs_num) div __gs_den AS BIGINT)"
+        ).alias("smooth_micro"),
+    )

@@ -1,0 +1,81 @@
+"""geometric_smooth and grouped_histogram vs hand arithmetic."""
+
+import pytest
+
+from geocore_spark.operators import metrics, temporal
+
+
+def _smooth(spark, xs, window):
+    rows = [(1, i, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g long, o long, tb long, x long")
+    out = temporal.geometric_smooth(df, "g", "o", "tb", "x", window=window)
+    return [
+        r["smooth_micro"] for r in out.orderBy("o").collect()
+    ]
+
+
+def test_geometric_smooth_hand_case(spark):
+    # W=2, weights (2, 1): row1 = x exactly; row2 = (2*8 + 4)/3
+    got = _smooth(spark, [4, 8], window=2)
+    assert got == [4_000_000, 1_000_000 * 20 // 3]
+
+
+def test_geometric_smooth_full_window(spark):
+    # W=3, weights (4,2,1): row3 = (4*c + 2*b + a)/7
+    a, b, c = 7, 21, 35
+    got = _smooth(spark, [a, b, c], window=3)
+    assert got[2] == 1_000_000 * (4 * c + 2 * b + a) // 7
+    # row2 renormalizes over (4, 2) only
+    assert got[1] == 1_000_000 * (4 * b + 2 * a) // 6
+
+
+def test_geometric_smooth_single_row_and_window1(spark):
+    assert _smooth(spark, [13], window=8) == [13_000_000]
+    # window=1: identity scaled to micro
+    assert _smooth(spark, [3, 9], window=1) == [3_000_000, 9_000_000]
+
+
+def test_geometric_smooth_validation_and_overflow(spark):
+    df = spark.createDataFrame([(1, 1, 1, 1)], "g long, o long, tb long, x long")
+    with pytest.raises(ValueError):
+        temporal.geometric_smooth(df, "g", "o", "tb", "x", window=0)
+    with pytest.raises(ValueError):
+        temporal.geometric_smooth(df, "g", "o", "tb", "x", window=33)
+    big = spark.createDataFrame(
+        [(1, 1, 1, 10**13)], "g long, o long, tb long, x long"
+    )
+    with pytest.raises(Exception, match="overflow"):
+        temporal.geometric_smooth(big, "g", "o", "tb", "x", window=8).collect()
+
+
+def test_grouped_histogram_hand_case(spark):
+    df = spark.createDataFrame([(1, x) for x in range(10)], "g long, v long")
+    got = {
+        r["bin"]: (r["n"], r["grp_min"], r["grp_max"])
+        for r in metrics.grouped_histogram(df, "g", "v", nbins=2).collect()
+    }
+    assert got == {0: (5, 0, 9), 1: (5, 0, 9)}
+
+
+def test_grouped_histogram_degenerate_group(spark):
+    df = spark.createDataFrame([(1, 7)] * 3, "g long, v long")
+    rows = metrics.grouped_histogram(df, "g", "v", nbins=10).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 3
+
+
+def test_grouped_histogram_max_lands_in_last_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (1, 100)], "g long, v long"
+    )
+    got = {r["bin"]: r["n"] for r in
+           metrics.grouped_histogram(df, "g", "v", nbins=4).collect()}
+    assert got == {0: 1, 3: 1}
+
+
+def test_grouped_histogram_nan_and_validation(spark):
+    nan = spark.createDataFrame([(1, float("nan"))], "g long, v double")
+    with pytest.raises(Exception, match="NaN"):
+        metrics.grouped_histogram(nan, "g", "v").collect()
+    df = spark.createDataFrame([(1, 1)], "g long, v long")
+    with pytest.raises(ValueError):
+        metrics.grouped_histogram(df, "g", "v", nbins=0)
