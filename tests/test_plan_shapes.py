@@ -380,3 +380,52 @@ def test_pagerank_iteration_reuses_edge_cache(spark):
     finally:
         ew.unpersist()
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count physical nodes in explain('formatted') output by their
+    detail-section header '(N) Name' — each node appears once there
+    (the tree section would double-count)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, re.M))
+
+
+def test_geometric_smooth_single_sort(spark, sf_dir):
+    """All W lag() columns must share ONE window spec: exactly one
+    Window node and one window exchange (+ the output orderBy's range
+    exchange). A refactor giving each lag its own window would
+    multiply the sort cost by W."""
+    p = _formatted(em.q_ewma_smooth(spark, sf_dir))
+    assert _nodes(p, "Window") == 1
+    assert _nodes(p, "Exchange") == 2  # window hash + output range sort
+
+
+def test_max_drawdown_one_window_sort(spark, sf_dir):
+    """cumsum and running peak ride the SAME group-partitioned sort,
+    and the final group agg REUSES the window's hash partitioning —
+    two Window nodes, but only the window exchange + the orderBy range
+    exchange in the whole plan."""
+    p = _formatted(em.q_max_drawdown(spark, sf_dir))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert _nodes(p, "Window") == 2
+    assert _nodes(p, "Exchange") == 2
+
+
+def test_histogram_no_window_no_sort_agg_path(spark, sf_dir):
+    """Histogram is pure agg+join: no Window operator anywhere."""
+    p = _formatted(em.q_histogram(spark, sf_dir))
+    assert "Window" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_ab_test_single_aggregate_no_join(spark, sf_dir):
+    """One conditional-sum groupBy: no join, no window in the plan."""
+    p = _formatted(em.q_ab_test(spark, sf_dir))
+    assert "Join" not in p and "Window" not in p
+
+
+def test_attribution_no_cartesian(spark, sf_dir):
+    """The lookback range predicate must ride the user equi-join."""
+    p = _formatted(em.q_attribution(spark, sf_dir))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
