@@ -5620,6 +5620,75 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt (the inverse of q_pivot, survey P-family): four
+    lineitem measure columns to long (metric, val) rows via the native
+    DataFrame.unpivot — values pass through untouched, so doubles
+    hash-match the UNION ALL twin exactly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    ).orderBy("l_orderkey", "l_linenumber", "metric")
+
+
+_SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+ORDER BY l_orderkey, l_linenumber, metric
+"""
+
+
+def q_column_profile(spark, sf_dir):
+    """Column profiling (operators/metrics.py column_profile): exact
+    per-column null/distinct/min/max summary — the data-quality
+    staple. min/max on the STRING rendering (cast-then-min,
+    lexicographic in both engines) unifies types in one schema."""
+    from geocore_spark.operators import metrics
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # o_totalprice deliberately excluded: double->VARCHAR rendering is
+    # engine-specific (the Spark shortest-string vs DuckDB expansion
+    # trap, CLAUDE.md) — profile strings and integers only in the twin
+    return metrics.column_profile(
+        o, ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    ).orderBy("col_name")
+
+
+_SQL_COLUMN_PROFILE = """
+SELECT 'o_orderstatus' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+       MIN(CAST(o_orderstatus AS VARCHAR)) AS min_str,
+       MAX(CAST(o_orderstatus AS VARCHAR)) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       MIN(CAST(o_orderpriority AS VARCHAR)),
+       MAX(CAST(o_orderpriority AS VARCHAR))
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       MIN(CAST(o_custkey AS VARCHAR)),
+       MAX(CAST(o_custkey AS VARCHAR))
+FROM orders
+ORDER BY col_name
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5716,6 +5785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "ewma_smooth": q_ewma_smooth,
         "histogram": q_histogram,
+        "unpivot": q_unpivot,
+        "column_profile": q_column_profile,
         "triangle_count": q_triangle_count,
         "set_similarity": q_set_similarity,
         "resample_interp": q_resample_interp,
@@ -5836,6 +5907,8 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": _SQL_ASSORTATIVITY,
         "ewma_smooth": _SQL_EWMA_SMOOTH,
         "histogram": _SQL_HISTOGRAM,
+        "unpivot": _SQL_UNPIVOT,
+        "column_profile": _SQL_COLUMN_PROFILE,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,
         "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "stream_changes": _SQL_STREAM_CHANGES,

@@ -692,3 +692,45 @@ def grouped_histogram(
         F.min("_mn").cast("long").alias("grp_min"),
         F.max("_mx").cast("long").alias("grp_max"),
     )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile: one row per requested column with
+    (col_name, n_rows, n_null, n_distinct, min_str, max_str) —
+    ``col_name`` because ``column`` is a reserved word in ANSI SQL.
+
+    min/max compare the STRING rendering (cast first, then min — both
+    lexicographic in any engine with ASCII collation), which unifies
+    heterogeneous column types into one output schema; n_distinct is
+    exact (count DISTINCT, nulls excluded per SQL semantics).
+
+    Scale shape: one aggregate per profiled column, unioned. That is k
+    scans, but parquet column pruning reduces each to ONE column's
+    pages, so total IO ~ reading the profiled columns once; each
+    count-distinct shuffles only its own column's values. Profile a
+    bounded column list, not SELECT * on a 10k-column table.
+    """
+    if not cols:
+        raise ValueError("column_profile: cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"column_profile: unknown columns {missing}")
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            df.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(F.col(c).isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_null"),
+                F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
+                F.min(s).alias("min_str"),
+                F.max(s).alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -79,3 +79,29 @@ def test_grouped_histogram_nan_and_validation(spark):
     df = spark.createDataFrame([(1, 1)], "g long, v long")
     with pytest.raises(ValueError):
         metrics.grouped_histogram(df, "g", "v", nbins=0)
+
+
+# ------------------------------------------------------------ column_profile
+
+
+def test_column_profile_hand_case(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None), ("a", 3)], "s string, v int"
+    )
+    got = {
+        r["col_name"]: (r["n_rows"], r["n_null"], r["n_distinct"],
+                        r["min_str"], r["max_str"])
+        for r in metrics.column_profile(df, ["s", "v"]).collect()
+    }
+    assert got == {
+        "s": (3, 0, 2, "a", "b"),
+        "v": (3, 1, 2, "1", "3"),
+    }
+
+
+def test_column_profile_validation(spark):
+    df = spark.createDataFrame([("a",)], "s string")
+    with pytest.raises(ValueError, match="non-empty"):
+        metrics.column_profile(df, [])
+    with pytest.raises(ValueError, match="unknown"):
+        metrics.column_profile(df, ["nope"])
