@@ -523,20 +523,37 @@ def hits_exact(
     ``div`` dust (< 1 unit per node) is the verification-grade
     trade-off, exactly like :func:`pagerank_exact` vs :func:`pagerank`.
 
-    Plan shape: edges co-partitioned ONCE on each join side
-    (``_edge_weights_int`` discipline); each iteration shuffles only
-    the (host, score) vectors; vector lineage localCheckpoint-ed.
-    Nodes with no in-edges get authority 0; no out-edges, hub 0.
+    Plan shape: edges filtered and co-partitioned ONCE on src_host
+    (HITS never needs the out-degree, so this skips
+    ``_edge_weights_int``'s aggregation+join entirely); each iteration
+    shuffles only the (host, score) vectors; vector lineage
+    localCheckpoint-ed. Nodes with no in-edges get authority 0; no
+    out-edges, hub 0. NULL endpoints/weights are dropped like every
+    other key column; a graph left with no usable edges raises (a
+    silent None total would otherwise reach the SQL literal).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    ew = _edge_weights_int(edges, weighted).persist()
+    w = F.col("n_links").cast("long") if weighted else F.lit(1).cast("long")
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    filtered = edges.where(
+        F.col("src_host").isNotNull()
+        & F.col("dst_host").isNotNull()
+        & w.isNotNull()
+    )
+    ew = (
+        filtered.repartition(n_part, "src_host")
+        .select("src_host", "dst_host", w.alias("w"))
+        .sortWithinPartitions("src_host")
+        .persist()
+    )
     nodes = (
-        edges.select(F.col("src_host").alias("host"))
-        .union(edges.select("dst_host"))
+        filtered.select(F.col("src_host").alias("host"))
+        .union(filtered.select("dst_host"))
         .distinct()
         .persist()
     )
+    pending: list = []
     try:
         n = nodes.count()
         if n == 0:
@@ -556,7 +573,13 @@ def hits_exact(
                 .agg(F.sum(F.col("v") * F.col("w")).alias("raw"))
                 .persist()
             )
+            pending.append(araw)
             a_tot = araw.agg(F.sum("raw")).collect()[0][0]
+            if not a_tot:  # None (no rows) or 0: nothing to normalize
+                raise ValueError(
+                    "hits_exact: no usable edge contributions "
+                    "(empty graph after null filtering, or all-zero weights)"
+                )
             a = araw.select(
                 "host",
                 F.expr(
@@ -564,14 +587,20 @@ def hits_exact(
                     f"div {a_tot} AS BIGINT)"
                 ).alias("v"),
             ).localCheckpoint(eager=True)
-            araw.unpersist()
+            pending.pop().unpersist()
             hraw = (
                 a.join(ew, a["host"] == ew["dst_host"])
                 .groupBy(F.col("src_host").alias("host"))
                 .agg(F.sum(F.col("v") * F.col("w")).alias("raw"))
                 .persist()
             )
+            pending.append(hraw)
             h_tot = hraw.agg(F.sum("raw")).collect()[0][0]
+            if not h_tot:
+                raise ValueError(
+                    "hits_exact: hub step lost all mass "
+                    "(authority scores all rounded to zero)"
+                )
             h = hraw.select(
                 "host",
                 F.expr(
@@ -579,7 +608,7 @@ def hits_exact(
                     f"div {h_tot} AS BIGINT)"
                 ).alias("v"),
             ).localCheckpoint(eager=True)
-            hraw.unpersist()
+            pending.pop().unpersist()
         return (
             nodes.join(
                 a.withColumnRenamed("v", "auth_micro"), "host", "left"
@@ -596,6 +625,8 @@ def hits_exact(
             )
         )
     finally:
+        for f in pending:  # a raise mid-iteration left these cached
+            f.unpersist()
         ew.unpersist()
         nodes.unpersist()
 
@@ -610,9 +641,16 @@ def assortativity(
 
     Built on :func:`metrics.grouped_corr`'s exact-BIGINT moment
     machinery, so the DOUBLE correlation is bit-exactly replayable by
-    an ANSI-SQL twin. Output: one row (n_endpoints, assortativity) —
-    n_endpoints = 2 * |edges|; NULL on degree-regular graphs (zero
-    variance). Self-loops, nulls, and parallel edges dropped.
+    an ANSI-SQL twin. Output: EXACTLY one row (n_endpoints,
+    assortativity) — n_endpoints = 2 * |edges|; assortativity NULL on
+    degree-regular graphs (zero variance) AND on graphs with no valid
+    edges (where n_endpoints is 0, not a missing row). Self-loops,
+    nulls, and parallel edges dropped.
+
+    The canonical edge frame is localCheckpoint-ed: it feeds the degree
+    union twice and the join once, and the dedup shuffle would
+    otherwise re-run wherever ReusedExchange misses (the kcore
+    materialize-the-reused-frame discipline).
     """
     from geocore_spark.operators import metrics
 
@@ -621,6 +659,7 @@ def assortativity(
         edges.where(u.isNotNull() & v.isNotNull() & (u != v))
         .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -639,7 +678,10 @@ def assortativity(
     out = metrics.grouped_corr(
         both.withColumn("g", F.lit(1)), "g", "x", "y"
     )
-    return out.select(
-        F.col("n").alias("n_endpoints"),
+    # LEFT-join from a literal one-row frame: an empty graph yields
+    # (0, NULL) instead of zero rows, honoring the one-row contract
+    anchor = edges.sparkSession.range(1).select(F.lit(1).alias("g"))
+    return anchor.join(out, "g", "left").select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_endpoints"),
         F.col("corr").alias("assortativity"),
     )

@@ -659,6 +659,11 @@ def grouped_histogram(
     """
     if nbins < 1:
         raise ValueError("grouped_histogram: nbins must be >= 1")
+    if group_col in ("bin", "n", "grp_min", "grp_max"):
+        raise ValueError(
+            f"grouped_histogram: group column {group_col!r} collides with "
+            "an output column name"
+        )
     x_ok = ~F.isnan(F.col(value_col).cast("double"))
     x = F.when(x_ok, F.col(value_col).cast("long")).otherwise(
         F.raise_error(F.lit("grouped_histogram: NaN value")).cast("long")

@@ -446,7 +446,12 @@ def geometric_smooth(
     rows (< W history) renormalize over the weights actually present,
     exactly like pandas ewm(adjust=True).
 
-    Values must be integer-valued (quantize upstream). Overflow:
+    Values must be integer-valued (quantize upstream). Negative
+    values are fine, with one replay caveat: the micro division
+    truncates toward ZERO (Spark ``div`` == DuckDB ``//``, measured —
+    CLAUDE.md resample note), so a Python ``//`` replay (which FLOORS)
+    diverges by one unit on negative weighted sums; replay with
+    truncating division. Overflow:
     |weighted sum| <= 2^W * max|x| and the 1e6 micro scale needs
     another factor; a per-row guard raises when the weighted sum
     leaves the safe range instead of wrapping. W is capped at 32 (the
@@ -458,6 +463,16 @@ def geometric_smooth(
 
     if not 1 <= window <= 32:
         raise ValueError("geometric_smooth: window must be in [1, 32]")
+    clash = [
+        c
+        for c in (group_col, order_col, tiebreak_col)
+        if c in ("x", "smooth_micro")
+    ]
+    if clash:
+        raise ValueError(
+            f"geometric_smooth: key column(s) {clash} collide with the "
+            "output columns (x, smooth_micro)"
+        )
     base = df.where(
         F.col(group_col).isNotNull()
         & F.col(order_col).isNotNull()

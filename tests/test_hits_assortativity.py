@@ -123,3 +123,37 @@ def test_assortativity_regular_graph_null(spark):
     )
     r = links.assortativity(df).collect()[0]
     assert r["assortativity"] is None and r["n_endpoints"] == 8
+
+
+# ------------------------------------------------------- review regressions
+
+
+def test_hits_null_weight_edges_dropped_and_all_null_raises(spark):
+    # a NULL-weight edge must be dropped like a NULL endpoint, not
+    # silently contribute nothing while counted in the node set
+    edges = [("a", "b", 1), ("c", "b", None)]
+    df = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links long"
+    )
+    got = {r["host"]: (r["auth_micro"], r["hub_micro"])
+           for r in links.hits_exact(df, iters=1).collect()}
+    assert set(got) == {"a", "b"}  # c filtered out entirely
+    assert got["b"][0] == MASS
+    # every weight NULL -> graph empties out entirely -> empty output
+    allnull = spark.createDataFrame(
+        [("a", "b", None)], "src_host string, dst_host string, n_links long"
+    )
+    assert links.hits_exact(allnull, iters=1).count() == 0
+    # nodes exist but all weights ZERO -> nothing to normalize -> raise
+    zeros = spark.createDataFrame(
+        [("a", "b", 0)], "src_host string, dst_host string, n_links long"
+    )
+    with pytest.raises(ValueError, match="no usable edge"):
+        links.hits_exact(zeros, iters=1)
+
+
+def test_assortativity_empty_graph_single_row(spark):
+    df = spark.createDataFrame([(1, 1)], "src long, dst long")  # self-loop only
+    r = links.assortativity(df).collect()
+    assert len(r) == 1
+    assert r[0]["n_endpoints"] == 0 and r[0]["assortativity"] is None

@@ -105,3 +105,12 @@ def test_column_profile_validation(spark):
         metrics.column_profile(df, [])
     with pytest.raises(ValueError, match="unknown"):
         metrics.column_profile(df, ["nope"])
+
+
+def test_histogram_and_smooth_collision_guards(spark):
+    df = spark.createDataFrame([(1, 2)], "bin long, v long")
+    with pytest.raises(ValueError, match="collides"):
+        metrics.grouped_histogram(df, "bin", "v")
+    df2 = spark.createDataFrame([(1, 1, 1, 1)], "x long, o long, tb long, v long")
+    with pytest.raises(ValueError, match="collide"):
+        temporal.geometric_smooth(df2, "x", "o", "tb", "v")
