@@ -5689,6 +5689,58 @@ ORDER BY col_name
 """
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (operators/temporal.py time_weighted_avg):
+    each reading weighted by how long it was current, exact BIGINT via
+    the split identity 1e6*(W div T) + (1e6*(W mod T)) div T — the
+    naive 1e6*W product overflows on month-scale microsecond
+    durations. Range end = 2024-01-31T00:00:00Z (just past the
+    fixture's last event)."""
+    from geocore_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    scored = ev.select(
+        F.col("user_id"),
+        F.col("ts"),
+        (F.col("value") * 10).cast("long").alias("x"),
+    )
+    out = temporal.time_weighted_avg(
+        scored, "user_id", "ts", "x", range_end_us=1_706_659_200_000_000
+    )
+    return out.orderBy("user_id")
+
+
+_SQL_TIME_WEIGHTED_AVG = """
+WITH base AS (
+  SELECT user_id AS k, epoch_us(ts) AS t,
+         CAST(trunc(value * 10) AS BIGINT) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+stepped AS (
+  SELECT k, t, v, lead(t) OVER (PARTITION BY k ORDER BY t ASC) AS nt
+  FROM base),
+durs AS (
+  SELECT k, v,
+         GREATEST(COALESCE(nt, 1706659200000000) - t, 0) AS dur
+  FROM stepped),
+ag AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dur) AS BIGINT) AS tot,
+         CAST(SUM(v * dur) AS BIGINT) AS wsum
+  FROM durs GROUP BY k)
+SELECT k AS user_id, n, tot AS total_dur_us,
+       CASE WHEN tot > 0
+        THEN CAST(1000000 * (wsum // tot)
+                  + (1000000 * (wsum % tot)) // tot AS BIGINT)
+       END AS twa_micro
+FROM ag ORDER BY user_id
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5785,6 +5837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "ewma_smooth": q_ewma_smooth,
         "histogram": q_histogram,
+        "time_weighted_avg": q_time_weighted_avg,
         "unpivot": q_unpivot,
         "column_profile": q_column_profile,
         "triangle_count": q_triangle_count,
@@ -5907,6 +5960,7 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": _SQL_ASSORTATIVITY,
         "ewma_smooth": _SQL_EWMA_SMOOTH,
         "histogram": _SQL_HISTOGRAM,
+        "time_weighted_avg": _SQL_TIME_WEIGHTED_AVG,
         "unpivot": _SQL_UNPIVOT,
         "column_profile": _SQL_COLUMN_PROFILE,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,

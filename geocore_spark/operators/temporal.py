@@ -518,3 +518,115 @@ def geometric_smooth(
             "CAST((1000000 * __gs_num) div __gs_den AS BIGINT)"
         ).alias("smooth_micro"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    range_end_us: int | None = None,
+) -> DataFrame:
+    """Time-weighted average of a step function per key — the TSDB
+    staple (a reading holds until the next one): each observation is
+    weighted by how long it was current.
+
+    For the ts-ordered readings of a key, duration_i = ts_{i+1} - ts_i
+    in microseconds; the LAST reading's duration runs to
+    ``range_end_us`` (epoch micros; default: the key's own last
+    timestamp, i.e. the last reading gets zero weight — pass an
+    explicit range end for the usual dashboard semantics).
+    twa_micro = (1e6 * sum(value * dur)) div sum(dur), computed via
+    the exact split identity ``1e6*(W div T) + (1e6*(W mod T)) div T``
+    (truncating division distributes over the exact multiple, and the
+    remainder carries the dividend's sign in both Spark and DuckDB) —
+    the naive 1e6*W product overflows BIGINT for month-scale
+    microsecond durations (W ~ max|v| * T ~ 4900 * 2.6e12 already
+    costs 52 bits). Keys whose total duration is zero (single reading
+    and no range end past it) return NULL.
+
+    Timestamps must be unique per key (a duplicate would make lead()
+    order engine-dependent); duplicate-ts rows raise via a window
+    count guard rather than silently picking one. Values must be
+    integer-valued (quantize upstream).
+
+    Overflow honesty: |W| <= max|v| * T, and the split needs
+    1e6 * T < 2^63 (T under ~106 days of microseconds); both checked
+    AFTER aggregation with non-wrapping aggregates in double, raising
+    instead of wrapping.
+
+    Scale shape: one key-partitioned ordered window (lead + the
+    duplicate guard count ride the same sort), one key agg.
+    """
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("_k"),
+        F.expr(f"unix_micros(cast(`{ts_col}` as timestamp))").alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    w = Window.partitionBy("_k").orderBy(F.col("_t").asc())
+    wdup = Window.partitionBy("_k", "_t")
+    stepped = base.select(
+        "_k",
+        "_t",
+        "_v",
+        F.lead("_t").over(w).alias("_nt"),
+        F.count(F.lit(1)).over(wdup).alias("_dupn"),
+    )
+    dup_ok = F.when(F.col("_dupn") == 1, F.lit(1)).otherwise(
+        F.raise_error(
+            F.lit("time_weighted_avg: duplicate timestamp within a key")
+        ).cast("int")
+    )
+    if range_end_us is None:
+        end = F.max("_t").over(Window.partitionBy("_k"))
+    else:
+        end = F.lit(int(range_end_us))
+    # dup_ok FIRST: And/when short-circuits (the _guarded_moments rule)
+    dur = F.when(
+        dup_ok == 1,
+        F.greatest(
+            F.coalesce(F.col("_nt"), end) - F.col("_t"), F.lit(0)
+        ),
+    )
+    ag = stepped.withColumn("_dur", dur).groupBy(
+        F.col("_k").alias(key_col)
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dur").alias("_tot"),
+        F.sum(F.col("_v") * F.col("_dur")).alias("_wsum"),
+        F.max(F.abs(F.col("_v"))).alias("_mv"),
+    )
+    wsum_bound = (
+        F.greatest(F.col("_mv"), F.lit(1)).cast("double")
+        * F.greatest(F.col("_tot"), F.lit(1)).cast("double")
+        * F.lit(2.0)
+    )
+    split_bound = F.col("_tot").cast("double") * F.lit(1.0e6)
+    ok = F.when(
+        (wsum_bound < F.lit(float(2**62)))
+        & (split_bound < F.lit(float(2**62))),
+        F.lit(1),
+    ).otherwise(
+        F.raise_error(
+            F.lit("time_weighted_avg: weighted sum would overflow BIGINT")
+        ).cast("int")
+    )
+    twa = F.when(
+        (ok == 1) & (F.col("_tot") > 0),
+        F.expr(
+            "1000000 * (_wsum div _tot)"
+            " + (1000000 * (_wsum % _tot)) div _tot"
+        ),
+    ).cast("long")
+    return ag.select(
+        key_col,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_tot").cast("long").alias("total_dur_us"),
+        twa.alias("twa_micro"),
+    )

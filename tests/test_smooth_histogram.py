@@ -114,3 +114,50 @@ def test_histogram_and_smooth_collision_guards(spark):
     df2 = spark.createDataFrame([(1, 1, 1, 1)], "x long, o long, tb long, v long")
     with pytest.raises(ValueError, match="collide"):
         temporal.geometric_smooth(df2, "x", "o", "tb", "v")
+
+
+# ---------------------------------------------------------- time_weighted_avg
+
+
+def _twa(spark, rows, **kw):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    data = [(k, t0 + dt.timedelta(microseconds=us), v) for k, us, v in rows]
+    df = spark.createDataFrame(data, "k long, ts timestamp, v long")
+    return {
+        r["k"]: (r["n"], r["total_dur_us"], r["twa_micro"])
+        for r in temporal.time_weighted_avg(df, "k", "ts", "v", **kw).collect()
+    }
+
+
+_EPOCH_2024 = 1704067200000000  # 2024-01-01T00:00:00Z in epoch micros
+
+
+def test_twa_hand_case_with_range_end(spark):
+    rows = [(1, 0, 10), (1, 10, 20), (1, 30, 0)]
+    got = _twa(spark, rows, range_end_us=_EPOCH_2024 + 40)
+    # durs 10,20,10 -> wsum 500, tot 40 -> 12.5
+    assert got == {1: (3, 40, 12_500_000)}
+
+
+def test_twa_default_end_drops_last_reading(spark):
+    rows = [(1, 0, 10), (1, 10, 20), (1, 30, 0)]
+    got = _twa(spark, rows)
+    # durs 10,20,0 -> wsum 500, tot 30
+    assert got == {1: (3, 30, 1_000_000 * 500 // 30)}
+
+
+def test_twa_single_reading_null(spark):
+    got = _twa(spark, [(1, 5, 99)])
+    assert got == {1: (1, 0, None)}
+
+
+def test_twa_duplicate_ts_raises(spark):
+    with pytest.raises(Exception, match="duplicate timestamp"):
+        _twa(spark, [(1, 5, 1), (1, 5, 2)])
+
+
+def test_twa_overflow_guard(spark):
+    rows = [(1, 0, 2**40), (1, 2**40, 0)]
+    with pytest.raises(Exception, match="overflow"):
+        _twa(spark, rows)
