@@ -5741,6 +5741,56 @@ FROM ag ORDER BY user_id
 """
 
 
+def q_ohlc(spark, sf_dir):
+    """OHLC candlestick rollup (operators/temporal.py ohlc): per
+    (user-group, day) the first/last/min/max reading under the (ts,
+    event_id) total order — open/close picked via row_number == 1 /
+    == partition count in ONE ordered window per bucket."""
+    from geocore_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    scored = ev.select(
+        (F.col("user_id") % 10).alias("grp"),
+        F.col("ts"),
+        F.col("event_id"),
+        (F.col("value") * 10).cast("long").alias("x"),
+    )
+    out = temporal.ohlc(
+        scored, "grp", "ts", "event_id", "x", bucket_us=86_400_000_000
+    )
+    return out.orderBy("grp", "bucket")
+
+
+_SQL_OHLC = """
+WITH base AS (
+  SELECT user_id % 10 AS grp,
+         epoch_us(ts) // 86400000000 AS b,
+         epoch_us(ts) AS t, event_id AS tb,
+         CAST(trunc(value * 10) AS BIGINT) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    AND ts IS NOT NULL AND value IS NOT NULL),
+stepped AS (
+  SELECT grp, b, v,
+         ROW_NUMBER() OVER (PARTITION BY grp, b ORDER BY t ASC, tb ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY grp, b) AS n
+  FROM base)
+SELECT grp, b AS bucket,
+       CAST(MAX(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS open,
+       CAST(MAX(v) AS BIGINT) AS high,
+       CAST(MIN(v) AS BIGINT) AS low,
+       CAST(MAX(CASE WHEN rn = n THEN v END) AS BIGINT) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS volume
+FROM stepped GROUP BY grp, b ORDER BY grp, b
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5838,6 +5888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_smooth": q_ewma_smooth,
         "histogram": q_histogram,
         "time_weighted_avg": q_time_weighted_avg,
+        "ohlc": q_ohlc,
         "unpivot": q_unpivot,
         "column_profile": q_column_profile,
         "triangle_count": q_triangle_count,
@@ -5961,6 +6012,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_smooth": _SQL_EWMA_SMOOTH,
         "histogram": _SQL_HISTOGRAM,
         "time_weighted_avg": _SQL_TIME_WEIGHTED_AVG,
+        "ohlc": _SQL_OHLC,
         "unpivot": _SQL_UNPIVOT,
         "column_profile": _SQL_COLUMN_PROFILE,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,

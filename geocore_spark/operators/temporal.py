@@ -630,3 +630,73 @@ def time_weighted_avg(
         F.col("_tot").cast("long").alias("total_dur_us"),
         twa.alias("twa_micro"),
     )
+
+
+def ohlc(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """OHLC/candlestick rollup: per (key, time bucket) the opening,
+    highest, lowest and closing value plus count and volume — the
+    finance/monitoring rollup every TSDB ships.
+
+    Buckets are exact integer epoch-microsecond division (the
+    cohort_retention bucketing); open/close are the first/last reading
+    under the (ts, tiebreak) total order, picked via row_number ==
+    1 / row_number == partition count — ONE ordered window per
+    partition (the descending pick would cost a second sort).
+    Values are passed through untouched, so any orderable numeric
+    type hash-matches an ANSI-SQL twin; volume sums the value column
+    (cast to BIGINT — quantize upstream).
+
+    Scale shape: one (key, bucket)-partitioned sort carrying
+    row_number + the partition count + min/max/sum; one filter. No
+    join, no global sort.
+    """
+    from pyspark.sql import Window
+
+    if bucket_us <= 0:
+        raise ValueError("ohlc: bucket_us must be > 0")
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(tiebreak_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("_k"),
+        F.expr(
+            f"unix_micros(cast(`{ts_col}` as timestamp)) div {int(bucket_us)}"
+        ).alias("_b"),
+        F.expr(f"unix_micros(cast(`{ts_col}` as timestamp))").alias("_t"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    w = Window.partitionBy("_k", "_b").orderBy(
+        F.col("_t").asc(), F.col("_tb").asc()
+    )
+    wall = Window.partitionBy("_k", "_b")
+    stepped = base.select(
+        "_k",
+        "_b",
+        "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    return stepped.groupBy(
+        F.col("_k").alias(key_col), F.col("_b").alias("bucket")
+    ).agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("_v"))).cast("long").alias(
+            "open"
+        ),
+        F.max("_v").cast("long").alias("high"),
+        F.min("_v").cast("long").alias("low"),
+        F.max(F.when(F.col("_rn") == F.col("_n"), F.col("_v")))
+        .cast("long")
+        .alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_v").cast("long").alias("volume"),
+    )

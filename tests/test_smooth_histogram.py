@@ -161,3 +161,43 @@ def test_twa_overflow_guard(spark):
     rows = [(1, 0, 2**40), (1, 2**40, 0)]
     with pytest.raises(Exception, match="overflow"):
         _twa(spark, rows)
+
+
+# --------------------------------------------------------------------- ohlc
+
+
+def test_ohlc_hand_case(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [  # one key, one hour bucket: open=5, close=2, high=9, low=1
+        (1, t0 + dt.timedelta(minutes=1), 1, 5),
+        (1, t0 + dt.timedelta(minutes=2), 2, 9),
+        (1, t0 + dt.timedelta(minutes=3), 3, 1),
+        (1, t0 + dt.timedelta(minutes=4), 4, 2),
+        # next hour: single reading
+        (1, t0 + dt.timedelta(minutes=61), 5, 7),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, tb long, v long")
+    got = {
+        r["bucket"]: (r["open"], r["high"], r["low"], r["close"],
+                      r["n"], r["volume"])
+        for r in temporal.ohlc(df, "k", "ts", "tb", "v").collect()
+    }
+    buckets = sorted(got)
+    assert got[buckets[0]] == (5, 9, 1, 2, 4, 17)
+    assert got[buckets[1]] == (7, 7, 7, 7, 1, 7)
+
+
+def test_ohlc_tiebreak_decides_open_close(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 2, 100), (1, t0, 1, 200)]  # same ts: tb orders
+    df = spark.createDataFrame(rows, "k long, ts timestamp, tb long, v long")
+    r = temporal.ohlc(df, "k", "ts", "tb", "v").collect()[0]
+    assert (r["open"], r["close"]) == (200, 100)
+
+
+def test_ohlc_validation(spark):
+    df = spark.createDataFrame([], "k long, ts timestamp, tb long, v long")
+    with pytest.raises(ValueError):
+        temporal.ohlc(df, "k", "ts", "tb", "v", bucket_us=0)
