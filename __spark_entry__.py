@@ -5791,6 +5791,59 @@ FROM stepped GROUP BY grp, b ORDER BY grp, b
 """
 
 
+def q_rfm(spark, sf_dir):
+    """RFM segmentation (operators/product_analytics.py rfm): per
+    customer recency/frequency/monetary with quintile scores from the
+    DISTRIBUTED exact ntile (range-partitioned global rank — never a
+    single-task ntile() window), tie-broken by customer id so the SQL
+    ntile twin replays the buckets exactly. Amounts quantized
+    trunc(o_totalprice*100) — the same IEEE product both engines."""
+    from geocore_spark.operators import product_analytics
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    scored = o.select(
+        F.col("o_custkey"),
+        F.col("o_orderdate"),
+        (F.col("o_totalprice") * 100).cast("long").alias("amt"),
+    )
+    out = product_analytics.rfm(
+        scored,
+        "o_custkey",
+        "o_orderdate",
+        "amt",
+        ref_ts_us=999_302_400_000_000,  # 2001-09-01, past the last order
+        n_tiles=5,
+    )
+    return out.orderBy("o_custkey")
+
+
+_SQL_RFM = """
+WITH base AS (
+  SELECT o_custkey AS c, epoch_us(o_orderdate) AS t,
+         CAST(trunc(o_totalprice * 100) AS BIGINT) AS a
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL),
+per AS (
+  SELECT c, CAST(999302400000000 - MAX(t) AS BIGINT) AS recency_us,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(a) AS BIGINT) AS monetary
+  FROM base GROUP BY c)
+SELECT c AS o_custkey, recency_us, frequency, monetary,
+       CAST(ntile(5) OVER (ORDER BY recency_us ASC, c ASC) AS INT)
+         AS r_score,
+       CAST(ntile(5) OVER (ORDER BY -frequency ASC, c ASC) AS INT)
+         AS f_score,
+       CAST(ntile(5) OVER (ORDER BY -monetary ASC, c ASC) AS INT)
+         AS m_score
+FROM per ORDER BY o_custkey
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5889,6 +5942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "time_weighted_avg": q_time_weighted_avg,
         "ohlc": q_ohlc,
+        "rfm": q_rfm,
         "unpivot": q_unpivot,
         "column_profile": q_column_profile,
         "triangle_count": q_triangle_count,
@@ -6013,6 +6067,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram": _SQL_HISTOGRAM,
         "time_weighted_avg": _SQL_TIME_WEIGHTED_AVG,
         "ohlc": _SQL_OHLC,
+        "rfm": _SQL_RFM,
         "unpivot": _SQL_UNPIVOT,
         "column_profile": _SQL_COLUMN_PROFILE,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,

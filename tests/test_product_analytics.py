@@ -7,6 +7,7 @@ import datetime as dt
 import pytest
 
 from geocore_spark.operators import metrics, product_analytics as pa
+from geocore_spark.operators import product_analytics as product_analytics_mod
 
 _T0 = dt.datetime(2024, 1, 1)
 
@@ -323,3 +324,39 @@ def test_gini_nan_raises(spark):
     )
     with pytest.raises(Exception, match="NaN"):
         metrics.gini_coefficient(df, "g", "v").collect()
+
+
+# ---------------------------------------------------------------------- rfm
+
+
+def test_rfm_hand_case(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    # 3 customers: c1 recent+rich+frequent, c2 middle, c3 stale+poor
+    rows = [
+        (1, t0 + dt.timedelta(days=9), 100),
+        (1, t0 + dt.timedelta(days=8), 100),
+        (1, t0 + dt.timedelta(days=7), 100),
+        (2, t0 + dt.timedelta(days=5), 50),
+        (2, t0 + dt.timedelta(days=4), 50),
+        (3, t0, 10),
+    ]
+    df = spark.createDataFrame(rows, "c long, ts timestamp, a long")
+    ref = 1704067200000000 + 10 * 86_400_000_000  # day 10
+    got = {
+        r["c"]: (r["recency_us"], r["frequency"], r["monetary"],
+                 r["r_score"], r["f_score"], r["m_score"])
+        for r in product_analytics_mod.rfm(
+            df, "c", "ts", "a", ref_ts_us=ref, n_tiles=3
+        ).collect()
+    }
+    day = 86_400_000_000
+    assert got[1] == (1 * day, 3, 300, 1, 1, 1)
+    assert got[2] == (5 * day, 2, 100, 2, 2, 2)
+    assert got[3] == (10 * day, 1, 10, 3, 3, 3)
+
+
+def test_rfm_validation(spark):
+    df = spark.createDataFrame([(1, _ts(0), 1)], "c long, ts timestamp, a long")
+    with pytest.raises(ValueError):
+        product_analytics_mod.rfm(df, "c", "ts", "a", ref_ts_us=0, n_tiles=0)
