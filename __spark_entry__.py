@@ -5844,6 +5844,56 @@ FROM per ORDER BY o_custkey
 """
 
 
+def q_clustering(spark, sf_dir):
+    """Local clustering coefficient (operators/motifs.py
+    clustering_coefficient): 2*tri/(deg*(deg-1)) in exact micro-units
+    over the kcore events graph — degree-oriented triangle enumeration
+    + one degree agg + a LEFT join (zero-triangle nodes report 0,
+    degree-1 nodes NULL)."""
+    from geocore_spark.operators import motifs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        (F.col("event_id") % 997).alias("src"),
+        (
+            (F.col("event_id") * F.col("event_id") + F.col("user_id")) % 300
+        ).alias("dst"),
+    )
+    return motifs.clustering_coefficient(edges).orderBy("node")
+
+
+_SQL_CLUSTERING = """
+WITH e AS (
+  SELECT DISTINCT LEAST(event_id % 997, (event_id*event_id + user_id) % 300) AS a,
+         GREATEST(event_id % 997, (event_id*event_id + user_id) % 300) AS b
+  FROM events
+  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+    AND (event_id % 997) <> ((event_id*event_id + user_id) % 300)),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+  GROUP BY node),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+pern AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS nt FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri)
+  GROUP BY node)
+SELECT d.node, d.deg,
+       CAST(COALESCE(p.nt, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2
+        THEN CAST((2000000 * COALESCE(p.nt, 0))
+                  // (d.deg * (d.deg - 1)) AS BIGINT)
+       END AS cc_micro
+FROM deg d LEFT JOIN pern p USING (node) ORDER BY d.node
+"""
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5943,6 +5993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "ohlc": q_ohlc,
         "rfm": q_rfm,
+        "clustering": q_clustering,
         "unpivot": q_unpivot,
         "column_profile": q_column_profile,
         "triangle_count": q_triangle_count,
@@ -6068,6 +6119,7 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_avg": _SQL_TIME_WEIGHTED_AVG,
         "ohlc": _SQL_OHLC,
         "rfm": _SQL_RFM,
+        "clustering": _SQL_CLUSTERING,
         "unpivot": _SQL_UNPIVOT,
         "column_profile": _SQL_COLUMN_PROFILE,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,

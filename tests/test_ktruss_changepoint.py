@@ -120,3 +120,53 @@ def test_ktruss_fixpoint_first_round(spark):
     import itertools
     k5 = list(itertools.combinations(range(5), 2))
     assert _run(spark, k5, 5) == set(k5)
+
+
+# ---------------------------------------------------- clustering_coefficient
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+    return {
+        r["node"]: (r["deg"], r["n_triangles"], r["cc_micro"])
+        for r in motifs.clustering_coefficient(df).collect()
+    }
+
+
+def test_clustering_k4_is_one(spark):
+    import itertools
+    got = _cc(spark, itertools.combinations(range(4), 2))
+    for n in range(4):
+        assert got[n] == (3, 3, 1_000_000)
+
+
+def test_clustering_star_and_leaf(spark):
+    got = _cc(spark, [(0, 1), (0, 2), (0, 3)])
+    assert got[0] == (3, 0, 0)
+    assert got[1] == (1, 0, None)  # degree-1: undefined
+
+
+def test_clustering_triangle_with_pendant(spark):
+    got = _cc(spark, [(0, 1), (1, 2), (2, 0), (0, 9)])
+    assert got[0] == (3, 1, 2_000_000 // 6)
+    assert got[1] == (2, 1, 1_000_000)
+
+
+def test_clustering_matches_python(spark):
+    import collections
+    import random
+    rng = random.Random(42)
+    pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(150)]
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    got = _cc(spark, pairs)
+    for n, nbrs in adj.items():
+        d = len(nbrs)
+        t = sum(1 for x in nbrs for y in nbrs if x < y and y in adj[x])
+        want = (2_000_000 * t) // (d * (d - 1)) if d >= 2 else None
+        assert got[n] == (d, t, want), n
