@@ -5725,7 +5725,8 @@ stepped AS (
   FROM base),
 durs AS (
   SELECT k, v,
-         GREATEST(COALESCE(nt, 1706659200000000) - t, 0) AS dur
+         GREATEST(LEAST(COALESCE(nt, 1706659200000000), 1706659200000000)
+                  - t, 0) AS dur
   FROM stepped),
 ag AS (
   SELECT k, CAST(COUNT(*) AS BIGINT) AS n,

@@ -50,17 +50,21 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     return _triangles_canonical(_canonical_edges(edges, src, dst))
 
 
-def _triangles_canonical(e: DataFrame) -> DataFrame:
+def _triangles_canonical(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """:func:`triangles` body for an ALREADY canonical (a < b, distinct,
     loop-free) edge frame — skips the re-canonicalization shuffle; the
     peel loop in :func:`ktruss` keeps edges canonical by construction
-    and calls this each round."""
-    deg = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    and calls this each round. Pass ``deg`` (node, deg over distinct
+    neighbors) when the caller already computed it — e.g.
+    :func:`clustering_coefficient` — to skip the duplicate degree
+    shuffle."""
+    if deg is None:
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
     ed = (
         e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
@@ -206,7 +210,9 @@ def clustering_coefficient(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    tri = _triangles_canonical(e)
+    # hand deg to the enumeration: it needs the identical frame for
+    # orientation, and recomputing it would duplicate a full shuffle
+    tri = _triangles_canonical(e, deg=deg)
     pern = (
         tri.select(F.col("ta").alias("node"))
         .unionAll(tri.select(F.col("tb").alias("node")))

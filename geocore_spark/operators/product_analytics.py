@@ -346,6 +346,14 @@ def rfm(
 
     if n_tiles < 1:
         raise ValueError("rfm: n_tiles must be >= 1")
+    if customer_col in (
+        "recency_us", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+    ):
+        raise ValueError(
+            f"rfm: customer column {customer_col!r} collides with an "
+            "output column"
+        )
     base = df.where(
         F.col(customer_col).isNotNull()
         & F.col(ts_col).isNotNull()
@@ -362,15 +370,32 @@ def rfm(
     )
     # best first in every dimension: small recency, high frequency,
     # high monetary. exact_ntile ranks ascending, so negate f/m.
+    # Own caches per call: the default internal registry unpersists the
+    # PREVIOUS call's ranged frame while it is still in the next frame's
+    # lineage, recomputing the per-customer agg ~3x. The three frames
+    # are handed to the registry afterwards (replacing older entries) so
+    # they live for the result's lifetime and the next metrics call
+    # releases them — the bounded-cache discipline.
+    caches: list[dict] = [{}, {}, {}]
     out = metrics.exact_ntile(
-        per, [F.col("recency_us"), F.col("_c")], n_tiles, col="r_score"
+        per, [F.col("recency_us"), F.col("_c")], n_tiles,
+        col="r_score", cache=caches[0],
     )
     out = metrics.exact_ntile(
-        out, [(-F.col("frequency")), F.col("_c")], n_tiles, col="f_score"
+        out, [(-F.col("frequency")), F.col("_c")], n_tiles,
+        col="f_score", cache=caches[1],
     )
     out = metrics.exact_ntile(
-        out, [(-F.col("monetary")), F.col("_c")], n_tiles, col="m_score"
+        out, [(-F.col("monetary")), F.col("_c")], n_tiles,
+        col="m_score", cache=caches[2],
     )
+    app = df.sparkSession.sparkContext.applicationId
+    for k in list(metrics._LIVE):
+        if k != app:
+            metrics._LIVE.pop(k)
+    for old_frame in metrics._LIVE.get(app, []):
+        old_frame.unpersist()
+    metrics._LIVE[app] = [c["ranged"] for c in caches if "ranged" in c]
     return out.select(
         F.col("_c").alias(customer_col),
         F.col("recency_us").cast("long").alias("recency_us"),

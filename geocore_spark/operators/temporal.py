@@ -532,10 +532,13 @@ def time_weighted_avg(
     weighted by how long it was current.
 
     For the ts-ordered readings of a key, duration_i = ts_{i+1} - ts_i
-    in microseconds; the LAST reading's duration runs to
-    ``range_end_us`` (epoch micros; default: the key's own last
-    timestamp, i.e. the last reading gets zero weight — pass an
-    explicit range end for the usual dashboard semantics).
+    in microseconds, CLAMPED to ``range_end_us``: a range end inside
+    the series cuts every duration at the boundary (readings past it
+    get zero weight), not just the last reading's. Default range end:
+    the key's own last timestamp, i.e. the last reading gets zero
+    weight — pass an explicit range end for the usual dashboard
+    semantics. Key columns may not be named after an output column
+    (raises).
     twa_micro = (1e6 * sum(value * dur)) div sum(dur), computed via
     the exact split identity ``1e6*(W div T) + (1e6*(W mod T)) div T``
     (truncating division distributes over the exact multiple, and the
@@ -560,6 +563,11 @@ def time_weighted_avg(
     """
     from pyspark.sql import Window
 
+    if key_col in ("n", "total_dur_us", "twa_micro"):
+        raise ValueError(
+            f"time_weighted_avg: key column {key_col!r} collides with an "
+            "output column"
+        )
     base = df.where(
         F.col(key_col).isNotNull()
         & F.col(ts_col).isNotNull()
@@ -588,10 +596,13 @@ def time_weighted_avg(
     else:
         end = F.lit(int(range_end_us))
     # dup_ok FIRST: And/when short-circuits (the _guarded_moments rule)
+    # clamp EVERY duration at the range end (least), not just the last
+    # reading's — a mid-series range end must cut weight at the boundary
     dur = F.when(
         dup_ok == 1,
         F.greatest(
-            F.coalesce(F.col("_nt"), end) - F.col("_t"), F.lit(0)
+            F.least(F.coalesce(F.col("_nt"), end), end) - F.col("_t"),
+            F.lit(0),
         ),
     )
     ag = stepped.withColumn("_dur", dur).groupBy(
@@ -608,9 +619,15 @@ def time_weighted_avg(
         * F.lit(2.0)
     )
     split_bound = F.col("_tot").cast("double") * F.lit(1.0e6)
+    # third bound: 1e6 * (W div T) <= 1e6 * max|v| — small T with large
+    # values passes the other two and still overflows the quotient term
+    quot_bound = (
+        F.greatest(F.col("_mv"), F.lit(1)).cast("double") * F.lit(2.0e6)
+    )
     ok = F.when(
         (wsum_bound < F.lit(float(2**62)))
-        & (split_bound < F.lit(float(2**62))),
+        & (split_bound < F.lit(float(2**62)))
+        & (quot_bound < F.lit(float(2**62))),
         F.lit(1),
     ).otherwise(
         F.raise_error(
@@ -644,14 +661,17 @@ def ohlc(
     highest, lowest and closing value plus count and volume — the
     finance/monitoring rollup every TSDB ships.
 
-    Buckets are exact integer epoch-microsecond division (the
-    cohort_retention bucketing); open/close are the first/last reading
-    under the (ts, tiebreak) total order, picked via row_number ==
-    1 / row_number == partition count — ONE ordered window per
-    partition (the descending pick would cost a second sort).
-    Values are passed through untouched, so any orderable numeric
-    type hash-matches an ANSI-SQL twin; volume sums the value column
-    (cast to BIGINT — quantize upstream).
+    Buckets are exact integer epoch-microsecond division (truncating
+    toward zero — identical in Spark div and DuckDB //, which is why
+    PRE-EPOCH timestamps raise: truncation would merge the
+    (-bucket, 0) and [0, bucket) buckets); open/close are the
+    first/last reading under the (ts, tiebreak) total order, picked
+    via row_number == 1 / row_number == partition count — ONE ordered
+    window per partition (the descending pick would cost a second
+    sort). Values must be INTEGER-valued (fractional values raise —
+    quantize upstream; a silent long cast would truncate candlesticks
+    wrong); volume is their exact BIGINT sum. Key columns may not be
+    named after an output column (raises).
 
     Scale shape: one (key, bucket)-partitioned sort carrying
     row_number + the partition count + min/max/sum; one filter. No
@@ -661,6 +681,27 @@ def ohlc(
 
     if bucket_us <= 0:
         raise ValueError("ohlc: bucket_us must be > 0")
+    reserved = ("bucket", "open", "high", "low", "close", "n", "volume")
+    clash = [c for c in (key_col,) if c in reserved]
+    if clash:
+        raise ValueError(
+            f"ohlc: key column {clash} collides with an output column"
+        )
+    t_us = F.expr(f"unix_micros(cast(`{ts_col}` as timestamp))")
+    t_ok = F.when(t_us >= 0, t_us).otherwise(
+        F.raise_error(
+            F.lit("ohlc: pre-epoch timestamp (truncating bucket division "
+                  "would misalign buckets)")
+        ).cast("long")
+    )
+    v_ok = F.when(
+        F.col(value_col) == F.col(value_col).cast("long"),
+        F.col(value_col).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("ohlc: non-integer value (quantize upstream)")
+        ).cast("long")
+    )
     base = df.where(
         F.col(key_col).isNotNull()
         & F.col(ts_col).isNotNull()
@@ -671,9 +712,9 @@ def ohlc(
         F.expr(
             f"unix_micros(cast(`{ts_col}` as timestamp)) div {int(bucket_us)}"
         ).alias("_b"),
-        F.expr(f"unix_micros(cast(`{ts_col}` as timestamp))").alias("_t"),
+        t_ok.alias("_t"),
         F.col(tiebreak_col).alias("_tb"),
-        F.col(value_col).cast("long").alias("_v"),
+        v_ok.alias("_v"),
     )
     w = Window.partitionBy("_k", "_b").orderBy(
         F.col("_t").asc(), F.col("_tb").asc()

@@ -7,7 +7,6 @@ import datetime as dt
 import pytest
 
 from geocore_spark.operators import metrics, product_analytics as pa
-from geocore_spark.operators import product_analytics as product_analytics_mod
 
 _T0 = dt.datetime(2024, 1, 1)
 
@@ -346,7 +345,7 @@ def test_rfm_hand_case(spark):
     got = {
         r["c"]: (r["recency_us"], r["frequency"], r["monetary"],
                  r["r_score"], r["f_score"], r["m_score"])
-        for r in product_analytics_mod.rfm(
+        for r in pa.rfm(
             df, "c", "ts", "a", ref_ts_us=ref, n_tiles=3
         ).collect()
     }
@@ -359,4 +358,12 @@ def test_rfm_hand_case(spark):
 def test_rfm_validation(spark):
     df = spark.createDataFrame([(1, _ts(0), 1)], "c long, ts timestamp, a long")
     with pytest.raises(ValueError):
-        product_analytics_mod.rfm(df, "c", "ts", "a", ref_ts_us=0, n_tiles=0)
+        pa.rfm(df, "c", "ts", "a", ref_ts_us=0, n_tiles=0)
+
+
+def test_rfm_customer_collision_raises(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1)], "frequency long, ts timestamp, a long"
+    )
+    with pytest.raises(ValueError, match="collides"):
+        pa.rfm(df, "frequency", "ts", "a", ref_ts_us=1, n_tiles=2)

@@ -201,3 +201,57 @@ def test_ohlc_validation(spark):
     df = spark.createDataFrame([], "k long, ts timestamp, tb long, v long")
     with pytest.raises(ValueError):
         temporal.ohlc(df, "k", "ts", "tb", "v", bucket_us=0)
+
+
+# --------------------------------------------------- review regressions (2)
+
+
+def test_twa_midseries_range_end_clamps(spark):
+    # range end at t=5 inside the series: only the first reading's
+    # [0,5) slice carries weight -> twa == first value exactly
+    rows = [(1, 0, 0), (1, 10, 100), (1, 20, 0)]
+    got = _twa(spark, rows, range_end_us=_EPOCH_2024 + 5)
+    assert got == {1: (3, 5, 0)}
+
+
+def test_twa_small_tot_large_value_guard(spark):
+    # tot=1, v=2^45: passes the W and split bounds, must trip the
+    # quotient bound instead of overflowing 1e6*(W div T)
+    rows = [(1, 0, 2**45), (1, 1, 0)]
+    with pytest.raises(Exception, match="overflow"):
+        _twa(spark, rows, range_end_us=_EPOCH_2024 + 1)
+
+
+def test_twa_key_collision_raises(spark):
+    df = spark.createDataFrame([(1, _EPOCH_2024, 1)], "n long, ts long, v long")
+    with pytest.raises(ValueError, match="collides"):
+        temporal.time_weighted_avg(
+            df.selectExpr("n", "timestamp_micros(ts) as ts", "v"),
+            "n", "ts", "v",
+        )
+
+
+def test_ohlc_fractional_value_raises(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, 1.5)],
+        "k long, ts timestamp, tb long, v double",
+    )
+    with pytest.raises(Exception, match="non-integer"):
+        temporal.ohlc(df, "k", "ts", "tb", "v").collect()
+
+
+def test_ohlc_pre_epoch_raises_and_key_collision(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(1, dt.datetime(1969, 12, 31, 23, 30), 1, 5)],
+        "k long, ts timestamp, tb long, v long",
+    )
+    with pytest.raises(Exception, match="pre-epoch"):
+        temporal.ohlc(df, "k", "ts", "tb", "v").collect()
+    df2 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, 5)],
+        "open long, ts timestamp, tb long, v long",
+    )
+    with pytest.raises(ValueError, match="collides"):
+        temporal.ohlc(df2, "open", "ts", "tb", "v")
