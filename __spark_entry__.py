@@ -5895,6 +5895,60 @@ FROM deg d LEFT JOIN pern p USING (node) ORDER BY d.node
 """
 
 
+def q_sssp(spark, sf_dir):
+    """Single-source shortest paths (operators/components.py sssp):
+    synchronous Bellman-Ford over the undirected kcore events graph
+    with weights 1 + (a+b) % 7 — per-round relax join + min groupBy,
+    state localCheckpoint-ed; exact BIGINT distances. Oracle: 12
+    unrolled MATERIALIZED relaxation rounds (fixpoint rounds are
+    idempotent)."""
+    from geocore_spark.operators import components
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        (F.col("event_id") % 997).alias("src"),
+        (
+            (F.col("event_id") * F.col("event_id") + F.col("user_id")) % 300
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    weighted = edges.select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 7).alias("w")
+    )
+    out = components.sssp(weighted, 0, weight_col="w", directed=False)
+    return out.orderBy("node")
+
+
+def _sql_sssp(rounds: int = 12) -> str:
+    """Unrolled Bellman-Ford over the mirrored weighted edge CTE."""
+    parts = [
+        """eraw AS (
+  SELECT event_id % 997 AS s, (event_id*event_id + user_id) % 300 AS d
+  FROM events
+  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+    AND (event_id % 997) <> ((event_id*event_id + user_id) % 300))""",
+        """e AS MATERIALIZED (
+  SELECT s AS eu, d AS ev, CAST(1 + (s + d) % 7 AS BIGINT) AS w FROM eraw
+  UNION ALL
+  SELECT d AS eu, s AS ev, CAST(1 + (s + d) % 7 AS BIGINT) AS w FROM eraw)""",
+        "d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT e.ev AS node, d.dist + e.w AS dist
+    FROM e JOIN d{k - 1} d ON d.node = e.eu
+    UNION ALL
+    SELECT node, dist FROM d{k - 1})
+  GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, dist FROM d{rounds} ORDER BY node"
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -5995,6 +6049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc": q_ohlc,
         "rfm": q_rfm,
         "clustering": q_clustering,
+        "sssp": q_sssp,
         "unpivot": q_unpivot,
         "column_profile": q_column_profile,
         "triangle_count": q_triangle_count,
@@ -6121,6 +6176,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc": _SQL_OHLC,
         "rfm": _SQL_RFM,
         "clustering": _SQL_CLUSTERING,
+        "sssp": _sql_sssp(),
         "unpivot": _SQL_UNPIVOT,
         "column_profile": _SQL_COLUMN_PROFILE,
         "bloom_point_lookup": _SQL_BLOOM_POINT_LOOKUP,

@@ -180,3 +180,85 @@ def kcore(
     raise RuntimeError(
         f"kcore: not converged after {max_iter} rounds; raise max_iter"
     )
+
+
+def sssp(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    directed: bool = True,
+    max_iter: int = 60,
+) -> DataFrame:
+    """Single-source shortest paths by synchronous Bellman-Ford
+    relaxation — (node, dist) for every node reachable from ``source``,
+    exact BIGINT distances.
+
+    Weights must be NON-NEGATIVE integers (negative raises: with the
+    synchronous relaxation a negative cycle would silently converge to
+    wrong distances within max_iter); ``weight_col`` None means unit
+    weights (hop counts). Each round relaxes every edge once:
+    dist'[v] = min(dist[v], min over (u,v) of dist[u] + w) — one
+    dist-to-edges equi-join on the source key + one min groupBy, state
+    localCheckpoint-ed (the kcore lineage discipline). Converges in
+    <= longest-shortest-path-hops rounds; ``max_iter`` exhaustion
+    RAISES rather than returning partial distances. ``directed=False``
+    mirrors every edge up front.
+
+    An ANSI-SQL twin unrolls the rounds (fixpoint rounds are
+    idempotent, over-unrolling is safe). Overflow: dist <= hops *
+    max_w; ANSI raises on the add, and a guard raises when
+    max_w * max_iter approaches 2^62 up front.
+    """
+    if max_iter < 1:
+        raise ValueError("sssp: max_iter must be >= 1")
+    u, v = F.col(src), F.col(dst)
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    w_ok = F.when(w >= 0, w).otherwise(
+        F.raise_error(F.lit("sssp: negative edge weight")).cast("long")
+    )
+    e = edges.where(u.isNotNull() & v.isNotNull()).select(
+        u.alias("eu"), v.alias("ev"), w_ok.alias("w")
+    )
+    if not directed:
+        e = e.unionAll(
+            e.select(
+                F.col("ev").alias("eu"), F.col("eu").alias("ev"), "w"
+            )
+        )
+    e = e.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    # seed from the literal: the source is at distance 0 even with no
+    # out-edges (or an empty graph — the loop then converges round 1)
+    seed = spark.range(1).select(
+        F.lit(source).alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    maxw = e.agg(F.max("w")).collect()[0][0]
+    if maxw is not None and float(maxw) * max_iter >= float(2**62):
+        raise ValueError("sssp: max weight * max_iter would overflow BIGINT")
+    dist = seed.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        relaxed = (
+            dist.join(e, dist["node"] == e["eu"])
+            .select(F.col("ev").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .unionAll(dist.select("node", "dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = relaxed.join(
+            dist.withColumnRenamed("dist", "_old"), "node", "left"
+        ).where(
+            F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+        )
+        if improved.isEmpty():
+            return relaxed
+        dist = relaxed
+    raise RuntimeError(
+        f"sssp: not converged after {max_iter} rounds; raise max_iter"
+    )

@@ -61,3 +61,78 @@ def test_dupes_selfloops_and_validation(spark):
     sdf = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         components.kcore(sdf, 0)
+
+
+# ----------------------------------------------------------------- sssp
+
+
+def _sssp_oracle(edge_list, source, directed):
+    import heapq
+    adj = {}
+    for a, b, w in edge_list:
+        adj.setdefault(a, []).append((b, w))
+        if not directed:
+            adj.setdefault(b, []).append((a, w))
+    dist = {source: 0}
+    pq = [(0, source)]
+    while pq:
+        d, n = heapq.heappop(pq)
+        if d > dist.get(n, float("inf")):
+            continue
+        for m, w in adj.get(n, []):
+            nd = d + w
+            if nd < dist.get(m, float("inf")):
+                dist[m] = nd
+                heapq.heappush(pq, (nd, m))
+    return dist
+
+
+def _run_sssp(spark, edge_list, source, directed=True):
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(w)) for a, b, w in edge_list],
+        "src long, dst long, w long",
+    )
+    out = components.sssp(
+        df, source, weight_col="w", directed=directed
+    )
+    return {r["node"]: r["dist"] for r in out.collect()}
+
+
+def test_sssp_hand_case(spark):
+    edges = [(0, 1, 4), (0, 2, 1), (2, 1, 2), (1, 3, 1), (2, 3, 9)]
+    got = _run_sssp(spark, edges, 0)
+    assert got == {0: 0, 1: 3, 2: 1, 3: 4}  # 0->2->1->3
+
+
+def test_sssp_unreachable_absent_and_isolated_source(spark):
+    edges = [(0, 1, 1), (5, 6, 1)]
+    got = _run_sssp(spark, edges, 0)
+    assert got == {0: 0, 1: 1}
+    got2 = _run_sssp(spark, edges, 99)  # source not in graph
+    assert got2 == {99: 0}
+
+
+def test_sssp_undirected_and_unit_weights(spark):
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = components.sssp(df, 2, directed=False)
+    assert {r["node"]: r["dist"] for r in out.collect()} == {2: 0, 1: 1, 0: 2}
+
+
+def test_sssp_random_matches_dijkstra(spark):
+    import random
+    rng = random.Random(20260821)
+    edges = [
+        (rng.randrange(30), rng.randrange(30), rng.randrange(1, 10))
+        for _ in range(120)
+    ]
+    edges = [(a, b, w) for a, b, w in edges if a != b]
+    for directed in (True, False):
+        assert _run_sssp(spark, edges, 0, directed) == _sssp_oracle(
+            edges, 0, directed
+        ), directed
+
+
+def test_sssp_negative_weight_raises(spark):
+    df = spark.createDataFrame([(0, 1, -1)], "src long, dst long, w long")
+    with pytest.raises(Exception, match="negative"):
+        components.sssp(df, 0, weight_col="w").collect()
