@@ -5001,12 +5001,14 @@ WITH t AS (
          event_id AS tid
   FROM events
   WHERE event_type IN ('click', 'view')
-    AND user_id IS NOT NULL AND ts IS NOT NULL),
+    AND user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL),
 c AS (
   SELECT user_id AS u, epoch_us(ts) AS cts, event_id AS cid
   FROM events
   WHERE event_type = 'purchase'
-    AND user_id IS NOT NULL AND ts IS NOT NULL),
+    AND user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL),
 j AS (
   SELECT t.ch, c.cid, t.tts, t.tid
   FROM t JOIN c ON t.u = c.u

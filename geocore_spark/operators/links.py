@@ -529,12 +529,21 @@ def hits_exact(
     shuffles only the (host, score) vectors; vector lineage
     localCheckpoint-ed. Nodes with no in-edges get authority 0; no
     out-edges, hub 0. NULL endpoints/weights are dropped like every
-    other key column; a graph left with no usable edges raises (a
-    silent None total would otherwise reach the SQL literal).
+    other key column; a NEGATIVE weight raises (like sssp's guard) —
+    the div/floor parity the SQL twin rests on assumes every operand
+    is non-negative, and a negative total would silently diverge
+    (Spark truncates toward zero, DuckDB's replay floors). A graph
+    left with no usable edges raises (a silent None total would
+    otherwise reach the SQL literal).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
     w = F.col("n_links").cast("long") if weighted else F.lit(1).cast("long")
+    w_ok = F.when(w >= 0, w).otherwise(
+        F.raise_error(
+            F.lit("hits_exact: negative edge weight")
+        ).cast("long")
+    )
     n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     filtered = edges.where(
         F.col("src_host").isNotNull()
@@ -543,7 +552,7 @@ def hits_exact(
     )
     ew = (
         filtered.repartition(n_part, "src_host")
-        .select("src_host", "dst_host", w.alias("w"))
+        .select("src_host", "dst_host", w_ok.alias("w"))
         .sortWithinPartitions("src_host")
         .persist()
     )

@@ -452,9 +452,13 @@ def geometric_smooth(
     CLAUDE.md resample note), so a Python ``//`` replay (which FLOORS)
     diverges by one unit on negative weighted sums; replay with
     truncating division. Overflow:
-    |weighted sum| <= 2^W * max|x| and the 1e6 micro scale needs
-    another factor; a per-row guard raises when the weighted sum
-    leaves the safe range instead of wrapping. W is capped at 32 (the
+    |weighted sum| <= (2^W - 1) * max|x| and the 1e6 micro scale
+    needs another factor; a per-row guard on the INPUT raises when
+    |x| >= (2^62 div 1e6) >> W — a non-wrapping check (abs of one
+    value) that bounds the sum before it is ever formed, matching the
+    max(abs)/count guard discipline of the sibling operators
+    (max_drawdown, changepoint, gini). A post-sum abs() check would
+    be wrap-proof only under ANSI mode. W is capped at 32 (the
     weights themselves stay far from 2^63).
 
     Output: input keys + (x, smooth_micro) per row.
@@ -473,6 +477,20 @@ def geometric_smooth(
             f"geometric_smooth: key column(s) {clash} collide with the "
             "output columns (x, smooth_micro)"
         )
+    # Input-side overflow guard (non-wrapping: inspects ONE value, not
+    # a sum that could already have wrapped with ANSI off): the lag
+    # weights total 2^W - 1, so |x| < (2^62 div 1e6) >> W bounds
+    # |weighted sum| < 2^62 div 1e6 by construction.
+    x_bound = (2**62 // 1_000_000) >> window
+    x_raw = F.col(value_col).cast("long")
+    x_guarded = F.when(F.abs(x_raw) < F.lit(x_bound), x_raw).otherwise(
+        F.raise_error(
+            F.lit(
+                "geometric_smooth: |value| too large — the weighted "
+                "sum would overflow BIGINT at this window"
+            )
+        ).cast("long")
+    )
     base = df.where(
         F.col(group_col).isNotNull()
         & F.col(order_col).isNotNull()
@@ -482,7 +500,7 @@ def geometric_smooth(
         F.col(group_col).alias("_g"),
         F.col(order_col).alias("_o"),
         F.col(tiebreak_col).alias("_tb"),
-        F.col(value_col).cast("long").alias("_x"),
+        x_guarded.alias("_x"),
     )
     w = Window.partitionBy("_g").orderBy(
         F.col("_o").asc(), F.col("_tb").asc()
@@ -498,14 +516,9 @@ def geometric_smooth(
         have = F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
         num = term if num is None else num + term
         den = have if den is None else den + have
-    guarded_num = F.when(
-        F.abs(num) < F.lit((2**62) // 1_000_000), num
-    ).otherwise(
-        F.raise_error(
-            F.lit("geometric_smooth: weighted sum would overflow BIGINT")
-        ).cast("long")
-    )
-    scored = base.withColumn("__gs_num", guarded_num).withColumn(
+    # num is bounded by the input guard above: |num| <= (2^W - 1) *
+    # max|x| < 2^62 div 1e6, so 1e6 * num stays inside BIGINT.
+    scored = base.withColumn("__gs_num", num).withColumn(
         "__gs_den", den
     )
     # den >= the current row's weight 2^(W-1): never zero

@@ -152,6 +152,18 @@ def test_hits_null_weight_edges_dropped_and_all_null_raises(spark):
         links.hits_exact(zeros, iters=1)
 
 
+def test_hits_negative_weight_raises(spark):
+    # ADVICE r3: the div/floor parity the SQL twin rests on assumes
+    # non-negative operands — a negative n_links must raise (like
+    # sssp's w_ok guard), never flow into a silently-divergent total.
+    df = spark.createDataFrame(
+        [("a", "b", 2), ("c", "b", -1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    with pytest.raises(Exception, match="negative edge weight"):
+        links.hits_exact(df, iters=1).collect()
+
+
 def test_assortativity_empty_graph_single_row(spark):
     df = spark.createDataFrame([(1, 1)], "src long, dst long")  # self-loop only
     r = links.assortativity(df).collect()

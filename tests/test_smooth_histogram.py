@@ -48,6 +48,25 @@ def test_geometric_smooth_validation_and_overflow(spark):
         temporal.geometric_smooth(big, "g", "o", "tb", "x", window=8).collect()
 
 
+def test_geometric_smooth_guard_is_input_side(spark):
+    # ADVICE r3: the guard must inspect the INPUT value (non-wrapping),
+    # not the already-formed weighted sum. Exactly at the bound raises;
+    # one below passes — window=8 bound is (2^62 div 1e6) >> 8.
+    bound = (2**62 // 1_000_000) >> 8
+    at = spark.createDataFrame(
+        [(1, 1, 1, bound)], "g long, o long, tb long, x long"
+    )
+    with pytest.raises(Exception, match="too large"):
+        temporal.geometric_smooth(at, "g", "o", "tb", "x", window=8).collect()
+    below = spark.createDataFrame(
+        [(1, 1, 1, bound - 1)], "g long, o long, tb long, x long"
+    )
+    got = temporal.geometric_smooth(
+        below, "g", "o", "tb", "x", window=8
+    ).collect()
+    assert got[0]["smooth_micro"] == 1_000_000 * (bound - 1)
+
+
 def test_grouped_histogram_hand_case(spark):
     df = spark.createDataFrame([(1, x) for x in range(10)], "g long, v long")
     got = {
