@@ -5979,7 +5979,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_flag": q_semi_flag,
         "hour_bucket_join": q_hour_bucket_join,
         "group_transform": q_group_transform,
-        "salted_agg": q_salted_agg,
         "skew_split_agg": q_skew_split_agg,
         "tile_encode": q_tile_encode,
         "cell_rollup": q_cell_rollup,
@@ -5989,7 +5988,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "url_normalize": q_url_normalize,
         "repetition_signals": q_repetition_signals,
-        "snapshot_diff": q_snapshot_diff,
         "robots_gate": q_robots_gate,
         "media_format": q_media_format,
         "knn": q_knn,
@@ -5997,19 +5995,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "spatial_assembly": q_spatial_assembly,
         "exact_dedup": q_exact_dedup,
-        "dup_groups": q_dup_groups,
         "text_signals": q_text_signals,
         "lang_distribution": q_lang_distribution,
         "embedding_topk": q_embedding_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "distance_to_line": q_distance_to_line,
         "block_folds": q_block_folds,
-        "lift_ks": q_lift_ks,
-        "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "corpus_curation": q_corpus_curation,
         "pivot": q_pivot,
-        "cube_agg": q_cube_agg,
         # deliberate round-2 swap: lm_perplexity (flagship curation op)
         # takes the hard-gate slot; region_revenue (J5, already covered
         # in-window by pip_rect_join) moves to the verified tail
@@ -6026,6 +6020,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
+        # deliberate round-4 swap (VERDICT r3 item #2): the lakehouse +
+        # graph + analytics flagships enter the hard window; the demoted
+        # entries (salted_agg — A-family covered by skew_split_agg;
+        # cube_agg — by pivot + decile_stats; snapshot_diff — by the
+        # richer snapshot_merge/changes entries; sessionize — temporal
+        # family covered by hour_bucket_join + asof_join; dup_groups —
+        # A10 covered by exact_dedup; lift_ks — A8/W5 covered by
+        # decile_stats) head the verified tail.
+        "snapshot_merge": q_snapshot_merge,
+        "stream_changes": q_stream_changes,
+        "triangle_count": q_triangle_count,
+        "pagerank_exact": q_pagerank_exact,
+        "grouped_corr": q_grouped_corr,
+        "time_weighted_avg": q_time_weighted_avg,
         # --- rows-only, inside the driver's 50-entry hard-check window -----
         "minhash_lsh": q_minhash_lsh,
         "warc_roundtrip": q_warc_roundtrip,
@@ -6033,6 +6041,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        "salted_agg": q_salted_agg,
+        "cube_agg": q_cube_agg,
+        "snapshot_diff": q_snapshot_diff,
+        "sessionize": q_sessionize,
+        "dup_groups": q_dup_groups,
+        "lift_ks": q_lift_ks,
         "cohort_retention": q_cohort_retention,
         "attribution": q_attribution,
         "grouped_outliers": q_grouped_outliers,
@@ -6047,18 +6061,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "ewma_smooth": q_ewma_smooth,
         "histogram": q_histogram,
-        "time_weighted_avg": q_time_weighted_avg,
         "ohlc": q_ohlc,
         "rfm": q_rfm,
         "clustering": q_clustering,
         "sssp": q_sssp,
         "unpivot": q_unpivot,
         "column_profile": q_column_profile,
-        "triangle_count": q_triangle_count,
         "set_similarity": q_set_similarity,
         "resample_interp": q_resample_interp,
         "grouped_auc": q_grouped_auc,
-        "grouped_corr": q_grouped_corr,
         "grouped_ols": q_grouped_ols,
         "interval_coverage": q_interval_coverage,
         "funnel": q_funnel,
@@ -6067,8 +6078,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix": q_transition_matrix,
         "kcore": q_kcore,
         "bloom_point_lookup": q_bloom_point_lookup,
-        "snapshot_merge": q_snapshot_merge,
-        "stream_changes": q_stream_changes,
         "snapshot_evolve": q_snapshot_evolve,
         "snapshot_changes": q_snapshot_changes,
         "incremental_rollup": q_incremental_rollup,
@@ -6078,7 +6087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "range_join": q_range_join,
         "interval_overlap": q_interval_overlap,
-        "pagerank_exact": q_pagerank_exact,
         "trustrank_exact": q_trustrank_exact,
         # host_centrality promoted from the rows-only tail: at this graph
         # size the HLL runs exact, so the BFS-closure SQL twin is a full

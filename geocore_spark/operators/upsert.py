@@ -8,10 +8,12 @@ table. This operator does the manifest move instead:
 1. per-file [min, max] of the key column (reuse a persisted
    sources/stats manifest, or build one — the cold path scans the key
    column once);
-2. the update batch's keys (driver-side, bounded by the BATCH size —
-   updates are small by definition; a corpus-sized "update" is a
-   rewrite, use compact_table) pick the files whose key range any of
-   them hits — numpy searchsorted over the sorted key array;
+2. victim files are picked by a DISTRIBUTED probe
+   (sources/stats.probe_victim_files): the manifest-bounded ranges are
+   captured inside a mapInPandas kernel that searchsorts each key
+   partition in place — only hit file NAMES reach the driver, so the
+   batch may be any size (a 10^9-url recrawl probes without a
+   driver-side key collect);
 3. hit files are read, matching-key rows dropped (left-anti), the
    updates unioned in, and replacements written + moved in before the
    originals are deleted (the compact.py crash contract: a crash
@@ -35,7 +37,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -88,24 +89,10 @@ def upsert_by_key(
 
     if key_stats is None:
         key_stats = st.file_stats(spark, path, [key_col])
-    frows = [
-        (st.decode_file_url(r["file"]), r[f"min_{key_col}"], r[f"max_{key_col}"])
-        for r in key_stats.select(
-            "file", f"min_{key_col}", f"max_{key_col}"
-        ).collect()
-    ]
-    keys = np.array(
-        sorted(r[0] for r in updates.select(key_col).collect())
+    files_total = key_stats.count()
+    hit = sorted(
+        st.probe_victim_files(updates.select(key_col), key_col, key_stats)
     )
-
-    hit, missed_all = [], True
-    for f, lo, hi in frows:
-        if lo is None or hi is None:
-            hit.append(f)  # unknown stats: conservative
-            continue
-        i = np.searchsorted(keys, lo, side="left")
-        if i < len(keys) and keys[i] <= hi:
-            hit.append(f)
 
     fs, _, jvm = _fs(spark, path)
     tmp_root = path.rstrip("/") + "__upsert_tmp"
@@ -147,7 +134,7 @@ def upsert_by_key(
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     fs.delete(tmp_p, True)
     return UpsertStats(
-        files_total=len(frows),
+        files_total=files_total,
         files_rewritten=len(hit),
         rows_updated=rows_updated,
         rows_inserted=rows_inserted,

@@ -561,7 +561,12 @@ def delete_where(
         .filter(condition)
         .select(F.col(_DV_FILE), F.col(_DV_POS))
     )
-    files = _stage_files(spark, root, victims.repartition(1), "deletes")
+    # staged with the scan's NATURAL partitioning — the vector build is
+    # as parallel as the victim scan (a churn-heavy delete over 10^12
+    # rows would serialize through a repartition(1)); Spark writes no
+    # file for an empty partition, the manifest carries a LIST of
+    # vector files, and the read side broadcasts their union.
+    files = _stage_files(spark, root, victims, "deletes")
     # one pass over the (bounded) staged vectors yields both the row
     # count and the named-file set for the liveness check. _DV_FILE
     # holds _metadata.file_path (URI-escaped); manifests hold the
@@ -764,37 +769,29 @@ def merge_into(
     live = base["data_files"]
     scan_files = live
     if key_stats is not None and live:
-        from geocore_spark.sources.stats import decode_file_url
+        from geocore_spark.sources.stats import (
+            decode_file_url,
+            probe_victim_files,
+        )
 
-        frows = {
-            decode_file_url(r["file"]): (r[f"min_{prune_col}"], r[f"max_{prune_col}"])
-            for r in key_stats.select(
-                "file", f"min_{prune_col}", f"max_{prune_col}"
-            ).collect()
+        profiled = {
+            decode_file_url(r["file"])
+            for r in key_stats.select("file").collect()
         }
-        missing = [f for f in live if f not in frows]
+        missing = [f for f in live if f not in profiled]
         if missing:
             raise ValueError(
                 f"key_stats is stale: {len(missing)} live files unprofiled "
                 f"(rebuild with snapshot_file_stats), e.g. {missing[:2]}"
             )
-        import numpy as np
-
-        # the batch key set is bounded by the BATCH (updates are small by
-        # definition; a corpus-sized update is a rewrite) — sorted once,
-        # each file range probed by searchsorted, the upsert_by_key move
-        batch_keys = np.array(
-            sorted(r[0] for r in staged.select(prune_col).distinct().collect())
+        # distributed victim probe: ranges broadcast INTO a mapInPandas
+        # searchsorted kernel over the staged keys — only hit file names
+        # reach the driver, so the batch may be arbitrarily large (the
+        # old path collected the whole batch key set driver-side)
+        hitset = probe_victim_files(
+            staged.select(prune_col), prune_col, key_stats
         )
-        scan_files = []
-        for f in live:
-            lo, hi = frows[f]
-            if lo is None or hi is None:
-                scan_files.append(f)  # unknown stats: conservative
-                continue
-            i = np.searchsorted(batch_keys, lo, side="left")
-            if i < len(batch_keys) and batch_keys[i] <= hi:
-                scan_files.append(f)
+        scan_files = [f for f in live if f in hitset]
 
     # victims: current-snapshot rows (existing vectors applied) whose key
     # appears in the batch — recorded as positional delete vectors.
@@ -805,7 +802,8 @@ def merge_into(
         .join(staged.select(*keys), on=keys, how="left_semi")
         .select(F.col(_DV_FILE), F.col(_DV_POS))
     )
-    dv_files = _stage_files(spark, root, victims.repartition(1), "deletes")
+    # natural partitioning, like delete_where: no single-task stage
+    dv_files = _stage_files(spark, root, victims, "deletes")
     n_upd = (
         spark.read.schema(_DV_SCHEMA).parquet(*dv_files).count()
         if dv_files

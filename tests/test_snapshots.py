@@ -66,7 +66,10 @@ def test_delete_where_merge_on_read(spark, root):
     # live files, the commit only added a delete vector
     m1 = snap.load_manifest(spark, root, 1)
     assert m["data_files"] == m1["data_files"]
-    assert len(m["delete_files"]) == 1
+    # vectors are staged with the victim scan's NATURAL partitioning
+    # (no single-task stage — r3 verdict item 3): one file per
+    # non-empty scan partition, unioned by the read side
+    assert len(m["delete_files"]) >= 1
     # time travel to v1 sees the pre-delete table
     assert snap.read_snapshot(spark, root, 1).count() == 400
 
@@ -166,12 +169,13 @@ def test_overwrite_versioned_publish(spark, root):
 
 def test_expire_drops_old_versions_and_files(spark, root):
     _mk(spark, root)
-    snap.delete_where(spark, root, "grp = 2")
+    m2, _ = snap.delete_where(spark, root, "grp = 2")
     snap.rewrite_files(spark, root, n_files=2)
     rep = snap.expire_snapshots(spark, root, keep_last=1)
     assert rep["removed_manifests"] == 2
-    # v1's 4 data files + v2's delete vector are unreferenced now
-    assert rep["removed_files"] == 5
+    # v1's 4 data files + v2's delete vectors (one per scan partition —
+    # the vector stage is parallel now) are unreferenced now
+    assert rep["removed_files"] == 4 + len(m2["delete_files"])
     assert snap.read_snapshot(spark, root).count() == 400 - 57
     with pytest.raises(snap.NoSuchVersion):
         snap.read_snapshot(spark, root, 1)
@@ -370,3 +374,22 @@ def test_real_concurrent_appends_all_land(spark, root):
     got = snap.read_snapshot(spark, root)
     assert got.count() == 100 + 8 * 100
     assert got.select("id").distinct().count() == 900  # nothing doubled/lost
+
+
+def test_delete_vector_stage_is_parallel(spark, root):
+    """r3 verdict item 3: the MoR vector build must NOT serialize
+    through a repartition(1) — with one scan split per data file, a
+    delete touching every file stages one vector file per split, and
+    the read still applies the unioned vectors exactly."""
+    _mk(spark, root)  # 4 data files, grp=3 victims in each
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try:
+        m, n = snap.delete_where(spark, root, F.col("grp") == 3)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert n == 57
+    assert len(m["delete_files"]) >= 4  # one per non-empty scan split
+    cur = snap.read_snapshot(spark, root)
+    assert cur.count() == 400 - 57
+    assert cur.filter(F.col("grp") == 3).count() == 0

@@ -246,3 +246,84 @@ def test_snapshot_file_blooms_respects_mor_deletes(spark, tmp_path):
         assert len(pruned) >= 1
     finally:
         bl.unpersist()
+
+
+# ------------------------------------------------- distributed victim probe
+
+
+def test_probe_victim_files_matches_naive_range_check(spark, tmp_path):
+    """probe_victim_files == the per-file [lo, hi] range test, on int
+    AND string keys, with a NULL-stat file as a conservative hit —
+    the r4 replacement for the driver-side batch-key collect."""
+    path = str(tmp_path / "k")
+    # 6 key-clustered files: ranges [0,999], [1000,1999], ...
+    spark.createDataFrame(
+        [(i,) for i in range(6000)], "k bigint"
+    ).repartitionByRange(6, "k").write.parquet(path)
+    stats = st.file_stats(spark, path, ["k"]).cache()
+    try:
+        frows = [
+            (st.decode_file_url(r["file"]), r["min_k"], r["max_k"])
+            for r in stats.collect()
+        ]
+        for key_sets in ([5, 2500], [5999], [7777], [0, 999, 1000]):
+            keys = spark.createDataFrame([(k,) for k in key_sets], "k bigint")
+            got = st.probe_victim_files(keys, "k", stats)
+            want = {
+                f for f, lo, hi in frows
+                if any(lo <= k <= hi for k in key_sets)
+            }
+            assert got == want, key_sets
+    finally:
+        stats.unpersist()
+    # string keys: urls, the primary recrawl key type
+    spath = str(tmp_path / "s")
+    spark.createDataFrame(
+        [(f"https://h{i:04d}.example/p",) for i in range(400)], "url string"
+    ).repartitionByRange(4, "url").write.parquet(spath)
+    sstats = st.file_stats(spark, spath, ["url"])
+    keys = spark.createDataFrame(
+        [("https://h0150.example/p",), ("https://zzz.example/",)],
+        "url string",
+    )
+    got = st.probe_victim_files(keys, "url", sstats)
+    assert len(got) == 1  # one file range contains h0150; zzz is beyond all
+    # a file whose key stats are NULL (all-null values) is always hit
+    npath = str(tmp_path / "n")
+    spark.createDataFrame(
+        [(None,), (None,)], "k bigint"
+    ).coalesce(1).write.parquet(npath)
+    nstats = st.file_stats(spark, npath, ["k"])
+    got = st.probe_victim_files(
+        spark.createDataFrame([(123,)], "k bigint"), "k", nstats
+    )
+    assert len(got) == 1
+
+
+def test_probe_frame_plan_never_ships_keys_to_driver(spark):
+    """Pin the scale contract: the probe's driver-facing frame outputs
+    ONLY file indices (idx:bigint) and runs as a MapInPandas kernel
+    over the keys' own partitioning — no plan node carries the key
+    column past the kernel, so nothing key-sized can be collected."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    keys = spark.range(100000).select(F.col("id").alias("k"))
+    pf = st._probe_frame(
+        keys, "k", np.array([0, 50000]), np.array([9, 50009])
+    )
+    assert [(f.name, f.dataType.simpleString()) for f in pf.schema.fields] == [
+        ("idx", "bigint")
+    ]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pf.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    # the key column exists only BELOW the kernel (scan side); every
+    # node above MapInPandas carries idx alone
+    above = plan.split("MapInPandas")[0]
+    assert "k#" not in above.split("Arguments")[0]
+    assert sorted(r["idx"] for r in pf.collect()) == [0, 1]

@@ -16,13 +16,16 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
 
-# Frozen by the round-3 deliberate swap (VERDICT r2 item #1): the seven
-# flagship LLM-curation operators hold hard-gate slots; union_anti,
-# conditional_mask, mean_impute, sort_limit, percentiles, intersect_except
-# and rolling_avg were demoted to the verified tail (their operator
-# families remain in-window: U2/J8 via label_dedup+exact_dedup, J3/P7 via
-# semi_flag, A9 via group_transform, W3/W6 via topk_per_group+knn,
-# W2/W4/W5 via decile_stats+lift_ks, P9 via buffer_exclusion).
+# Frozen by the round-4 deliberate swap (VERDICT r3 item #2): the
+# lakehouse + graph + analytics flagships (snapshot_merge, stream_changes,
+# triangle_count, pagerank_exact, grouped_corr, time_weighted_avg) hold
+# hard-gate slots; salted_agg, cube_agg, snapshot_diff, sessionize,
+# dup_groups and lift_ks were demoted to the verified tail (their operator
+# families remain in-window: skew handling via skew_split_agg, grouping
+# sets via pivot+decile_stats, snapshot surface via the richer
+# snapshot_merge/stream_changes entries, temporal family via
+# hour_bucket_join+asof_join, A10 via exact_dedup, A8/W5 via
+# decile_stats). The round-3 swap's seven LLM-curation promotions stay.
 FROZEN_WINDOW = [
     "pricing_summary",
     "nway_left_join",
@@ -32,7 +35,6 @@ FROZEN_WINDOW = [
     "semi_flag",
     "hour_bucket_join",
     "group_transform",
-    "salted_agg",
     "skew_split_agg",
     "tile_encode",
     "cell_rollup",
@@ -42,7 +44,6 @@ FROZEN_WINDOW = [
     "crawl_frontier",
     "url_normalize",
     "repetition_signals",
-    "snapshot_diff",
     "robots_gate",
     "media_format",
     "knn",
@@ -50,19 +51,15 @@ FROZEN_WINDOW = [
     "zonal_stats",
     "spatial_assembly",
     "exact_dedup",
-    "dup_groups",
     "text_signals",
     "lang_distribution",
     "embedding_topk",
     "ngram_jaccard",
     "distance_to_line",
     "block_folds",
-    "lift_ks",
-    "sessionize",
     "asof_join",
     "corpus_curation",
     "pivot",
-    "cube_agg",
     "lm_perplexity",
     "classifier_score",
     "duplicate_spans",
@@ -71,6 +68,12 @@ FROZEN_WINDOW = [
     "bm25_topk",
     "dsir_weights",
     "semantic_dedup",
+    "snapshot_merge",
+    "stream_changes",
+    "triangle_count",
+    "pagerank_exact",
+    "grouped_corr",
+    "time_weighted_avg",
     # rows-only entries the round-1 verdict required under the hard gate
     "minhash_lsh",
     "warc_roundtrip",
