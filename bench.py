@@ -114,6 +114,22 @@ def b_embedding_topk(spark, sf_dir, n_pages):
     _sink(em.q_embedding_topk(spark, sf_dir))
 
 
+# round-4 additions (VERDICT r3 item #5): three representative round-3
+# analytics/graph operators enter the headline set so BENCH_r*.json
+# tracks their wall time. New names start a fresh per-query merge epoch
+# in tools/scaling_bench.py (the rename-on-widening rule).
+def b_attribution(spark, sf_dir, n_pages):
+    _sink(em.q_attribution(spark, sf_dir))
+
+
+def b_rfm(spark, sf_dir, n_pages):
+    _sink(em.q_rfm(spark, sf_dir))
+
+
+def b_triangles(spark, sf_dir, n_pages):
+    _sink(em.q_triangle_count(spark, sf_dir))
+
+
 BENCHES = {
     "tile_pipeline": b_tile_pipeline,
     "pip_polygon": b_pip_polygon,
@@ -124,6 +140,9 @@ BENCHES = {
     "pricing": b_pricing,
     "dedup_minhash": b_dedup_minhash,
     "embedding_topk": b_embedding_topk,
+    "attribution": b_attribution,
+    "rfm": b_rfm,
+    "triangles": b_triangles,
 }
 
 
@@ -161,13 +180,21 @@ def main():
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
+    # the round-4 additions (attribution/rfm/triangles) widened the
+    # total; spatial_subtotal preserves comparability with the
+    # pre-round-4 history band (CLAUDE.md's 9.21-10.74 s range)
+    analytics_set = {"attribution", "rfm", "triangles"}
+    spatial_subtotal = round(
+        sum(v for k, v in times.items() if k not in analytics_set), 3
+    )
     pages_per_sec = round(n_pages / times["tile_pipeline"], 1)
     print(
         json.dumps(
             {
-                "metric": "spatial-join+tiling total wall",
+                "metric": "headline query total wall (spatial set + r4 analytics set)",
                 "value": total,
                 "unit": "sec",
+                "spatial_subtotal": spatial_subtotal,
                 "queries": times,
                 "sf": sf_num,
                 "n_pages": n_pages,

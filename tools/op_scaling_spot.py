@@ -252,6 +252,31 @@ def pipe():
     assert stats["rows_tombstoned"] > 1_000_000, stats
     return stats
 """,
+    # MERGE through the r4 DISTRIBUTED victim probe (stats build + the
+    # mapInPandas searchsorted kernel + merge): stats are rebuilt each
+    # pipe() because the previous commit's new files would make them
+    # stale — so this measures the full pruned-merge path an operator
+    # actually runs. Batch keys span every file, so pruning keeps all
+    # files; the timing isolates the probe machinery, not I/O skipped.
+    "merge_probe": f"""
+import shutil
+from pyspark.sql import functions as F
+from geocore_spark.sources import snapshots as snap
+BASE = "/tmp/geocore_spot_mergep"
+ROOT = BASE + "/t"
+shutil.rmtree(BASE, ignore_errors=True)
+shutil.copytree("{os.path.dirname(SNAP)}", BASE)
+batch = spark.range(0, 10_000_000, 7).select(
+    F.col("id"),
+    ((F.col("id") % 181).cast("double") - 90.0).alias("lat"),
+    ((F.col("id") % 361).cast("double") - 180.0).alias("lon"),
+)
+def pipe():
+    ks = snap.snapshot_file_stats(spark, ROOT, ["id"])
+    m, stats = snap.merge_into(spark, ROOT, batch, ["id"], key_stats=ks)
+    assert stats["rows_tombstoned"] > 1_000_000, stats
+    return stats
+""",
     # degree-oriented triangle counting (operators/motifs.py) over a 10M-edge
     # random graph on 1M nodes — all JVM: distinct + degree joins + the
     # wedge self-join (the O(sqrt(m)) out-degree bound keeps it ~45M rows)
@@ -383,6 +408,7 @@ def main() -> None:
         "zorder": "10M pts res=19 64 files",
         "mor_read": "10M rows 10pct deleted",
         "merge": "10M-row table, 1.4M-key batch",
+        "merge_probe": "10M-row table, 1.4M-key batch, stats+probe",
         "mor_read_plain": "10M rows v1 no vectors",
         "triangles": "10M edges 1M nodes",
         "setjoin": "50k x 40-token sets t=1/2",

@@ -314,6 +314,99 @@ print(json.dumps({{"t": tt, "t1": t1, "t_marg": max(tt - t1, 1e-9)}}))
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+EVENTS_PARQUET = os.environ.get(
+    "SPARK_GRAFT_EVENTS_DIR", "/tmp/geocore_events40m"
+)
+N_AN_EVENTS = 40_000_000
+
+
+def _materialize_events() -> None:
+    """40M-event product-analytics table over 2M users, pure Column,
+    written once: pseudo-random timestamps inside a 30-day window
+    (multiplicative scramble — deterministic), 1-in-10 purchases,
+    signed integer values for the moment/drawdown operators and a
+    non-negative amount for RFM."""
+    if os.path.exists(os.path.join(EVENTS_PARQUET, "_SUCCESS")):
+        return
+    code = f"""
+from pyspark.sql import functions as F
+from geocore_spark.session import get_spark
+spark = get_spark("mat-events", master="local[32]", shuffle_partitions=32)
+e = (spark.range({N_AN_EVENTS}, numPartitions=256)
+     .select(
+        (F.col("id") % 2_000_000).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + F.pmod(F.col("id") * 2654435761, F.lit(30 * 86400 * 1_000_000))
+        ).alias("ts"),
+        F.when(F.col("id") % 10 == 0, F.lit("purchase"))
+         .when(F.col("id") % 10 < 4, F.lit("click"))
+         .otherwise(F.lit("view")).alias("event_type"),
+        (F.pmod(F.col("id") * 40503, F.lit(997)) - 498).alias("value"),
+        (F.pmod(F.col("id") * 7919, F.lit(1009)) - 504).alias("value2"),
+        F.pmod(F.col("id") * 104729, F.lit(1000)).alias("amount"),
+        (F.col("id") % 10_000).alias("grp_dd")))
+e.write.mode("overwrite").parquet("{EVENTS_PARQUET}")
+"""
+    subprocess.run(
+        [sys.executable, "-c", code],
+        env=dict(os.environ, PYTHONPATH=REPO),
+        check=True,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+
+
+def _analytics(cpus: int) -> float:
+    """General-analytics leg (VERDICT r3 item #4): a chained pipeline of
+    four representative round-3 operators over the 40M-event table —
+    attribution (windowed join + per-conversion window), RFM (three
+    range-partitioned exact-ntile exchanges over the purchase slice),
+    grouped_corr (integer-moment aggregate, 1000 groups) and
+    max_drawdown (one group-ordered window over all 40M rows). Warm run
+    then best-of-2, CPU-pinned; shuffle partitions fixed at 32 across
+    levels so cores are the only variable (same rule as the graph leg)."""
+    code = f"""
+import time, json
+from pyspark.sql import functions as F
+from geocore_spark.session import get_spark
+from geocore_spark.operators import product_analytics as pa, metrics
+spark = get_spark("scale-analytics", master="local[{cpus}]", shuffle_partitions=32)
+REF = 1_700_000_000_000_000 + 30 * 86400 * 1_000_000
+def pipe():
+    e = spark.read.parquet("{EVENTS_PARQUET}")
+    touches = e.where(F.col("event_type") != "purchase")
+    convs = e.where(F.col("event_type") == "purchase")
+    pa.attribution(touches, convs, "user_id", "ts", "event_type",
+                   "event_id", "event_id", 48 * 3600 * 1_000_000) \\
+      .write.format("noop").mode("overwrite").save()
+    pa.rfm(convs, "user_id", "ts", "amount", REF) \\
+      .write.format("noop").mode("overwrite").save()
+    metrics.grouped_corr(
+        e.withColumn("grp", F.col("user_id") % 1000), "grp",
+        "value", "value2") \\
+      .write.format("noop").mode("overwrite").save()
+    pa.max_drawdown(e, "grp_dd", "ts", "event_id", "value") \\
+      .write.format("noop").mode("overwrite").save()
+pipe()  # warm workers + codegen
+ts = []
+for _ in range(2):
+    t0 = time.time(); pipe(); ts.append(time.time() - t0)
+print(json.dumps({{"t": min(ts)}}))
+"""
+    out = subprocess.run(
+        _pinned(cpus) + [sys.executable, "-c", code],
+        env=dict(os.environ, PYTHONPATH=REPO),
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])["t"]
+
+
 def _query_bench(cpus: int) -> dict:
     env = dict(
         os.environ,
@@ -344,9 +437,9 @@ def main():
     ap.add_argument("sf_dir", nargs="?", default=SF_DIR)
     ap.add_argument(
         "--legs",
-        default="flagship,text,curation,graph,queries",
+        default="flagship,text,curation,graph,analytics,queries",
         help="comma list of legs to (re)measure: "
-        "flagship,text,curation,graph,queries",
+        "flagship,text,curation,graph,analytics,queries",
     )
     args = ap.parse_args()
     SF_DIR = args.sf_dir
@@ -381,6 +474,10 @@ def main():
         entry["graph_marg"] = {c: graw[c]["t_marg"] for c in graw}
         entry["graph_edges"] = N_EDGES
         entry["graph_iters"] = GRAPH_ITERS
+    if "analytics" in legs:
+        _materialize_events()
+        entry["analytics"] = _leg("analytics", _analytics)
+        entry["analytics_events"] = N_AN_EVENTS
     if "queries" in legs:
         qb = _leg("queries", _query_bench, levels=(8, 32))
         entry["qbench"] = {"8": qb[8], "32": qb[32]}
@@ -440,6 +537,13 @@ def main():
             have = [
                 r for r in have if r.get("curation_docs", 100000) == N_CUR_DOCS
             ]
+        if key == "analytics":
+            # same same-input rule as curation: never merge walls from
+            # different event counts
+            have = [
+                r for r in have
+                if r.get("analytics_events") == N_AN_EVENTS
+            ]
         if key in ("graph", "graph_marg"):
             # same rule for the graph leg: size AND iteration count must
             # match (legacy entries were 4-iter 10M-edge totals)
@@ -472,6 +576,7 @@ def main():
     cd = _best("curation")
     gd = _best("graph")
     gm = _best("graph_marg")
+    ad = _best("analytics")
     if t is None or td is None:
         raise SystemExit(
             "no recorded flagship/text legs — run with --legs flagship,text first"
@@ -714,6 +819,45 @@ def main():
         ]
     else:
         lines += ["(no recorded graph leg — run --legs graph)", ""]
+    lines += ["## General-analytics scaling (attribution → RFM → corr → drawdown)", ""]
+    if ad:
+        arate = {c: N_AN_EVENTS / ad[c] for c in ad}
+        aeff_2_8 = arate[8] / arate[2] / 4
+        aeff_8_32 = arate[32] / arate[8] / 4
+        # Amdahl fit on the predictive 2->8 pair, like the curation leg
+        aw = 8.0 * (ad[2] - ad[8]) / 3.0
+        as_ = ad[8] - aw / 8.0
+        apred32 = as_ + aw / 32.0
+        lines += [
+            f"Chained pipeline of four round-3 analytics operators over a",
+            f"{N_AN_EVENTS:,}-event table (2M users, 30-day window):",
+            "attribution (windowed touch-conversion join + per-conversion",
+            "window), RFM on the purchase slice (three range-partitioned",
+            "exact-ntile exchanges), grouped Pearson correlation (integer",
+            "moments, 1000 groups) and per-group max drawdown (one ordered",
+            "window over all rows). Warm run then best-of-2 per level,",
+            "CPU-pinned, shuffle partitions fixed at 32 across levels.",
+            "",
+            "| cores | wall s | events/sec |",
+            "|---|---|---|",
+        ]
+        for c in (2, 8, 32):
+            lines.append(f"| local[{c}] | {ad[c]:.2f} | {arate[c]:,.0f} |")
+        lines += [
+            "",
+            f"- **2 -> 8 cores: efficiency {aeff_2_8:.2f}** (north-rule",
+            f"  pair); 8 -> 32 cores: efficiency {aeff_8_32:.2f}.",
+            "- Amdahl decomposition T(c) = S + W/c on the 2->8 pair:",
+            f"  **S = {as_:.1f} s serial floor** (4 job submissions,",
+            "  codegen of the window/ntile plans, RFM's ranged-frame",
+            f"  builds), **W = {aw:.1f} parallel core-seconds**. Model",
+            f"  predicts local[32] = {apred32:.1f} s; measured",
+            f"  {ad[32]:.1f} s — the gap is the shared memory bus at 32",
+            "  threads (same exclusion as every leg above).",
+            "",
+        ]
+    else:
+        lines += ["(no recorded analytics leg — run --legs analytics)", ""]
     lines += [
         "## Per-query wall seconds (bench.py, sf0.1, best of 3 per run, best across recorded runs)",
         "",
@@ -801,6 +945,12 @@ def main():
                     "curation_serial_s": round(cs, 1),
                     "curation_parallel_core_s": round(cw, 1)})
         if cd else json.dumps({"curation": "no recorded leg"}),
+        json.dumps({"analytics_wall_s": ad, "analytics_events": N_AN_EVENTS,
+                    "analytics_efficiency_2_8": round(aeff_2_8, 3),
+                    "analytics_efficiency_8_32": round(aeff_8_32, 3),
+                    "analytics_serial_s": round(as_, 1),
+                    "analytics_parallel_core_s": round(aw, 1)})
+        if ad else json.dumps({"analytics": "no recorded leg"}),
         json.dumps(r8),
         json.dumps(r32),
         "```",
@@ -818,6 +968,11 @@ def main():
         msg += (
             f"; curation eff(2->8)={ceff_2_8:.2f} "
             f"eff(8->32)={ceff_8_32:.2f} peak={crate[32]:,.0f} docs/s"
+        )
+    if ad:
+        msg += (
+            f"; analytics eff(2->8)={aeff_2_8:.2f} "
+            f"eff(8->32)={aeff_8_32:.2f} peak={arate[32]:,.0f} events/s"
         )
     print(msg)
 
