@@ -391,12 +391,13 @@ def _decode_image_stub(payload: bytes, fake: bool) -> np.ndarray:
     BMP payloads (magic ``BM``) decode FOR REAL via :func:`decode_bmp`,
     PNG via :func:`decode_png`, baseline JPEG via
     :func:`geocore_spark.operators.jpegcodec.decode_jpeg`, GIF via
-    :func:`geocore_spark.operators.gifcodec.decode_gif` — pure numpy
-    (+ stdlib zlib for PNG), no imaging library. Remaining formats
-    (WebP/AVIF/...) are genuinely lib-bound: with ``fake=True`` they get
-    a deterministic content-seeded 32x32x3 array so the plumbing stays
-    testable; with ``fake=False`` they raise (deployments swap in
-    PIL/libvips; nothing else changes).
+    :func:`geocore_spark.operators.gifcodec.decode_gif`, lossless WebP
+    (VP8L) via :func:`geocore_spark.operators.vp8lcodec.decode_webp` —
+    pure numpy (+ stdlib zlib for PNG), no imaging library. Remaining
+    formats (lossy-VP8 WebP / AVIF / ...) are genuinely lib-bound: with
+    ``fake=True`` they get a deterministic content-seeded 32x32x3 array
+    so the plumbing stays testable; with ``fake=False`` they raise
+    (deployments swap in PIL/libvips; nothing else changes).
 
     ``fake=True`` is a NO-RAISE guarantee: a corrupt/truncated payload
     behind a real magic prefix falls back to the deterministic fake
@@ -421,10 +422,18 @@ def _decode_image_stub(payload: bytes, fake: bool) -> np.ndarray:
             from geocore_spark.operators import tiffcodec
 
             return _to_rgb3(tiffcodec.decode_tiff(payload))
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from geocore_spark.operators import vp8lcodec
+
+            # VP8L decodes for real; lossy VP8 raises
+            # NotImplementedError inside (lib-bound), falling through
+            # to the fake path / strict raise below
+            return _to_rgb3(vp8lcodec.decode_webp(payload))
         if not fake:
             raise NotImplementedError(
-                "non-BMP/PNG/JPEG/GIF/TIFF image codec not available in this "
-                "environment; pass fake=True or deploy with PIL/libvips"
+                "non-BMP/PNG/JPEG/GIF/TIFF/VP8L image codec not available "
+                "in this environment; pass fake=True or deploy with "
+                "PIL/libvips"
             )
     except Exception:
         if not fake:
@@ -928,7 +937,8 @@ def synth_encoded_media(
     pixels, per-row filter mix covering all five types) / baseline JPEG
     (4:2:0, quality 90 — operators/jpegcodec) / GIF (8-color palette,
     alternating interlace — operators/gifcodec) / TIFF (LZW + horizontal
-    predictor — operators/tiffcodec) / WebP-magic fake; audio
+    predictor — operators/tiffcodec) / lossless WebP (VP8L RGBA —
+    operators/vp8lcodec); audio
     alternates real WAV PCM (id-dependent tone) and MP3-magic fake; video
     alternates real MJPEG-AVI (4 content-seeded frames) and MP4-magic
     fake. Arrow-batched pandas UDF; the encoders are the same fixture
@@ -987,8 +997,16 @@ def synth_encoded_media(
                             predictor=True,
                         )
                     )
-                else:  # genuinely lib-bound: WebP magic -> fake path
-                    out.append(b"RIFF" + rng.bytes(4) + b"WEBP" + rng.bytes(52))
+                else:  # real lossless WebP (VP8L) — operators/vp8lcodec
+                    from geocore_spark.operators.vp8lcodec import encode_vp8l
+
+                    out.append(
+                        encode_vp8l(
+                            rng.integers(
+                                0, 256, size=(11, 13, 4), dtype=np.uint8
+                            )
+                        )
+                    )
             elif kind == "audio":
                 if i % 2 == 0:
                     sr = 4000

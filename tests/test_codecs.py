@@ -355,9 +355,9 @@ def test_mixed_real_and_fake_batch(spark):
 
 def test_synth_encoded_media_real_payloads(spark):
     """The driver-query fixture generator emits payloads the real codecs
-    decode: BMP/PNG/JPEG/GIF/TIFF sixths decode for real (fake=False
-    works on them), the WebP-magic sixth needs the fake path; audio
-    evens are real WAV."""
+    decode: all six image members — BMP/PNG/JPEG/GIF/TIFF/VP8L-WebP —
+    decode for real (fake=False works on every one since r4's
+    vp8lcodec); audio evens are real WAV."""
     ids = spark.range(18).withColumnRenamed("id", "doc_id")
     imgs = mm.synth_encoded_media(ids, kind="image")
     by_id = {r["doc_id"]: bytes(r["payload"]) for r in imgs.collect()}
@@ -397,10 +397,14 @@ def test_synth_encoded_media_real_payloads(spark):
             want = rng.integers(0, 256, size=(13, 10, 3), dtype=np.uint8)
             assert np.array_equal(decode_tiff(p), want)  # lossless
         else:
+            from geocore_spark.operators.vp8lcodec import decode_webp
+
             assert p[:4] == b"RIFF" and p[8:12] == b"WEBP"
-    # real/fake routing end-to-end: only the WebP sixth requires fake
-    real_only = imgs.filter(F.col("doc_id") % 6 != 5)
-    assert mm.image_features(real_only, fake=False).count() == 15
+            rng = np.random.default_rng(i)
+            want = rng.integers(0, 256, size=(11, 13, 4), dtype=np.uint8)
+            assert np.array_equal(decode_webp(p), want)  # lossless
+    # real/fake routing end-to-end: every image member decodes real now
+    assert mm.image_features(imgs, fake=False).count() == 18
     aud = mm.synth_encoded_media(ids, kind="audio")
     wavs = aud.filter(F.col("doc_id") % 2 == 0)
     feats = {r["doc_id"]: r for r in mm.audio_features(wavs, fake=False).collect()}
