@@ -3243,10 +3243,13 @@ WHERE p <= GREATEST(1, L - {k - 1} - {window - 1})"""
 def q_media_features(spark, sf_dir):
     """Multimodal image path over REAL encoded payloads: ids cycle
     BMP / PNG (all five scanline filters) / baseline JPEG (4:2:0) /
-    GIF (interlace alternating) / WebP-magic fake, so this rows-only
-    check drives the actual pure-numpy codecs (multimodal.decode_bmp/
-    decode_png, jpegcodec.decode_jpeg, gifcodec.decode_gif) — only the
-    genuinely lib-bound fifth takes the deterministic-fake branch."""
+    GIF (interlace alternating) / TIFF (LZW + predictor) / lossless
+    WebP (VP8L), so this rows-only check drives the actual pure-numpy
+    codecs (multimodal.decode_bmp/decode_png, jpegcodec.decode_jpeg,
+    gifcodec.decode_gif, tiffcodec.decode_tiff, vp8lcodec.decode_webp)
+    — since r4 EVERY image member decodes for real; no image row takes
+    the deterministic-fake branch (lossy VP8/MP3/MP4 fakes remain in
+    the audio/video fixtures)."""
     from geocore_spark.operators import multimodal as mm
 
     base = _t(spark, sf_dir, "documents").select("doc_id")

@@ -26,6 +26,13 @@ boundary (see operators/multimodal.py) — but a VP8X container whose
 image data is VP8L decodes here, and `decode_webp_alpha` decodes the
 lossless-compressed ALPH chunk of a lossy file.
 
+Performance honesty: entropy decode and predictor inversion are
+per-pixel Python (~6 us/px — a 1 MP image costs seconds); the
+transforms' inverses are numpy. That is the right trade for a
+correctness-first reference codec at fixture scale (same posture as
+jpegcodec's bit reader); production pipelines deploy libvips/PIL via
+the multimodal fake/strict switch and nothing else changes.
+
 Reference analogue: woodgilber/GeoCore has no codec layer (multimodal
 ingestion is outside its warehouse scope); this closes the engine's
 last tractable codec stub (VERDICT r3 item #8).
@@ -736,8 +743,14 @@ def _inv_alpha_filter(p: np.ndarray, method: int) -> np.ndarray:
 
 
 def _huffman_lengths(freqs: list[int], max_len: int = 15) -> list[int]:
-    """Code lengths from frequencies: heap Huffman, then a Kraft-fixing
-    clamp for the (rare at our scale) overlong codes."""
+    """Code lengths from frequencies: heap Huffman; if any code exceeds
+    ``max_len``, fall back to the balanced two-level assignment — with
+    k used symbols and l = ceil(log2(k)), give the (2^l - k) most
+    frequent symbols length l-1 and the rest length l. Kraft sums to
+    EXACTLY 1 ((2a + b) / 2^l = 1), so the emitted code is always
+    complete — a clamp-and-patch repair here once produced
+    under-subscribed codes that strict decoders reject (r4 review
+    finding, reproduced on a Fibonacci-skewed histogram)."""
     import heapq
 
     nz = [(f, s) for s, f in enumerate(freqs) if f > 0]
@@ -761,18 +774,16 @@ def _huffman_lengths(freqs: list[int], max_len: int = 15) -> list[int]:
         heapq.heappush(heap, (f1 + f2, counter, s1 + s2))
     for s, d in depth.items():
         lengths[s] = d
-    # length-limit: clamp then restore Kraft equality by incrementing
-    # the shallowest clamped-free codes (simple and always terminates)
     if max(lengths) > max_len:
-        for s in range(n):
-            if lengths[s] > max_len:
-                lengths[s] = max_len
-        while sum(1 / (1 << l) for l in lengths if l) > 1:
-            # deepen the least-deep code below max_len
-            cand = min(
-                (l, s) for s, l in enumerate(lengths) if 0 < l < max_len
-            )
-            lengths[cand[1]] += 1
+        k = len(nz)
+        l = max(1, (k - 1).bit_length())  # noqa: E741  ceil(log2(k))
+        if l > max_len:
+            raise ValueError("huffman: alphabet too large for max_len")
+        short = (1 << l) - k  # symbols that get length l-1
+        by_freq = sorted(nz, key=lambda t: (-t[0], t[1]))
+        lengths = [0] * n
+        for i, (_, s) in enumerate(by_freq):
+            lengths[s] = (l - 1) if i < short and l > 1 else l
     return lengths
 
 

@@ -239,12 +239,41 @@ def test_predictor_modes_stream(mode):
         | orig[..., 2].astype(np.uint32)
     )
 
-    # forward predict (spec): residual = pixel - predictor per channel,
-    # with the same border rules the decoder applies
-    def sub(px, pred):
-        pa, pr, pg, pb = v._unpack_argb(px)
-        qa, qr, qg, qb = v._unpack_argb(pred)
-        return v._pack_argb(pa - qa, pr - qr, pg - qg, pb - qb)
+    # forward predict with INDEPENDENT spec math (r4 review: reusing
+    # the decoder's _avg2/_select/_clamp helpers here would make the
+    # test circular — a shared formula bug would cancel out): every
+    # predictor is reimplemented channel-wise on 4-tuples from the
+    # spec's pseudo-code, C semantics spelled explicitly
+    def chans(p):
+        return ((p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+
+    def pack(t):
+        return ((t[0] & 0xFF) << 24 | (t[1] & 0xFF) << 16
+                | (t[2] & 0xFF) << 8 | (t[3] & 0xFF))
+
+    def avg2(p, q):
+        return pack(tuple((a + b) >> 1 for a, b in zip(chans(p), chans(q))))
+
+    def select(t, l, tl):  # noqa: E741
+        ct, cl, ctl = chans(t), chans(l), chans(tl)
+        p = [a + b - c for a, b, c in zip(cl, ct, ctl)]
+        p_l = sum(abs(a - b) for a, b in zip(p, cl))
+        p_t = sum(abs(a - b) for a, b in zip(p, ct))
+        return l if p_l < p_t else t
+
+    def casf(l, t, tl):  # noqa: E741  ClampAddSubtractFull
+        return pack(tuple(
+            min(255, max(0, a + b - c))
+            for a, b, c in zip(chans(l), chans(t), chans(tl))
+        ))
+
+    def cash(ave, tl):  # ClampAddSubtractHalf: C division truncates
+        out = []
+        for a, c in zip(chans(ave), chans(tl)):
+            d = a - c
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(min(255, max(0, a + half)))
+        return pack(tuple(out))
 
     res = np.zeros_like(argb)
     for y in range(h):
@@ -266,17 +295,18 @@ def test_predictor_modes_stream(mode):
                     2: lambda: T,
                     3: lambda: TR,
                     4: lambda: TL,
-                    5: lambda: v._avg2(v._avg2(L, TR), T),
-                    6: lambda: v._avg2(L, TL),
-                    7: lambda: v._avg2(L, T),
-                    8: lambda: v._avg2(TL, T),
-                    9: lambda: v._avg2(T, TR),
-                    10: lambda: v._avg2(v._avg2(L, TL), v._avg2(T, TR)),
-                    11: lambda: v._select(T, L, TL),
-                    12: lambda: v._clamp_add_sub_full(L, T, TL),
-                    13: lambda: v._clamp_add_sub_half(v._avg2(L, T), TL),
+                    5: lambda: avg2(avg2(L, TR), T),
+                    6: lambda: avg2(L, TL),
+                    7: lambda: avg2(L, T),
+                    8: lambda: avg2(TL, T),
+                    9: lambda: avg2(T, TR),
+                    10: lambda: avg2(avg2(L, TL), avg2(T, TR)),
+                    11: lambda: select(T, L, TL),
+                    12: lambda: casf(L, T, TL),
+                    13: lambda: cash(avg2(L, T), TL),
                 }[mode]()
-            res[y, x] = np.uint32(sub(int(argb[y, x]), pred))
+            pc, rc = chans(int(argb[y, x])), chans(pred)
+            res[y, x] = np.uint32(pack(tuple(a - b for a, b in zip(pc, rc))))
     mode_pixel = (0xFF << 24) | (mode << 8)
     bw = v._BitWriter()
     bw.write(1, 1)
@@ -454,3 +484,31 @@ def test_multimodal_decodes_vp8l_real_and_fakes_lossy():
         with pytest.raises(NotImplementedError):
             mm._decode_image_stub(lossy, fake=False)
         assert mm._decode_image_stub(lossy, fake=True).shape == (32, 32, 3)
+
+
+def test_huffman_length_limit_stays_complete():
+    """r4 review regression: a Fibonacci-skewed histogram drives heap
+    Huffman past 15 bits; the fallback must emit a COMPLETE code
+    (Kraft exactly 1) — the old clamp-and-deepen repair produced
+    under-subscribed codes strict decoders reject."""
+    fib = [1, 1]
+    while len(fib) < 25:
+        fib.append(fib[-1] + fib[-2])
+    freqs = [0] * 256
+    for s, f in enumerate(fib):
+        freqs[s] = f
+    lengths = v._huffman_lengths(freqs)
+    assert max(lengths) <= 15
+    kraft = sum(1 / (1 << l) for l in lengths if l)
+    assert kraft == 1.0, kraft
+    # and a real image with that histogram round-trips
+    vals = np.repeat(
+        np.arange(25, dtype=np.uint8), np.array(fib) % 97 + 1
+    )
+    side = int(np.ceil(np.sqrt(len(vals))))
+    flat = np.zeros(side * side, dtype=np.uint8)
+    flat[: len(vals)] = vals
+    img = flat.reshape(side, side)[:, :, None].repeat(3, axis=2)
+    assert np.array_equal(
+        v.decode_webp(v.encode_vp8l(img))[..., :3], img
+    )
