@@ -327,3 +327,33 @@ def test_probe_frame_plan_never_ships_keys_to_driver(spark):
     above = plan.split("MapInPandas")[0]
     assert "k#" not in above.split("Arguments")[0]
     assert sorted(r["idx"] for r in pf.collect()) == [0, 1]
+
+
+def test_probe_victim_files_timestamp_keys(spark, tmp_path):
+    """Timestamp prune keys (warc_ts-style recrawl batches): both sides
+    of the probe's compare route through the same pandas dtype
+    conversion, so datetime keys probe exactly like ints."""
+    import datetime as dt
+
+    path = str(tmp_path / "ts")
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=i),) for i in range(240)], "ts timestamp"
+    ).repartitionByRange(4, "ts").write.parquet(path)
+    stats = st.file_stats(spark, path, ["ts"])
+    frows = [
+        (st.decode_file_url(r["file"]), r["min_ts"], r["max_ts"])
+        for r in stats.collect()
+    ]
+    probes = [t0 + dt.timedelta(hours=5), t0 + dt.timedelta(hours=130)]
+    keys = spark.createDataFrame([(p,) for p in probes], "ts timestamp")
+    got = st.probe_victim_files(keys, "ts", stats)
+    want = {
+        f for f, lo, hi in frows if any(lo <= p <= hi for p in probes)
+    }
+    assert got == want and len(want) == 2
+    # a probe beyond every range hits nothing
+    far = spark.createDataFrame(
+        [(t0 + dt.timedelta(days=900),)], "ts timestamp"
+    )
+    assert st.probe_victim_files(far, "ts", stats) == set()

@@ -512,3 +512,47 @@ def test_huffman_length_limit_stays_complete():
     assert np.array_equal(
         v.decode_webp(v.encode_vp8l(img))[..., :3], img
     )
+
+
+def test_meta_prefix_two_group_stream():
+    """Meta prefix codes (the one path no real fixture exercises): a
+    4x2 image with block_bits=2 (4-pixel blocks) gets TWO prefix-code
+    groups — block 0 codes only low greens, block 1 only high greens —
+    selected per pixel through the entropy image (meta code =
+    (red << 8) | green of the meta pixel)."""
+    w, h = 8, 1
+    left = [0xFF000100 | (g << 8) for g in (10, 11, 12, 13)]
+    right = [0xFF000200 | (g << 8) for g in (200, 201, 202, 203)]
+    pixels = left + right
+    bw = v._BitWriter()
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta prefix present
+    bw.write(0, 3)  # size_bits - 2 = 0 -> block_bits 2 -> blocks of 4
+    # entropy image: 2x1, meta codes 0 and 1 in (red<<8)|green
+    _literal_stream(bw, [0xFF000000, 0xFF000100], sub_image=True)
+    # two groups, each trained ONLY on its half
+    groups = []
+    for half in (left, right):
+        lengths, codes = {}, {}
+        for k, shift, size in (
+            ("g", 8, 256 + 24), ("r", 16, 256), ("b", 0, 256), ("a", 24, 256)
+        ):
+            freqs = [0] * size
+            for p in half:
+                freqs[(p >> shift) & 0xFF] += 1
+            lengths[k] = v._huffman_lengths(freqs)
+            codes[k] = (v._canonical_codes(lengths[k]), shift)
+        groups.append(codes)
+        for k in ("g", "r", "b", "a"):
+            v._write_prefix_code_capped(bw, lengths[k])
+        v._write_prefix_code(bw, [1] + [0] * 39)
+    for i, p in enumerate(pixels):
+        codes = groups[0] if i < 4 else groups[1]
+        for k in ("g", "r", "b", "a"):
+            cmap, shift = codes[k]
+            if len(cmap) > 1:
+                c, l = cmap[(p >> shift) & 0xFF]  # noqa: E741
+                bw.write_code(c, l)
+    got = v._decode_main_image(v._BitReader(bw.bytes()), w, h)
+    assert got.reshape(-1).tolist() == pixels
