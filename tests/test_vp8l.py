@@ -556,3 +556,59 @@ def test_meta_prefix_two_group_stream():
                 bw.write_code(c, l)
     got = v._decode_main_image(v._BitReader(bw.bytes()), w, h)
     assert got.reshape(-1).tolist() == pixels
+
+
+@pytest.mark.parametrize("method", [0, 1, 2, 3])
+def test_alpha_filter_roundtrip(method):
+    """ALPH per-row filters (container spec): forward-filter a plane in
+    the test (horizontal: pred=left, leftmost=above, origin=0;
+    vertical: pred=above, top row=left; gradient: clip(L+T-TL) with
+    the same border fallbacks), build a full WebP container with a
+    VP8L-compressed ALPH chunk + VP8X dims, and decode_webp_alpha must
+    invert it exactly."""
+    import struct
+
+    rng = np.random.default_rng(60 + method)
+    h, w = 6, 9
+    plane = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+    def pred(out, y, x):
+        if method == 1:  # horizontal
+            if x > 0:
+                return int(out[y, x - 1])
+            return int(out[y - 1, 0]) if y > 0 else 0
+        if method == 2:  # vertical
+            if y > 0:
+                return int(out[y - 1, x])
+            return int(out[0, x - 1]) if x > 0 else 0
+        if method == 3:  # gradient
+            if y == 0:
+                return int(out[0, x - 1]) if x > 0 else 0
+            if x == 0:
+                return int(out[y - 1, 0])
+            g = (int(out[y, x - 1]) + int(out[y - 1, x])
+                 - int(out[y - 1, x - 1]))
+            return min(255, max(0, g))
+        return 0
+
+    filtered = np.zeros_like(plane)
+    for y in range(h):
+        for x in range(w):
+            filtered[y, x] = (int(plane[y, x]) - pred(plane, y, x)) & 0xFF
+
+    # VP8L-compress the filtered plane into the green channel
+    bw = v._BitWriter()
+    bw.write(0, 1)  # no transforms
+    _literal_stream(bw, [(0xFF << 24) | (int(g) << 8)
+                         for g in filtered.reshape(-1)])
+    body = bytes([1 | (method << 2)]) + bw.bytes()  # C=1, F=method
+    alph = b"ALPH" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        alph += b"\x00"
+    vp8x_body = bytes([0x10, 0, 0, 0]) + struct.pack("<I", w - 1)[:3] \
+        + struct.pack("<I", h - 1)[:3]
+    vp8x = b"VP8X" + struct.pack("<I", len(vp8x_body)) + vp8x_body
+    riff = b"WEBP" + vp8x + alph
+    payload = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    got = v.decode_webp_alpha(payload)
+    assert np.array_equal(got, plane), f"filter {method}"
