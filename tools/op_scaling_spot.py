@@ -277,10 +277,9 @@ def pipe():
     assert stats["rows_tombstoned"] > 1_000_000, stats
     return stats
 """,
-    # degree-oriented triangle counting (operators/motifs.py) over a 10M-edge
-    # random graph on 1M nodes — all JVM: distinct + degree joins + the
-    # wedge self-join (the O(sqrt(m)) out-degree bound keeps it ~45M rows)
-    # + the closing equi-join. No Python workers; ceiling = shuffle width.
+    # last-touch + linear attribution (operators/product_analytics.py):
+    # 40M touches x 4M conversions over 2M users — the windowed
+    # touch-conversion range join + per-conversion window. All JVM.
     "attribution": """
 from pyspark.sql import functions as F
 from geocore_spark.operators import product_analytics as pa
@@ -311,6 +310,10 @@ def pipe():
     out = metrics.gini_coefficient(d, "g", "v")
     return out.agg(F.count(F.lit(1)), F.sum("gini_micro")).collect()
 """,
+    # degree-oriented triangle counting (operators/motifs.py) over a
+    # 10M-edge random graph on 1M nodes — all JVM: distinct + degree
+    # joins + the wedge self-join (the O(sqrt(m)) out-degree bound
+    # keeps it ~45M rows) + the closing equi-join; ceiling = shuffles.
     "triangles": """
 from pyspark.sql import functions as F
 from geocore_spark.operators import motifs
@@ -360,6 +363,13 @@ def pipe():
 
 
 def _run(op: str, cpus: int) -> float:
+    # shuffle_partitions = max(cpus*2, 8) varies with the level (8 at 2
+    # cores, 16 at 8) — a known two-variables-at-once caveat vs the
+    # main legs' fixed-32 discipline, KEPT because every recorded
+    # op_spots entry was measured under this scheme and the SCALE.md
+    # rows cite specific runs; changing it would silently fork the
+    # methodology mid-history. New leg families should fix partitions
+    # across levels like scaling_bench's graph/analytics legs do.
     code = f"""
 import json, time
 from geocore_spark.session import get_spark
@@ -382,15 +392,32 @@ print(json.dumps({{"t": min(ts)}}))
     return json.loads(out.stdout.strip().splitlines()[-1])["t"]
 
 
+def _steal_ticks() -> int:
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except OSError:
+        return 0
+
+
+# ops that synthesize their own input via spark.range need no fixture
+_SELF_CONTAINED = {"ntile", "gini", "attribution", "triangles", "setjoin"}
+
+
 def main() -> None:
     ops = sys.argv[1:] or list(_OPS)
-    subprocess.run(
-        [sys.executable, "-c", _MATERIALIZE],
-        env=dict(os.environ, PYTHONPATH=REPO),
-        check=True,
-        capture_output=True,
-        text=True,
-    )
+    bad = [op for op in ops if op not in _OPS]
+    if bad:
+        raise SystemExit(f"unknown op(s): {bad}; known: {sorted(_OPS)}")
+    if any(op not in _SELF_CONTAINED for op in ops):
+        subprocess.run(
+            [sys.executable, "-c", _MATERIALIZE],
+            env=dict(os.environ, PYTHONPATH=REPO),
+            check=True,
+            capture_output=True,
+            text=True,
+        )
     # input descriptor recorded per op so entries at different input
     # sizes can never be cross-paired (the mixed-input trap the main
     # bench guards with curation_docs/graph_edges)
@@ -416,21 +443,51 @@ def main() -> None:
         "gini": "50M rows 1000 groups",
     }
     entry = {"ts": time.time(), "pinned": True, "ops": {}}
-    print("| operator | t(2) s | t(8) s | eff(2->8) |")
-    print("|---|---|---|---|")
+    failed: dict[str, str] = {}
+    print("| operator | t(2) s | t(8) s | eff(2->8) | steal t/s |")
+    print("|---|---|---|---|---|")
     for op in ops:
-        t2 = _run(op, 2)
-        t8 = _run(op, 8)
+        # per-op steal watch (r4 review: two contaminated spot runs had
+        # to be hand-deleted — make the CLAUDE.md idle-box policy
+        # mechanical, like scaling_bench's self-flagging legs), and a
+        # per-op failure boundary so one late failure can't discard
+        # hours of completed measurements
+        t0, s0 = time.time(), _steal_ticks()
+        try:
+            t2 = _run(op, 2)
+            t8 = _run(op, 8)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            failed[op] = str(e)[:200]
+            print(f"| {op} | FAILED | — | — | — | {failed[op]}", flush=True)
+            continue
+        steal_tps = (_steal_ticks() - s0) / max(time.time() - t0, 1e-6)
         eff = t2 / (4 * t8)
         entry["ops"][op] = {
             "2": round(t2, 2),
             "8": round(t8, 2),
             "input": inputs.get(op, "?"),
+            "steal_tps": round(steal_tps, 1),
+            "noisy": steal_tps > 50.0,
         }
-        print(f"| {op} | {t2:.2f} | {t8:.2f} | {eff:.2f} |", flush=True)
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "op_spots.jsonl"), "a") as f:
-        f.write(json.dumps(entry) + "\n")
+        flag = " NOISY" if steal_tps > 50.0 else ""
+        print(
+            f"| {op} | {t2:.2f} | {t8:.2f} | {eff:.2f} |"
+            f" {steal_tps:.1f}{flag} |",
+            flush=True,
+        )
+    if failed:
+        entry["failed"] = failed
+    if entry["ops"] or failed:
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "op_spots.jsonl"), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+    if any(o.get("noisy") for o in entry["ops"].values()):
+        print(
+            "[steal] one or more ops saw hypervisor steal > 50 ticks/s — "
+            "those rows are contaminated; rerun them in a quiet window "
+            "before citing them in SCALE.md",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -25,7 +25,8 @@ number (disable with SPARK_GRAFT_CURATION=0) — and runs the full
 bench.py query set at 8 and 32 cores for the per-query table.
 Writes BENCH/BASELINE.md.
 
-Usage: python tools/scaling_bench.py [sf_dir] [--legs flagship,text,curation,queries]
+Usage: python tools/scaling_bench.py [sf_dir]
+    [--legs flagship,text,curation,graph,analytics,queries]
 (rerun a single leg in a quiet window after a host-stall-noised run; the
 report regenerates from the best-per-level merge over BENCH/history.jsonl)
 """
@@ -248,7 +249,8 @@ GRAPH_ITERS = 5
 
 
 def _materialize_edges() -> None:
-    """10M-edge host graph over 1M hosts, pure Column, written once.
+    """N_EDGES-edge host graph (default 100M) over 1M hosts, pure
+    Column, written once.
     dst is a multiplicative scramble of the edge id so the graph is
     irregular (hubs + dangling hosts) but fully deterministic."""
     if os.path.exists(os.path.join(EDGES_PARQUET, "_SUCCESS")):
@@ -414,8 +416,13 @@ def _query_bench(cpus: int) -> dict:
         SPARK_GRAFT_SF_DIR=SF_DIR,
         SPARK_GRAFT_REPEAT="3",
     )
+    # pinned like every other leg (r4 review: an unpinned local[8] lets
+    # Python workers overflow onto spare cores, deflating t8 — the
+    # exact artifact the module docstring documents). The r4 bench
+    # query-set change started a fresh per-query merge epoch anyway,
+    # so no unpinned history mixes in.
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        _pinned(cpus) + [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
         capture_output=True,
         text=True,
@@ -461,9 +468,11 @@ def main():
     if "flagship" in legs:
         _materialize_pages()
         entry["flagship"] = _leg("flagship", _flagship)
+        entry["flagship_input"] = PAGES_PARQUET
     if "text" in legs:
         _materialize_docs()
         entry["text"] = _leg("text", _text_flagship)
+        entry["text_input"] = DOCS_PARQUET
     if "curation" in legs:
         entry["curation"] = _leg("curation", _curation)
         entry["curation_docs"] = N_CUR_DOCS
@@ -543,6 +552,21 @@ def main():
             have = [
                 r for r in have
                 if r.get("analytics_events") == N_AN_EVENTS
+            ]
+        if key == "flagship":
+            # r4 review: an env-overridden SPARK_GRAFT_PAGES_DIR (any
+            # size) must never best-merge with default-input history;
+            # legacy entries without the key were all default-dir runs
+            have = [
+                r for r in have
+                if r.get("flagship_input", "/tmp/geocore_pages20m")
+                == PAGES_PARQUET
+            ]
+        if key == "text":
+            have = [
+                r for r in have
+                if r.get("text_input", "/tmp/geocore_docs500k")
+                == DOCS_PARQUET
             ]
         if key in ("graph", "graph_marg"):
             # same rule for the graph leg: size AND iteration count must

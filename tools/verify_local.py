@@ -29,17 +29,37 @@ TABLES = [
 
 
 def _norm_value(v):
+    """Normalize recursively: NaN -> 'NaN' and bytes -> hex INSIDE
+    array/struct columns too (a NaN element in an array<double> would
+    otherwise defeat both compare passes — nan != nan; r4 review)."""
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return v
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_value(x)) for k, x in v.items()))
     return v
 
 
+def _sort_key_value(v):
+    # floats sort by a ROUNDED rendering so ~1e-12 drift cannot cross a
+    # sort boundary and misalign the zipped tolerance pass (r4 review:
+    # two approx-equal multisets must sort into the same order)
+    if isinstance(v, float):
+        return f"{v:.9e}"
+    if isinstance(v, tuple):
+        return tuple(_sort_key_value(x) for x in v)
+    return str(v)
+
+
 def _sort_key(row):
-    return tuple((v is None, type(v).__name__, str(v)) for v in row)
+    return tuple(
+        (v is None, type(v).__name__, _sort_key_value(v)) for v in row
+    )
 
 
 def _rows_to_multiset(rows, colnames):
@@ -54,6 +74,10 @@ def _approx_equal(a, b, tol=1e-6):
         if math.isnan(a) and math.isnan(b):
             return True
         return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(
+            _approx_equal(x, y, tol) for x, y in zip(a, b)
+        )
     return a == b
 
 
