@@ -5989,8 +5989,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_join": q_distance_join,
         "dwithin_rewrite": q_dwithin_rewrite,
         "crawl_frontier": q_crawl_frontier,
-        "url_normalize": q_url_normalize,
-        "repetition_signals": q_repetition_signals,
+        # deliberate round-5 swap (VERDICT r4 item #1): the storage-layout
+        # + deep-graph family enters the hard window (zorder_curve,
+        # tile_pyramid, range_join, ktruss, sssp, hits — the driver's hard
+        # signal had never covered them); the demoted entries
+        # (url_normalize + repetition_signals — text-signals family covered
+        # by text_signals + c4_filter/gopher_filter; lang_distribution —
+        # aggregate family covered by pricing_summary; embedding_topk —
+        # covered by semantic_dedup + knn; ngram_jaccard — similarity
+        # family covered by semantic_dedup + duplicate_spans + the
+        # in-window minhash_lsh; pivot — grouping-sets family moves fully
+        # to the verified tail alongside cube_agg, aggregates stay
+        # in-window via decile_stats) head the verified tail.
+        "zorder_curve": q_zorder_curve,
+        "tile_pyramid": q_tile_pyramid,
         "robots_gate": q_robots_gate,
         "media_format": q_media_format,
         "knn": q_knn,
@@ -5999,14 +6011,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_assembly": q_spatial_assembly,
         "exact_dedup": q_exact_dedup,
         "text_signals": q_text_signals,
-        "lang_distribution": q_lang_distribution,
-        "embedding_topk": q_embedding_topk,
-        "ngram_jaccard": q_ngram_jaccard,
+        "range_join": q_range_join,
+        "ktruss": q_ktruss,
+        "sssp": q_sssp,
         "distance_to_line": q_distance_to_line,
         "block_folds": q_block_folds,
         "asof_join": q_asof_join,
         "corpus_curation": q_corpus_curation,
-        "pivot": q_pivot,
+        "hits": q_hits,
         # deliberate round-2 swap: lm_perplexity (flagship curation op)
         # takes the hard-gate slot; region_revenue (J5, already covered
         # in-window by pip_rect_join) moves to the verified tail
@@ -6044,6 +6056,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        # round-5 demotions (families remain in-window, see swap note above)
+        "url_normalize": q_url_normalize,
+        "repetition_signals": q_repetition_signals,
+        "lang_distribution": q_lang_distribution,
+        "embedding_topk": q_embedding_topk,
+        "ngram_jaccard": q_ngram_jaccard,
+        "pivot": q_pivot,
+        # round-4 demotions
         "salted_agg": q_salted_agg,
         "cube_agg": q_cube_agg,
         "snapshot_diff": q_snapshot_diff,
@@ -6058,16 +6078,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": q_gini,
         "user_paths": q_user_paths,
         "max_drawdown": q_max_drawdown,
-        "ktruss": q_ktruss,
         "changepoint": q_changepoint,
-        "hits": q_hits,
         "assortativity": q_assortativity,
         "ewma_smooth": q_ewma_smooth,
         "histogram": q_histogram,
         "ohlc": q_ohlc,
         "rfm": q_rfm,
         "clustering": q_clustering,
-        "sssp": q_sssp,
         "unpivot": q_unpivot,
         "column_profile": q_column_profile,
         "set_similarity": q_set_similarity,
@@ -6086,9 +6103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": q_incremental_rollup,
         "snapshot_delete": q_snapshot_delete,
         "snapshot_time_travel": q_snapshot_time_travel,
-        "zorder_curve": q_zorder_curve,
-        "tile_pyramid": q_tile_pyramid,
-        "range_join": q_range_join,
         "interval_overlap": q_interval_overlap,
         "trustrank_exact": q_trustrank_exact,
         # host_centrality promoted from the rows-only tail: at this graph

@@ -454,11 +454,13 @@ def geometric_smooth(
     truncating division. Overflow:
     |weighted sum| <= (2^W - 1) * max|x| and the 1e6 micro scale
     needs another factor; a per-row guard on the INPUT raises when
-    |x| >= (2^62 div 1e6) >> W — a non-wrapping check (abs of one
-    value) that bounds the sum before it is ever formed, matching the
-    max(abs)/count guard discipline of the sibling operators
-    (max_drawdown, changepoint, gini). A post-sum abs() check would
-    be wrap-proof only under ANSI mode. W is capped at 32 (the
+    x is outside (-(B), B) for B = (2^62 div 1e6) >> W — a two-sided
+    comparison on ONE value (no abs(): with ANSI off even
+    abs(Long.MIN_VALUE) wraps negative and would slip past an
+    `abs(x) < B` check) that bounds the sum before it is ever formed,
+    matching the max/count guard discipline of the sibling operators
+    (max_drawdown, changepoint, gini). A post-sum check would be
+    wrap-proof only under ANSI mode. W is capped at 32 (the
     weights themselves stay far from 2^63).
 
     Output: input keys + (x, smooth_micro) per row.
@@ -483,7 +485,12 @@ def geometric_smooth(
     # |weighted sum| < 2^62 div 1e6 by construction.
     x_bound = (2**62 // 1_000_000) >> window
     x_raw = F.col(value_col).cast("long")
-    x_guarded = F.when(F.abs(x_raw) < F.lit(x_bound), x_raw).otherwise(
+    # Spelled without abs(): with ANSI off, abs(Long.MIN_VALUE) wraps
+    # to a NEGATIVE value and would pass an `abs(x) < bound` check.
+    # The two-sided comparison is strictly wrap-proof for every long.
+    x_guarded = F.when(
+        (x_raw > F.lit(-x_bound)) & (x_raw < F.lit(x_bound)), x_raw
+    ).otherwise(
         F.raise_error(
             F.lit(
                 "geometric_smooth: |value| too large — the weighted "

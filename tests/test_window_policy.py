@@ -16,16 +16,16 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
 
-# Frozen by the round-4 deliberate swap (VERDICT r3 item #2): the
-# lakehouse + graph + analytics flagships (snapshot_merge, stream_changes,
-# triangle_count, pagerank_exact, grouped_corr, time_weighted_avg) hold
-# hard-gate slots; salted_agg, cube_agg, snapshot_diff, sessionize,
-# dup_groups and lift_ks were demoted to the verified tail (their operator
-# families remain in-window: skew handling via skew_split_agg, grouping
-# sets via pivot+decile_stats, snapshot surface via the richer
-# snapshot_merge/stream_changes entries, temporal family via
-# hour_bucket_join+asof_join, A10 via exact_dedup, A8/W5 via
-# decile_stats). The round-3 swap's seven LLM-curation promotions stay.
+# Frozen by the round-5 deliberate swap (VERDICT r4 item #1): the
+# storage-layout + deep-graph family (zorder_curve, tile_pyramid,
+# range_join, ktruss, sssp, hits — never previously under the driver's
+# hard signal) holds hard-gate slots; url_normalize, repetition_signals,
+# lang_distribution, embedding_topk, ngram_jaccard and pivot were demoted
+# to the verified tail (families remain in-window: text signals via
+# text_signals + c4/gopher filters, aggregates via pricing_summary +
+# decile_stats, embedding similarity via semantic_dedup + knn, n-gram
+# similarity via duplicate_spans + the in-window minhash_lsh). The
+# round-3/round-4 swap promotions stay.
 FROZEN_WINDOW = [
     "pricing_summary",
     "nway_left_join",
@@ -42,8 +42,8 @@ FROZEN_WINDOW = [
     "distance_join",
     "dwithin_rewrite",
     "crawl_frontier",
-    "url_normalize",
-    "repetition_signals",
+    "zorder_curve",
+    "tile_pyramid",
     "robots_gate",
     "media_format",
     "knn",
@@ -52,14 +52,14 @@ FROZEN_WINDOW = [
     "spatial_assembly",
     "exact_dedup",
     "text_signals",
-    "lang_distribution",
-    "embedding_topk",
-    "ngram_jaccard",
+    "range_join",
+    "ktruss",
+    "sssp",
     "distance_to_line",
     "block_folds",
     "asof_join",
     "corpus_curation",
-    "pivot",
+    "hits",
     "lm_perplexity",
     "classifier_score",
     "duplicate_spans",

@@ -101,16 +101,36 @@ def compare(name, spark, con) -> tuple[bool, str]:
     if sms == oms:
         return True, f"OK exact {len(srows)} rows [{timing}]"
     # tolerance pass
-    mismatches = 0
-    first = None
-    for a, b in zip(sms, oms):
+    mismatches = []
+    for i, (a, b) in enumerate(zip(sms, oms)):
         if not all(_approx_equal(x, y) for x, y in zip(a, b)):
-            mismatches += 1
-            if first is None:
-                first = (a, b)
-    if mismatches == 0:
+            mismatches.append(i)
+    if not mismatches:
         return True, f"OK approx (float drift, {len(srows)} rows) [{timing}]"
-    return False, f"VALUES {mismatches}/{len(srows)} differ; first: {first}"
+    # Greedy re-matching fallback (r4 ADVICE): drift that straddles the
+    # rounded-rendering sort boundary can misalign the zipped compare
+    # even though the multisets are tolerance-equal. Re-match only the
+    # rows the zipped pass rejected — O(k^2) in the mismatch count.
+    rem = [oms[i] for i in mismatches]
+    unmatched = []
+    for i in mismatches:
+        a = sms[i]
+        hit = next(
+            (j for j, b in enumerate(rem) if _approx_equal(a, b)), None
+        )
+        if hit is None:
+            unmatched.append((a, rem[0] if rem else None))
+        else:
+            rem.pop(hit)
+    if not unmatched:
+        return True, (
+            f"OK approx (greedy re-match, {len(mismatches)} rows drifted "
+            f"across sort boundary, {len(srows)} rows) [{timing}]"
+        )
+    return (
+        False,
+        f"VALUES {len(unmatched)}/{len(srows)} differ; first: {unmatched[0]}",
+    )
 
 
 def main():
