@@ -946,7 +946,12 @@ def q_snapshot_merge(spark, sf_dir):
     commit — matched rows tombstoned via positional vectors, the whole
     batch appended, zero files rewritten — and v3 bin-packs every small
     file into one (delete vectors applied during the rewrite; no
-    logical change). Oracle replays the upsert algebra on the raw
+    logical change). Victim selection runs through BOTH manifest
+    probes (range stats + Bloom sidecars, r5: the distributed
+    probe_victim_files_bloom path), so the hard-gate row witnesses
+    that composed pruning never drops a victim — on this hash-ish
+    layout the ranges overlap and the blooms do the narrowing.
+    Oracle replays the upsert algebra on the raw
     table: the batch wins on matched keys, survivors keep their
     original row. Value-exact because every output cell is the identity
     of a source cell or the literal 'M'."""
@@ -971,7 +976,12 @@ def q_snapshot_merge(spark, sf_dir):
         batch = orders.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey", "o_custkey", F.lit("M").alias("o_orderstatus")
         )
-        _, stats = snap.merge_into(spark, root, batch, ["o_orderkey"])
+        kstats = snap.snapshot_file_stats(spark, root, ["o_orderkey"])
+        kblooms = snap.snapshot_file_blooms(spark, root, ["o_orderkey"])
+        _, stats = snap.merge_into(
+            spark, root, batch, ["o_orderkey"],
+            key_stats=kstats, key_blooms=kblooms,
+        )
         assert stats["rows_tombstoned"] > 0, stats
         rep = snap.compact_snapshot(
             spark, root, small_bytes=1 << 30, target_bytes=2 << 30

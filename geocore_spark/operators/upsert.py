@@ -62,6 +62,7 @@ def upsert_by_key(
     key_col: str,
     order_col: str | None = None,
     key_stats: DataFrame | None = None,
+    key_blooms: DataFrame | None = None,
 ) -> UpsertStats:
     """Replace-or-insert ``updates`` rows into the parquet table at
     ``path`` by ``key_col``. Updates must carry the table's schema and
@@ -71,9 +72,28 @@ def upsert_by_key(
     table's cluster key, e.g. ``zval``, to keep layout through upserts).
     ``key_stats``: a persisted ``sources.stats.file_stats(path,
     [key_col])`` manifest; omitted = built now with one key-column scan.
+    ``key_blooms``: a persisted ``sources.stats.file_blooms(path,
+    [key_col])`` sidecar — victim files are additionally Bloom-probed
+    (distributed; bitmaps broadcast, keys never collected), which is
+    what prunes a point-key batch on a HASH layout where every file's
+    [min, max] range covers the key space. The two compose: ranges
+    first, blooms over the survivors.
     """
     from geocore_spark.sources import stats as st
 
+    ktype = dict(
+        (f.name, f.dataType.typeName())
+        for f in spark.read.parquet(path).schema.fields
+    ).get(key_col)
+    if ktype in ("float", "double"):
+        # same trap as snapshots.merge_into: NaN joins as equal but is
+        # excluded from file range extrema, so a NaN-keyed row's file
+        # would never be picked as a victim and the stale row survives
+        raise ValueError(
+            f"upsert_by_key on a {ktype} key column is unsound under "
+            "stats pruning (NaN victim files would be missed) — use an "
+            "integral/string key"
+        )
     chk = updates.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(key_col).alias("nn"),
@@ -90,9 +110,14 @@ def upsert_by_key(
     if key_stats is None:
         key_stats = st.file_stats(spark, path, [key_col])
     files_total = key_stats.count()
-    hit = sorted(
-        st.probe_victim_files(updates.select(key_col), key_col, key_stats)
+    hitset = st.probe_victim_files(
+        updates.select(key_col), key_col, key_stats
     )
+    if key_blooms is not None and hitset:
+        hitset &= st.probe_victim_files_bloom(
+            updates.select(key_col), key_col, key_blooms, candidates=hitset
+        )
+    hit = sorted(hitset)
 
     fs, _, jvm = _fs(spark, path)
     tmp_root = path.rstrip("/") + "__upsert_tmp"

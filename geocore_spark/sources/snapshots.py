@@ -660,6 +660,7 @@ def merge_into(
     keys: list[str],
     txn: tuple[str, int] | None = None,
     key_stats: DataFrame | None = None,
+    key_blooms: DataFrame | None = None,
 ) -> tuple[dict | None, dict]:
     """MERGE (upsert) as ONE atomic merge-on-read commit: every target
     row whose key matches a source row is tombstoned via positional
@@ -678,6 +679,15 @@ def merge_into(
     searchsorted of the batch's (bounded) key set against each file's
     range; on a key-clustered layout (``rewrite_files``/
     ``compact_snapshot`` with order_col=key) a batch hits few files.
+    On a HASH layout every file's range covers the key space and range
+    stats prune nothing — pass ``key_blooms`` (a persisted
+    :func:`snapshot_file_blooms` sidecar of ``keys[0]``) and victim
+    files are picked by a distributed Bloom probe instead
+    (sources/stats.probe_victim_files_bloom: bitmaps broadcast into a
+    mapInPandas kernel over the staged keys, only hit file indices
+    reach the driver). The two manifests COMPOSE when both are given:
+    ranges prune first, blooms probe only the survivors — so the
+    bitmap broadcast is bounded by the range-candidate set.
     Without stats the victim lookup is one semi-join over the full
     table — correct, but O(table scan) per batch, the thing to avoid.
     Accumulated vectors are absorbed by the next rewrite_files /
@@ -713,15 +723,18 @@ def merge_into(
     if unknown:
         raise ValueError(f"merge keys not in table schema: {unknown}")
     prune_col = keys[0]
-    if key_stats is not None:
+    if key_stats is not None or key_blooms is not None:
         ptype = dict(
             (f.name, f.dataType.typeName()) for f in table_schema.fields
         )[prune_col]
         if ptype in ("float", "double"):
             raise ValueError(
-                f"key_stats pruning on a {ptype} key column is unsound "
-                "(NaN joins as equal but is excluded from file extrema) — "
-                "pass key_stats=None for floating-point keys"
+                f"victim pruning on a {ptype} key column is unsound "
+                "(NaN joins as equal but is excluded from file range "
+                "extrema, so a NaN-keyed victim file would be missed; "
+                "refused uniformly for both manifests) — pass "
+                "key_stats=None and key_blooms=None for floating-point "
+                "keys"
             )
     source = _enforce_table_schema(base, source, "merge")
     files = _stage_files(spark, root, source, "data")
@@ -768,30 +781,50 @@ def merge_into(
     # [min, max] of the prune key can contain a batch key
     live = base["data_files"]
     scan_files = live
-    if key_stats is not None and live:
+    if (key_stats is not None or key_blooms is not None) and live:
         from geocore_spark.sources.stats import (
             decode_file_url,
             probe_victim_files,
+            probe_victim_files_bloom,
         )
 
-        profiled = {
-            decode_file_url(r["file"])
-            for r in key_stats.select("file").collect()
-        }
-        missing = [f for f in live if f not in profiled]
-        if missing:
-            raise ValueError(
-                f"key_stats is stale: {len(missing)} live files unprofiled "
-                f"(rebuild with snapshot_file_stats), e.g. {missing[:2]}"
+        def _check_profiled(manifest, what, rebuild):
+            profiled = {
+                decode_file_url(r["file"])
+                for r in manifest.select("file").collect()
+            }
+            missing = [f for f in live if f not in profiled]
+            if missing:
+                raise ValueError(
+                    f"{what} is stale: {len(missing)} live files "
+                    f"unprofiled (rebuild with {rebuild}), "
+                    f"e.g. {missing[:2]}"
+                )
+
+        if key_stats is not None:
+            _check_profiled(key_stats, "key_stats", "snapshot_file_stats")
+            # distributed victim probe: ranges broadcast INTO a
+            # mapInPandas searchsorted kernel over the staged keys —
+            # only hit file names reach the driver, so the batch may be
+            # arbitrarily large (the old path collected the whole batch
+            # key set driver-side)
+            hitset = probe_victim_files(
+                staged.select(prune_col), prune_col, key_stats
             )
-        # distributed victim probe: ranges broadcast INTO a mapInPandas
-        # searchsorted kernel over the staged keys — only hit file names
-        # reach the driver, so the batch may be arbitrarily large (the
-        # old path collected the whole batch key set driver-side)
-        hitset = probe_victim_files(
-            staged.select(prune_col), prune_col, key_stats
-        )
-        scan_files = [f for f in live if f in hitset]
+            scan_files = [f for f in live if f in hitset]
+        if key_blooms is not None and scan_files:
+            _check_profiled(key_blooms, "key_blooms", "snapshot_file_blooms")
+            # point-lookup probe over the range survivors only: the
+            # bitmap broadcast is bounded by the candidate set, and on a
+            # hash layout (ranges prune nothing) this is what keeps a
+            # point-key MERGE from scanning every live file
+            bloomset = probe_victim_files_bloom(
+                staged.select(prune_col),
+                prune_col,
+                key_blooms,
+                candidates=set(scan_files),
+            )
+            scan_files = [f for f in scan_files if f in bloomset]
 
     # victims: current-snapshot rows (existing vectors applied) whose key
     # appears in the batch — recorded as positional delete vectors.

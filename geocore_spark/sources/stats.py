@@ -343,6 +343,125 @@ def file_blooms(
     return hashed.groupBy("__file").applyInPandas(build, out_schema)
 
 
+def probe_victim_files_bloom(
+    keys: DataFrame,
+    key_col: str,
+    blooms: DataFrame,
+    candidates: set[str] | None = None,
+) -> set[str]:
+    """Which files' Bloom sidecars might contain at least one key from
+    ``keys``? The point-lookup victim-selection primitive for HASH
+    layouts, where :func:`probe_victim_files`'s [min, max] ranges are
+    useless (every file's range covers the key space) — a MERGE batch
+    of point keys should rewrite/tombstone only the files that actually
+    hold them.
+
+    Distributed like :func:`probe_victim_files`, with the probe
+    direction the r4 verdict prescribed: the per-file BITMAPS are
+    broadcast into a ``mapInPandas`` kernel that runs over the keys
+    DataFrame in place — keys are hashed JVM-side by the SAME xxhash64
+    chain the sidecar build used (build/probe consistency by
+    construction), each partition tests every pending file's k bit
+    positions with vectorized numpy probes, and only distinct hit FILE
+    INDICES cross to the driver (``_probe_frame_bloom``'s output schema
+    is ``idx long`` by construction, plan-pinnable like
+    ``_probe_frame``). The batch may be arbitrarily large; no key ever
+    reaches the driver.
+
+    Scale bound: the broadcast payload is the sidecar bitmaps —
+    ~``bits_per_row/8`` bytes per ROW of the profiled files (1.25 B/row
+    at the default 10 bits). For a bounded MERGE victim-candidate set
+    that is manifest-sized metadata; for an 800k-file table probe the
+    RANGE manifest first and bloom-probe only the surviving files
+    (``merge_into`` composes the two exactly that way). Files whose
+    sidecar blob is NULL are conservative hits, added driver-side.
+    NULL keys hash to the build's null sentinel (can only add false
+    positives, never prune wrongly). Returns DECODED file paths.
+
+    ``candidates``: optional DECODED-path set — only these files are
+    probed (and broadcast). Pass the range-probe's survivors to compose
+    the two manifests: range first (tiny), blooms only on what's left.
+    """
+    rows = blooms.select(
+        "file", "hashes", f"type_{key_col}", f"bloom_{key_col}"
+    ).collect()  # 1 row/file: manifest-bounded, never key-bounded
+    decoded = [(decode_file_url(r["file"]), r) for r in rows]
+    if candidates is not None:
+        decoded = [(f, r) for f, r in decoded if f in candidates]
+    unknown = {f for f, r in decoded if r[f"bloom_{key_col}"] is None}
+    known = [
+        (f, bytes(r[f"bloom_{key_col}"]))
+        for f, r in decoded
+        if r[f"bloom_{key_col}"] is not None
+    ]
+    if not known:
+        return unknown
+    first = next(r for _, r in decoded if r[f"bloom_{key_col}"] is not None)
+    k = int(first["hashes"])
+    ktype = first[f"type_{key_col}"]
+    files = [f for f, _ in known]
+    sc = keys.sparkSession.sparkContext
+    blobs_bc = sc.broadcast([b for _, b in known])
+    try:
+        hit_idx = {
+            int(r["idx"])
+            for r in _probe_frame_bloom(keys, key_col, ktype, blobs_bc, k)
+            .collect()
+        }
+    finally:
+        blobs_bc.destroy()
+    return unknown | {files[j] for j in hit_idx}
+
+
+def _probe_frame_bloom(
+    keys: DataFrame, key_col: str, key_type: str, blobs_bc, k: int
+) -> DataFrame:
+    """The distributed half of :func:`probe_victim_files_bloom`, split
+    out so its plan is pinnable: output schema is ``idx long`` ONLY —
+    the key column never crosses the Python→driver boundary. Hashing
+    runs JVM-side (cast to the sidecar's recorded column type, so an
+    INT batch against a BIGINT table hashes like the build did)."""
+    v = F.col(key_col).cast(_parse_type(key_type))
+    hashed = keys.select(
+        F.coalesce(F.xxhash64(v), F.lit(_NULL_HASH_SENTINEL)).alias("__h1"),
+        F.coalesce(
+            F.xxhash64(v, F.lit(_BLOOM_SALT)), F.lit(_NULL_HASH_SENTINEL)
+        ).alias("__h2"),
+    )
+
+    def probe(batches):
+        blobs = blobs_bc.value
+        arrs = [np.frombuffer(b, dtype=np.uint8) for b in blobs]
+        ms = [np.uint64(len(a) * 8) for a in arrs]
+        pending = set(range(len(arrs)))
+        hit: set[int] = set()
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                if not pending:
+                    break
+                h1 = pdf["__h1"].to_numpy(np.int64).astype(np.uint64)
+                h2 = pdf["__h2"].to_numpy(np.int64).astype(np.uint64)
+                if not len(h1):
+                    continue
+                for j in sorted(pending):
+                    ok = np.ones(len(h1), dtype=bool)
+                    for i in range(k):
+                        pos = (h1 + np.uint64(i) * h2) % ms[j]
+                        byte = arrs[j][(pos >> np.uint64(3)).astype(np.int64)]
+                        bit = (
+                            byte >> (pos & np.uint64(7)).astype(np.uint8)
+                        ) & np.uint8(1)
+                        ok &= bit.astype(bool)
+                        if not ok.any():
+                            break
+                    if ok.any():
+                        hit.add(j)
+                        pending.discard(j)
+        yield pd.DataFrame({"idx": sorted(hit)}, dtype="int64")
+
+    return hashed.mapInPandas(probe, "idx long").distinct()
+
+
 def _probe_hashes(
     spark: SparkSession, values: list, spark_type: str
 ) -> list[tuple[int, int]]:

@@ -357,3 +357,99 @@ def test_probe_victim_files_timestamp_keys(spark, tmp_path):
         [(t0 + dt.timedelta(days=900),)], "ts timestamp"
     )
     assert st.probe_victim_files(far, "ts", stats) == set()
+
+
+# ---------------------------------------------------------------------------
+# Distributed Bloom victim probe (r4 verdict item #2)
+# ---------------------------------------------------------------------------
+
+
+def test_probe_victim_files_bloom_matches_naive_membership(spark, tmp_path):
+    """Sound + tight on a hash layout: the probe's hit set contains every
+    file that truly holds a batch key (soundness — never miss a victim)
+    and, at the default sizing, little else (the point of the sidecar)."""
+    path = str(tmp_path / "hb")
+    _keyed(spark, 16000).repartition(8, "k").write.parquet(path)
+    bl = st.file_blooms(spark, path, ["k", "s"]).cache()
+    try:
+        probe_keys = [3, 4444, 15999]
+        keys = spark.createDataFrame([(v,) for v in probe_keys], "k bigint")
+        got = st.probe_victim_files_bloom(keys, "k", bl)
+        # naive truth: which files actually hold the keys
+        truth = {
+            st.decode_file_url(r["f"])
+            for r in spark.read.parquet(path)
+            .filter(F.col("k").isin(probe_keys))
+            .select(F.col("_metadata.file_path").alias("f"))
+            .distinct()
+            .collect()
+        }
+        assert truth <= got, "bloom probe missed a true victim file"
+        assert len(got) <= len(truth) + 2, (got, truth)  # rare fp slack
+        # string key column probes identically (fixed-width hash chain)
+        skeys = spark.createDataFrame([("u4444",)], "s string")
+        sgot = st.probe_victim_files_bloom(skeys, "s", bl)
+        struth = {
+            st.decode_file_url(r["f"])
+            for r in spark.read.parquet(path)
+            .filter(F.col("s") == "u4444")
+            .select(F.col("_metadata.file_path").alias("f"))
+            .collect()
+        }
+        assert struth <= sgot and len(sgot) <= 3
+        # absent keys: ~nothing kept (ranges would keep all 8)
+        absent = spark.createDataFrame([(10**12 + 7,)], "k bigint")
+        assert len(st.probe_victim_files_bloom(absent, "k", bl)) <= 1
+        # candidates filter restricts the probe surface
+        some = set(sorted(got)[:1])
+        sub = st.probe_victim_files_bloom(keys, "k", bl, candidates=some)
+        assert sub <= some
+    finally:
+        bl.unpersist()
+
+
+def test_probe_frame_bloom_plan_never_ships_keys_to_driver(spark):
+    """Pin the scale contract, like _probe_frame's: output schema is
+    idx:bigint ONLY, the kernel is MapInPandas over the keys' own
+    partitioning, and no node above the kernel carries the key column."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    # hand-build one tiny bloom blob that contains key 7's fingerprint:
+    # easiest sound route is to build it via file_blooms over one file
+    # and reuse the blob bytes
+    keys = spark.range(100000).select(F.col("id").alias("k"))
+    m = 1 << 10
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    row = spark.range(7, 8).select(
+        F.xxhash64(F.col("id")).alias("h1"),
+        F.xxhash64(F.col("id"), F.lit(st._BLOOM_SALT)).alias("h2"),
+    ).first()
+    h1 = np.uint64(np.int64(row["h1"]).astype(np.uint64))
+    h2 = np.uint64(np.int64(row["h2"]).astype(np.uint64))
+    with np.errstate(over="ignore"):
+        for i in range(5):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            bits[int(pos >> np.uint64(3))] |= np.uint8(1) << np.uint8(
+                pos & np.uint64(7)
+            )
+    bc = spark.sparkContext.broadcast([bits.tobytes(), b"\x00" * (m // 8)])
+    try:
+        pf = st._probe_frame_bloom(keys, "k", "bigint", bc, 5)
+        assert [
+            (f.name, f.dataType.simpleString()) for f in pf.schema.fields
+        ] == [("idx", "bigint")]
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pf.explain("formatted")
+        plan = buf.getvalue()
+        assert "MapInPandas" in plan
+        above = plan.split("MapInPandas")[0]
+        assert "k#" not in above.split("Arguments")[0]
+        # file 0 holds key 7's fingerprint; file 1 is all-zero bits —
+        # key 7 present in the keys frame, so idx 0 hits, idx 1 never
+        assert sorted(r["idx"] for r in pf.collect()) == [0]
+    finally:
+        bc.destroy()

@@ -93,3 +93,47 @@ def test_upsert_preserves_sort_and_composes_with_compact(spark, tmp_path):
     )
     assert cs.files_after == 1
     assert spark.read.parquet(path).count() == 3000
+
+
+def test_upsert_bloom_narrows_hash_layout(spark, tmp_path):
+    """On a hash layout every file's key range spans the table, so the
+    range manifest alone rewrites all files; the Bloom sidecar narrows
+    the rewrite to the files actually holding the batch keys, with an
+    identical final state."""
+    path = str(tmp_path / "h")
+    spark.createDataFrame(
+        [Row(k=i, v=f"old-{i}") for i in range(4000)]
+    ).repartition(8, "k").write.parquet(path)
+    truth = {
+        st.decode_file_url(r["f"])
+        for r in spark.read.parquet(path)
+        .filter(F.col("k").isin([7, 1234]))
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    }
+    blooms = st.file_blooms(spark, path, ["k"]).cache()
+    blooms.count()
+    updates = spark.createDataFrame(
+        [Row(k=7, v="new-7"), Row(k=1234, v="new-1234"), Row(k=9999, v="ins")]
+    )
+    s = upsert.upsert_by_key(spark, path, updates, "k", key_blooms=blooms)
+    blooms.unpersist()
+    assert s.files_total == 8
+    assert len(truth) <= s.files_rewritten <= len(truth) + 1, (s, truth)
+    assert (s.rows_updated, s.rows_inserted) == (2, 1)
+    got = spark.read.parquet(path)
+    assert got.count() == 4001
+    assert sorted(
+        tuple(r) for r in got.filter(F.col("k").isin([7, 1234, 9999])).collect()
+    ) == [(7, "new-7"), (1234, "new-1234"), (9999, "ins")]
+
+
+def test_upsert_refuses_float_keys(spark, tmp_path):
+    path = str(tmp_path / "f")
+    spark.createDataFrame(
+        [Row(k=float(i), v=i) for i in range(10)]
+    ).write.parquet(path)
+    updates = spark.createDataFrame([Row(k=1.0, v=99)])
+    with pytest.raises(ValueError, match="unsound"):
+        upsert.upsert_by_key(spark, path, updates, "k")
