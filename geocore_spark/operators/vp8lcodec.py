@@ -26,12 +26,17 @@ boundary (see operators/multimodal.py) — but a VP8X container whose
 image data is VP8L decodes here, and `decode_webp_alpha` decodes the
 lossless-compressed ALPH chunk of a lossy file.
 
-Performance honesty: entropy decode and predictor inversion are
-per-pixel Python (~6 us/px — a 1 MP image costs seconds); the
-transforms' inverses are numpy. That is the right trade for a
-correctness-first reference codec at fixture scale (same posture as
-jpegcodec's bit reader); production pipelines deploy libvips/PIL via
-the multimodal fake/strict switch and nothing else changes.
+Performance: the main-image entropy loop has a vectorized-literal
+fast path (r4 verdict item #3 — LUT prefix decoding over a 24-bit
+window list, literal runs flushed to the output array and color cache
+as numpy batch ops, non-overlapping LZ77 copies as slices): ~0.9-1.0
+us/px vs ~5-8 for the bit-by-bit reference loop (5.5-8.1x, SCALE.md),
+which remains the decoder of record for sub-images below
+_FAST_MIN_PIXELS and is pinned bit-identical to the fast path on
+every stream shape (tests/test_vp8l.py fast-path differentials).
+Predictor inversion stays per-pixel Python. At ~1 us/px a sampled
+media leg is workable; exhaustive camera-resolution corpora still
+want a native codec via the multimodal fake/strict switch.
 
 Reference analogue: woodgilber/GeoCore has no codec layer (multimodal
 ingestion is outside its warehouse scope); this closes the engine's
@@ -311,6 +316,10 @@ def _decode_entropy_coded(br: _BitReader, w: int, h: int,
             _read_prefix_code(br, 256),       # alpha
             _read_prefix_code(br, 40),        # distance
         ))
+    if w * h >= _FAST_MIN_PIXELS:
+        return _decode_entropy_fast(
+            br, w, h, cache_bits, meta, meta_block_bits, groups
+        )
     cache = [0] * cache_size
     out = np.zeros(w * h, dtype=np.uint32)
     pos = 0
@@ -364,6 +373,208 @@ def _decode_entropy_coded(br: _BitReader, w: int, h: int,
             if x == w:
                 x = 0
                 y += 1
+    return out.reshape(h, w)
+
+
+# Fast-path threshold: below this the LUT/window build costs more than
+# the bit-by-bit loop saves (transform sub-images, entropy images and
+# palettes are all tiny) — the per-pixel reference loop stays the
+# decoder of record for them, so both paths remain exercised.
+_FAST_MIN_PIXELS = 4096
+
+
+def _lut_of(huff: _Huffman):
+    """(lut, mask) for multi-bit table decoding, or (None, symbol) for a
+    0-bit single-symbol code. lut[peeked_bits] = (sym << 4) | code_len —
+    the peek is LSB-first (first stream bit at bit 0), so the canonical
+    code (whose MSB is the first stream bit) indexes by its
+    bit-reversal; every don't-care suffix pattern maps to the same
+    entry. 0 marks an unassigned pattern (incomplete code): hitting one
+    is the same invalid-stream condition the bit-by-bit reader raises
+    on. Max code length is 15, so len packs in 4 bits."""
+    if huff.single is not None:
+        return None, huff.single
+    max_len = max(l for l, _ in huff.table)
+    lut = [0] * (1 << max_len)
+    for (l, code), sym in huff.table.items():
+        idx = 0
+        c = code
+        for _ in range(l):
+            idx = (idx << 1) | (c & 1)
+            c >>= 1
+        step = 1 << l
+        e = (sym << 4) | l
+        for j in range(idx, 1 << max_len, step):
+            lut[j] = e
+    return lut, (1 << max_len) - 1
+
+
+def _decode_entropy_fast(br, w, h, cache_bits, meta, meta_block_bits,
+                         groups) -> np.ndarray:
+    """Vectorized-literal decode of the entropy-coded image (r4 verdict
+    item #3). The entropy stream is inherently sequential, but the hot
+    path collapses to cheap per-symbol work: a 24-bit window list gives
+    every prefix code in ONE list index + shift/mask via :func:`_lut_of`
+    (vs the bit-by-bit dict walk), literal pixels accumulate in a Python
+    list and land in the output array — and update the color cache — as
+    numpy batch ops at run boundaries (flushes happen only on LZ77/
+    cache symbols, whose per-pixel reference handling is kept: those are
+    the segments the verdict allows to stay scalar). Bit-identical to
+    the reference loop; the pinned real-stream digests prove it."""
+    data = br.data
+    nbits = br.nbits
+    # 10 zero pad bytes: the literal path consumes up to 4x15 bits
+    # between truncation checks, so a malformed stream's peek may index
+    # up to 7 windows past the data before the `p > nbits` raise fires —
+    # the pad keeps those peeks in-bounds (reading zeros, never memory
+    # past the buffer), and the check still raises exactly like the
+    # reference reader
+    d = np.frombuffer(data + b"\x00" * 10, dtype=np.uint8)
+    win = (
+        d[:-2].astype(np.uint32)
+        | (d[1:-1].astype(np.uint32) << np.uint32(8))
+        | (d[2:].astype(np.uint32) << np.uint32(16))
+    ).tolist()
+    luts = [tuple(_lut_of(code) for code in g) for g in groups]
+    meta_list = None
+    mrow = 0
+    if meta is not None:
+        mrow = meta.shape[1]
+        meta_list = meta.reshape(-1).tolist()
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = np.zeros(max(cache_size, 1), dtype=np.uint32)
+    total = w * h
+    out = np.zeros(total, dtype=np.uint32)
+    p = br.pos
+    pos = 0
+    x = 0
+    y = 0
+    lit: list[int] = []
+    ap = lit.append
+    gi = -1
+    (glut, gmask), (rlut, rmask), (blut, bmask), (alut, amask), \
+        (dlut, dmask) = luts[0]
+
+    def flush():
+        nonlocal pos
+        if not lit:
+            return
+        arr = np.array(lit, dtype=np.uint32)
+        out[pos:pos + len(arr)] = arr
+        if cache_bits:
+            idx = (arr * np.uint32(0x1E35A7BD)) >> np.uint32(32 - cache_bits)
+            cache[idx] = arr  # duplicate slots: last assignment wins, in
+            # pixel order — identical to the sequential update
+        pos += len(arr)
+        lit.clear()
+
+    while pos + len(lit) < total:
+        if meta_list is not None:
+            g = meta_list[(y >> meta_block_bits) * mrow
+                          + (x >> meta_block_bits)]
+            if g != gi:
+                gi = g
+                (glut, gmask), (rlut, rmask), (blut, bmask), \
+                    (alut, amask), (dlut, dmask) = luts[g]
+        if glut is None:
+            s = gmask
+        else:
+            e = glut[(win[p >> 3] >> (p & 7)) & gmask]
+            if e == 0:
+                raise ValueError("vp8l: invalid prefix code in stream")
+            s = e >> 4
+            p += e & 15
+        if s < 256:
+            if rlut is None:
+                red = rmask
+            else:
+                e = rlut[(win[p >> 3] >> (p & 7)) & rmask]
+                if e == 0:
+                    raise ValueError("vp8l: invalid prefix code in stream")
+                red = e >> 4
+                p += e & 15
+            if blut is None:
+                blue = bmask
+            else:
+                e = blut[(win[p >> 3] >> (p & 7)) & bmask]
+                if e == 0:
+                    raise ValueError("vp8l: invalid prefix code in stream")
+                blue = e >> 4
+                p += e & 15
+            if alut is None:
+                alpha = amask
+            else:
+                e = alut[(win[p >> 3] >> (p & 7)) & amask]
+                if e == 0:
+                    raise ValueError("vp8l: invalid prefix code in stream")
+                alpha = e >> 4
+                p += e & 15
+            if p > nbits:
+                raise ValueError("vp8l: bitstream truncated")
+            ap((alpha << 24) | (red << 16) | (s << 8) | blue)
+            x += 1
+            if x == w:
+                x = 0
+                y += 1
+        elif s < 256 + 24:
+            flush()
+            br.pos = p
+            length = _lz77_value(s - 256, br)
+            if dlut is None:
+                dsym = dmask
+            else:
+                p = br.pos
+                e = dlut[(win[p >> 3] >> (p & 7)) & dmask]
+                if e == 0:
+                    raise ValueError("vp8l: invalid prefix code in stream")
+                dsym = e >> 4
+                br.pos = p + (e & 15)
+            dist_code = _lz77_value(dsym, br)
+            p = br.pos
+            if p > nbits:
+                raise ValueError("vp8l: bitstream truncated")
+            dist = _plane_distance(dist_code, w)
+            if dist > pos or pos + length > total:
+                raise ValueError("vp8l: LZ77 reference out of range")
+            if dist >= length:
+                # non-overlapping copy: one numpy slice; cache updates
+                # batch exactly like a literal flush (same last-wins)
+                seg = out[pos - dist:pos - dist + length]
+                out[pos:pos + length] = seg
+                if cache_bits:
+                    idx = (seg * np.uint32(0x1E35A7BD)) >> np.uint32(
+                        32 - cache_bits
+                    )
+                    cache[idx] = seg
+                pos += length
+            else:
+                for _ in range(length):
+                    px = int(out[pos - dist])
+                    out[pos] = px
+                    if cache_bits:
+                        cache[(0x1E35A7BD * px & 0xFFFFFFFF)
+                              >> (32 - cache_bits)] = px
+                    pos += 1
+            x = pos % w
+            y = pos // w
+        else:
+            idx = s - 256 - 24
+            if idx >= cache_size:
+                raise ValueError("vp8l: color-cache index out of range")
+            flush()
+            if p > nbits:
+                raise ValueError("vp8l: bitstream truncated")
+            px = int(cache[idx])
+            out[pos] = px
+            pos += 1
+            x += 1
+            if x == w:
+                x = 0
+                y += 1
+    flush()
+    if p > nbits:
+        raise ValueError("vp8l: bitstream truncated")
+    br.pos = p
     return out.reshape(h, w)
 
 

@@ -612,3 +612,118 @@ def test_alpha_filter_roundtrip(method):
     payload = b"RIFF" + struct.pack("<I", len(riff)) + riff
     got = v.decode_webp_alpha(payload)
     assert np.array_equal(got, plane), f"filter {method}"
+
+
+# --------------------------------------------- fast-path equivalence
+
+
+def _decode_both(stream_bytes, w, h, monkeypatch):
+    """Decode one stream through BOTH loops and assert bit-identity:
+    reference per-pixel path (threshold above the image) vs the r5
+    vectorized-literal fast path (threshold 0), including the final
+    bit position (a fast path that under/over-consumes would corrupt
+    whatever the caller parses next)."""
+    monkeypatch.setattr(v, "_FAST_MIN_PIXELS", 1 << 60)
+    br1 = v._BitReader(stream_bytes)
+    ref = v._decode_main_image(br1, w, h)
+    monkeypatch.setattr(v, "_FAST_MIN_PIXELS", 0)
+    br2 = v._BitReader(stream_bytes)
+    fast = v._decode_main_image(br2, w, h)
+    assert np.array_equal(ref, fast)
+    assert br1.pos == br2.pos
+    return ref
+
+
+def test_fast_path_equals_reference_on_pinned_streams(monkeypatch):
+    """The existing pinned fixtures are all below _FAST_MIN_PIXELS, so
+    they exercise only the reference loop — force the threshold to 0
+    and re-run every stream shape through the fast path: the real
+    libwebp ALPH stream (palette transform + 2D LZ77 + color cache),
+    the hand-assembled meta-prefix / cache / LZ77 / transform streams,
+    and the encoder round-trips."""
+    monkeypatch.setattr(v, "_FAST_MIN_PIXELS", 0)
+    test_real_alpha_stream_decodes_to_python_logo()
+    test_lz77_copy_above_row()
+    test_color_cache_stream()
+    test_meta_prefix_two_group_stream()
+    test_subtract_green_transform_stream()
+    test_color_transform_stream()
+    for mode in range(14):
+        test_predictor_modes_stream(mode)
+    test_roundtrip_shapes_and_contents()
+
+
+def test_fast_path_large_literals_differential(monkeypatch):
+    """>=0.25 MP random-literal stream: both loops agree bit-for-bit
+    (this is the stream class the throughput claim is measured on)."""
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (64, 80, 4), dtype=np.uint8).astype(np.uint8)
+    data = v.encode_vp8l(img)
+    monkeypatch.setattr(v, "_FAST_MIN_PIXELS", 1 << 60)
+    ref = v.decode_webp(data)
+    monkeypatch.setattr(v, "_FAST_MIN_PIXELS", 0)
+    fast = v.decode_webp(data)
+    assert np.array_equal(ref, img)
+    assert np.array_equal(fast, img)
+
+
+def test_fast_path_overlapping_lz77_and_cache_differential(monkeypatch):
+    """A 64x64 stream whose body is one literal + a dist-1 length-4095
+    LZ77 copy (maximally OVERLAPPING — the fast path's scalar fallback
+    inside an otherwise vectorized decode) followed by a cache hit
+    epilogue, decoded by both loops."""
+    w, h = 64, 64
+    p0 = 0xFF102030
+    cache_bits = 4
+    idx0 = (0x1E35A7BD * p0 & 0xFFFFFFFF) >> (32 - cache_bits)
+    g_alpha = 256 + 24 + (1 << cache_bits)
+    g_freq = [0] * g_alpha
+    g_freq[(p0 >> 8) & 0xFF] += 1
+    g_freq[256 + 23] += 1          # length prefix 23: max-range lengths
+    g_freq[256 + 24 + idx0] += 1   # cache hit for the last pixel
+    g_len = v._huffman_lengths(g_freq)
+    g_codes = v._canonical_codes(g_len)
+    chans = {}
+    for k, shift in (("r", 16), ("b", 0), ("a", 24)):
+        freqs = [0] * 256
+        freqs[(p0 >> shift) & 0xFF] += 1
+        ln = v._huffman_lengths(freqs)
+        chans[k] = (ln, v._canonical_codes(ln), shift)
+    bw = v._BitWriter()
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # color cache
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)  # no meta
+    v._write_prefix_code_capped(bw, g_len)
+    for k in ("r", "b", "a"):
+        v._write_prefix_code_capped(bw, chans[k][0])
+    # distance tree: single symbol 1 (0 bits) -> _lz77_value(1) = 2 ->
+    # _DIST_MAP[1] = (1, 0) -> dist 1, the PREVIOUS pixel: a fully
+    # overlapping run
+    v._write_prefix_code(bw, [0, 1] + [0] * 38)
+    # literal p0 (single-symbol channels write no bits)
+    code, ln = g_codes[(p0 >> 8) & 0xFF]
+    bw.write_code(code, ln)
+    # LZ77: length prefix 23 -> nb = 10 extra bits, value =
+    # (2 + 1)<<10 + extra + 1; want length 4094 -> extra = 4094-1-3072
+    length = 4094
+    code, ln = g_codes[256 + 23]
+    bw.write_code(code, ln)
+    bw.write(length - 1 - (3 << 10), 10)
+    # cache-hit epilogue for the final pixel
+    code, ln = g_codes[256 + 24 + idx0]
+    bw.write_code(code, ln)
+    got = _decode_both(bw.bytes(), w, h, monkeypatch)
+    assert got.reshape(-1).tolist() == [p0] * (w * h)
+
+
+def test_fast_path_truncated_stream_raises(monkeypatch):
+    """Truncation inside a literal run must raise the same ValueError
+    on the fast path (peeks may touch the zero pad, consumes may not
+    pass nbits)."""
+    monkeypatch.setattr(v, "_FAST_MIN_PIXELS", 0)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8).astype(np.uint8)
+    data = v.encode_vp8l(img)
+    with pytest.raises(ValueError):
+        v.decode_webp(data[: len(data) - 40])
