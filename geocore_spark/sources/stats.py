@@ -396,9 +396,21 @@ def probe_victim_files_bloom(
     ]
     if not known:
         return unknown
-    first = next(r for _, r in decoded if r[f"bloom_{key_col}"] is not None)
-    k = int(first["hashes"])
-    ktype = first[f"type_{key_col}"]
+    with_blob = [r for _, r in decoded if r[f"bloom_{key_col}"] is not None]
+    ks = {int(r["hashes"]) for r in with_blob}
+    ktypes = {r[f"type_{key_col}"] for r in with_blob}
+    if len(ks) > 1 or len(ktypes) > 1:
+        # probing file A's bitmap with file B's hash count (or a
+        # different recorded column type) would be UNSOUND — a true
+        # victim could be pruned. Mixed sidecars mean someone unioned
+        # two builds; rebuild one coherent manifest instead.
+        raise ValueError(
+            f"mixed bloom sidecar params: hashes={sorted(ks)} "
+            f"types={sorted(ktypes)} — rebuild the sidecar with one "
+            "file_blooms call"
+        )
+    k = ks.pop()
+    ktype = ktypes.pop()
     files = [f for f, _ in known]
     sc = keys.sparkSession.sparkContext
     blobs_bc = sc.broadcast([b for _, b in known])
@@ -515,6 +527,21 @@ def prune_files_bloom(
         ).first()
         if first is None:  # empty sidecar table: nothing to keep
             return [], PruneReport(0, 0, 0)
+        chk = blooms.agg(
+            F.count_distinct("hashes").alias("kk"),
+            *[
+                F.count_distinct(f"type_{c}").alias(f"t_{c}")
+                for c in probes
+            ],
+        ).first()
+        if chk["kk"] > 1 or any(chk[f"t_{c}"] > 1 for c in probes):
+            # probing one file's bitmap with another build's hash count
+            # or column type is UNSOUND (a present value could be
+            # pruned) — refuse unioned sidecars, rebuild one manifest
+            raise ValueError(
+                "mixed bloom sidecar params (hashes/type differ across "
+                "rows) — rebuild the sidecar with one file_blooms call"
+            )
         k = first["hashes"]
         cond = F.lit(True)
         for c, values in probes.items():

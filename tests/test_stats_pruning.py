@@ -453,3 +453,20 @@ def test_probe_frame_bloom_plan_never_ships_keys_to_driver(spark):
         assert sorted(r["idx"] for r in pf.collect()) == [0]
     finally:
         bc.destroy()
+
+
+def test_bloom_mixed_sidecar_params_refused(spark, tmp_path):
+    """Unioning two sidecars built with different num_hashes would probe
+    file A's bitmap with file B's k — unsound (a true victim could be
+    pruned). Both probe entrypoints refuse loudly."""
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    _keyed(spark, 2000).repartition(1).write.parquet(p1)
+    _keyed(spark, 2000).repartition(1).write.parquet(p2)
+    mixed = st.file_blooms(spark, p1, ["k"], num_hashes=5).unionByName(
+        st.file_blooms(spark, p2, ["k"], num_hashes=3)
+    )
+    keys = spark.createDataFrame([(7,)], "k bigint")
+    with pytest.raises(ValueError, match="mixed bloom sidecar"):
+        st.probe_victim_files_bloom(keys, "k", mixed)
+    with pytest.raises(ValueError, match="mixed bloom sidecar"):
+        st.prune_files_bloom(spark, mixed, {"k": [7]})
