@@ -277,6 +277,35 @@ def pipe():
     assert stats["rows_tombstoned"] > 1_000_000, stats
     return stats
 """,
+    # MERGE through BOTH manifests (r5: range stats + Bloom sidecar,
+    # the probe_victim_files_bloom path): sidecars are rebuilt each
+    # pipe() like the stats above (one hashing scan + per-file bitmap
+    # build), then the distributed bitmap-broadcast kernel probes the
+    # staged keys. The wide batch spans every file, so nothing is
+    # pruned — the timing isolates the full bloom machinery (build +
+    # broadcast + kernel) on top of merge_probe, not I/O skipped.
+    "merge_bloom": f"""
+import shutil
+from pyspark.sql import functions as F
+from geocore_spark.sources import snapshots as snap
+BASE = "/tmp/geocore_spot_mergeb"
+ROOT = BASE + "/t"
+shutil.rmtree(BASE, ignore_errors=True)
+shutil.copytree("{os.path.dirname(SNAP)}", BASE)
+batch = spark.range(0, 10_000_000, 7).select(
+    F.col("id"),
+    ((F.col("id") % 181).cast("double") - 90.0).alias("lat"),
+    ((F.col("id") % 361).cast("double") - 180.0).alias("lon"),
+)
+def pipe():
+    ks = snap.snapshot_file_stats(spark, ROOT, ["id"])
+    kb = snap.snapshot_file_blooms(spark, ROOT, ["id"])
+    m, stats = snap.merge_into(
+        spark, ROOT, batch, ["id"], key_stats=ks, key_blooms=kb
+    )
+    assert stats["rows_tombstoned"] > 1_000_000, stats
+    return stats
+""",
     # last-touch + linear attribution (operators/product_analytics.py):
     # 40M touches x 4M conversions over 2M users — the windowed
     # touch-conversion range join + per-conversion window. All JVM.
@@ -436,6 +465,7 @@ def main() -> None:
         "mor_read": "10M rows 10pct deleted",
         "merge": "10M-row table, 1.4M-key batch",
         "merge_probe": "10M-row table, 1.4M-key batch, stats+probe",
+        "merge_bloom": "10M-row table, 1.4M-key batch, stats+blooms",
         "mor_read_plain": "10M rows v1 no vectors",
         "triangles": "10M edges 1M nodes",
         "setjoin": "50k x 40-token sets t=1/2",
