@@ -766,6 +766,63 @@ FROM orders WHERE o_orderkey % 9 = 0
 """
 
 
+def q_delete_by_key(spark, sf_dir):
+    """Keyed merge-on-read DELETE with manifest-pruned victim scan
+    (sources/snapshots.delete_by_key, r5): a HASH-layout snapshot of the
+    %5==0 orders slice (8 files whose o_orderkey ranges all span the key
+    space — range stats prune nothing by construction), then an
+    erasure batch of point keys tombstones its rows through the Bloom
+    sidecar probe. The query raises if the sidecar stops narrowing the
+    scan (witnessing the I/O claim under the gate, like
+    bloom_point_lookup) and returns the surviving rows. Oracle = the
+    slice minus the keys. Value-exact: the snapshot read is the
+    identity on surviving rows."""
+    import shutil
+    import tempfile
+
+    from geocore_spark.sources import snapshots as snap
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"delkey_{spark.sparkContext.applicationId}_{os.path.basename(sf_dir)}",
+        "t",
+    )
+    # keys valid at every testdata SF (orderkeys are dense 0..N-1;
+    # sf0.001 tops out at 1499) and all in the %5==0 slice
+    keys = [5, 55, 700, 1000, 1400]
+    if snap.latest_version(spark, root) != 2:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        snap.create_table(
+            spark, root,
+            orders.filter(F.col("o_orderkey") % 5 == 0)
+            .repartition(8, "o_orderkey"),
+        )
+        blooms = snap.snapshot_file_blooms(spark, root, ["o_orderkey"])
+        kdf = spark.createDataFrame([(k,) for k in keys], "o_orderkey long")
+        _, st = snap.delete_by_key(
+            spark, root, kdf, "o_orderkey", key_blooms=blooms
+        )
+        assert st["rows_deleted"] == len(keys), st
+        if not st["files_scanned"] < st["files_total"]:
+            raise AssertionError(
+                f"bloom victim pruning regressed: scanned "
+                f"{st['files_scanned']} of {st['files_total']} files for "
+                f"a {len(keys)}-key delete"
+            )
+    return snap.read_snapshot(spark, root)
+
+
+_SQL_DELETE_BY_KEY = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey % 5 = 0
+  AND o_orderkey NOT IN (5, 55, 700, 1000, 1400)
+"""
+
+
 def q_snapshot_time_travel(spark, sf_dir):
     """Time travel on the same snapshot table: read VERSION 1 after a
     delete commit (v2) and an append commit (v3) — the manifest IS the
@@ -6066,6 +6123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracle-backed tail (positions 51+: outside the driver's hard
         # window by necessity — it checks only the first 50 entries — but
         # value-verified by tools/verify_local.py every session) ------------
+        # r5 addition: keyed MoR delete through the Bloom-pruned victim
+        # scan (the erasure primitive), I/O claim asserted in-query
+        "delete_by_key": q_delete_by_key,
         # round-5 demotions (families remain in-window, see swap note above)
         "url_normalize": q_url_normalize,
         "repetition_signals": q_repetition_signals,
@@ -6223,6 +6283,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "incremental_rollup": _SQL_INCREMENTAL_ROLLUP,
         "snapshot_delete": _SQL_SNAPSHOT_DELETE,
+        "delete_by_key": _SQL_DELETE_BY_KEY,
         "snapshot_time_travel": _SQL_SNAPSHOT_TIME_TRAVEL,
         "zorder_curve": _sql_zorder_curve(),
         "tile_pyramid": _sql_tile_pyramid(),

@@ -561,12 +561,77 @@ def delete_where(
         .filter(condition)
         .select(F.col(_DV_FILE), F.col(_DV_POS))
     )
+    return _commit_delete_vectors(spark, root, victims)
+
+
+def delete_by_key(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    key_col: str,
+    key_stats: DataFrame | None = None,
+    key_blooms: DataFrame | None = None,
+) -> tuple[dict | None, dict]:
+    """Keyed merge-on-read DELETE — the retention/right-to-erasure
+    primitive: tombstone every current-snapshot row whose ``key_col``
+    appears in ``keys`` (a DataFrame; duplicates and NULLs are
+    harmless — semi-join semantics), as one delete-vector commit,
+    rewriting nothing.
+
+    Unlike :func:`delete_where` (arbitrary predicate — must scan every
+    live file), the victim scan here is PRUNABLE sound-by-construction
+    through the same persisted manifests MERGE uses: per-file [min,max]
+    ranges (``key_stats``, tight on key-clustered layouts) and Bloom
+    sidecars (``key_blooms``, the only pruner on hash layouts), both
+    probed DISTRIBUTED — keys never reach the driver, a 10^9-key
+    erasure batch probes in place. Pruned-away files cannot hold a
+    victim (range containment / bloom soundness), so the semi-join over
+    the kept files finds exactly the rows a full scan would. Float
+    keys are refused under pruning (the NaN-extrema trap). Same
+    rebase semantics as delete_where.
+
+    Returns (manifest | None if nothing matched, {"rows_deleted",
+    "files_scanned", "files_total"}).
+    """
+    m = load_manifest(spark, root)
+    table_schema = StructType.fromJson(json.loads(m["schema"]))
+    if key_col not in table_schema.fieldNames():
+        raise ValueError(f"delete key not in table schema: {key_col}")
+    if key_stats is not None or key_blooms is not None:
+        _refuse_float_prune_key(table_schema, key_col, "delete_by_key")
+    ktype = table_schema[key_col].dataType
+    keys = keys.select(F.col(key_col).cast(ktype).alias(key_col))
+    live = m["data_files"]
+    scan_files = _pruned_victim_files(
+        live, keys, key_col, key_stats, key_blooms
+    )
+    victims = (
+        _read_with_pos(spark, dict(m, data_files=scan_files))
+        .join(keys, on=key_col, how="left_semi")
+        .select(F.col(_DV_FILE), F.col(_DV_POS))
+    )
+    manifest, n = _commit_delete_vectors(spark, root, victims)
+    return manifest, {
+        "rows_deleted": n,
+        "files_scanned": len(scan_files),
+        "files_total": len(live),
+    }
+
+
+def _commit_delete_vectors(
+    spark: SparkSession, root: str, victims: DataFrame
+) -> tuple[dict | None, int]:
+    """Shared tail of the MoR delete family: stage the (file, pos)
+    vectors, count + collect the named-file set in one bounded pass,
+    and commit rebaseably with the liveness check."""
     # staged with the scan's NATURAL partitioning — the vector build is
     # as parallel as the victim scan (a churn-heavy delete over 10^12
     # rows would serialize through a repartition(1)); Spark writes no
     # file for an empty partition, the manifest carries a LIST of
     # vector files, and the read side broadcasts their union.
     files = _stage_files(spark, root, victims, "deletes")
+    if not files:  # nothing matched anywhere (or every file pruned)
+        return None, 0
     # one pass over the (bounded) staged vectors yields both the row
     # count and the named-file set for the liveness check. _DV_FILE
     # holds _metadata.file_path (URI-escaped); manifests hold the
@@ -653,6 +718,87 @@ def rewrite_files(
     return _commit(spark, root, build, rebase=False)
 
 
+def _pruned_victim_files(
+    live: list[str],
+    keys_df: DataFrame,
+    prune_col: str,
+    key_stats: DataFrame | None,
+    key_blooms: DataFrame | None,
+) -> list[str]:
+    """Victim-scan breadth for a keyed write (MERGE / keyed delete):
+    all live files, narrowed by whichever manifests the caller
+    persisted — [min, max] ranges first (probe_victim_files: the
+    distributed searchsorted kernel, tight on key-clustered layouts),
+    then Bloom sidecars over the survivors (probe_victim_files_bloom:
+    the bitmap-broadcast kernel, the only pruner on hash layouts).
+    Keys never reach the driver through either probe. Both manifests
+    must cover every live file (stale = loud error, like a stale
+    Iceberg manifest would be corruption)."""
+    if (key_stats is None and key_blooms is None) or not live:
+        return live
+    from geocore_spark.sources.stats import (
+        decode_file_url,
+        probe_victim_files,
+        probe_victim_files_bloom,
+    )
+
+    def _check_profiled(manifest, what, rebuild):
+        profiled = {
+            decode_file_url(r["file"])
+            for r in manifest.select("file").collect()
+        }
+        missing = [f for f in live if f not in profiled]
+        if missing:
+            raise ValueError(
+                f"{what} is stale: {len(missing)} live files "
+                f"unprofiled (rebuild with {rebuild}), "
+                f"e.g. {missing[:2]}"
+            )
+
+    scan_files = live
+    if key_stats is not None:
+        _check_profiled(key_stats, "key_stats", "snapshot_file_stats")
+        # distributed victim probe: ranges broadcast INTO a mapInPandas
+        # searchsorted kernel over the keys — only hit file names reach
+        # the driver, so the batch may be arbitrarily large (the old
+        # path collected the whole batch key set driver-side)
+        hitset = probe_victim_files(
+            keys_df.select(prune_col), prune_col, key_stats
+        )
+        scan_files = [f for f in live if f in hitset]
+    if key_blooms is not None and scan_files:
+        _check_profiled(key_blooms, "key_blooms", "snapshot_file_blooms")
+        # point-lookup probe over the range survivors only: the bitmap
+        # broadcast is bounded by the candidate set, and on a hash
+        # layout (ranges prune nothing) this is what keeps a point-key
+        # write from scanning every live file
+        bloomset = probe_victim_files_bloom(
+            keys_df.select(prune_col),
+            prune_col,
+            key_blooms,
+            candidates=set(scan_files),
+        )
+        scan_files = [f for f in scan_files if f in bloomset]
+    return scan_files
+
+
+def _refuse_float_prune_key(
+    table_schema: StructType, prune_col: str, op: str
+) -> None:
+    ptype = dict(
+        (f.name, f.dataType.typeName()) for f in table_schema.fields
+    )[prune_col]
+    if ptype in ("float", "double"):
+        raise ValueError(
+            f"{op}: victim pruning on a {ptype} key column is unsound "
+            "(NaN joins as equal but is excluded from file range "
+            "extrema, so a NaN-keyed victim file would be missed; "
+            "refused uniformly for both manifests) — pass "
+            "key_stats=None and key_blooms=None for floating-point "
+            "keys"
+        )
+
+
 def merge_into(
     spark: SparkSession,
     root: str,
@@ -724,18 +870,7 @@ def merge_into(
         raise ValueError(f"merge keys not in table schema: {unknown}")
     prune_col = keys[0]
     if key_stats is not None or key_blooms is not None:
-        ptype = dict(
-            (f.name, f.dataType.typeName()) for f in table_schema.fields
-        )[prune_col]
-        if ptype in ("float", "double"):
-            raise ValueError(
-                f"victim pruning on a {ptype} key column is unsound "
-                "(NaN joins as equal but is excluded from file range "
-                "extrema, so a NaN-keyed victim file would be missed; "
-                "refused uniformly for both manifests) — pass "
-                "key_stats=None and key_blooms=None for floating-point "
-                "keys"
-            )
+        _refuse_float_prune_key(table_schema, prune_col, "merge")
     source = _enforce_table_schema(base, source, "merge")
     files = _stage_files(spark, root, source, "data")
 
@@ -780,51 +915,9 @@ def merge_into(
     # victim lookup breadth: all live files, or only the ones whose
     # [min, max] of the prune key can contain a batch key
     live = base["data_files"]
-    scan_files = live
-    if (key_stats is not None or key_blooms is not None) and live:
-        from geocore_spark.sources.stats import (
-            decode_file_url,
-            probe_victim_files,
-            probe_victim_files_bloom,
-        )
-
-        def _check_profiled(manifest, what, rebuild):
-            profiled = {
-                decode_file_url(r["file"])
-                for r in manifest.select("file").collect()
-            }
-            missing = [f for f in live if f not in profiled]
-            if missing:
-                raise ValueError(
-                    f"{what} is stale: {len(missing)} live files "
-                    f"unprofiled (rebuild with {rebuild}), "
-                    f"e.g. {missing[:2]}"
-                )
-
-        if key_stats is not None:
-            _check_profiled(key_stats, "key_stats", "snapshot_file_stats")
-            # distributed victim probe: ranges broadcast INTO a
-            # mapInPandas searchsorted kernel over the staged keys —
-            # only hit file names reach the driver, so the batch may be
-            # arbitrarily large (the old path collected the whole batch
-            # key set driver-side)
-            hitset = probe_victim_files(
-                staged.select(prune_col), prune_col, key_stats
-            )
-            scan_files = [f for f in live if f in hitset]
-        if key_blooms is not None and scan_files:
-            _check_profiled(key_blooms, "key_blooms", "snapshot_file_blooms")
-            # point-lookup probe over the range survivors only: the
-            # bitmap broadcast is bounded by the candidate set, and on a
-            # hash layout (ranges prune nothing) this is what keeps a
-            # point-key MERGE from scanning every live file
-            bloomset = probe_victim_files_bloom(
-                staged.select(prune_col),
-                prune_col,
-                key_blooms,
-                candidates=set(scan_files),
-            )
-            scan_files = [f for f in scan_files if f in bloomset]
+    scan_files = _pruned_victim_files(
+        live, staged, prune_col, key_stats, key_blooms
+    )
 
     # victims: current-snapshot rows (existing vectors applied) whose key
     # appears in the batch — recorded as positional delete vectors.

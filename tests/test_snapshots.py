@@ -485,3 +485,94 @@ print("WRITER-OK", wid)
     # txn tokens from BOTH writers survived every rebase
     final = snap.load_manifest(spark, root)
     assert final["txns"] == {"w1": n_commits - 1, "w2": n_commits - 1}
+
+
+# ---------------------------------------------------------------------------
+# delete_by_key (r5): keyed MoR delete with manifest-pruned victim scan
+# ---------------------------------------------------------------------------
+
+
+def test_delete_by_key_equals_delete_where(spark, root):
+    """Keyed delete == predicate delete on the same key set, and the
+    change feed renders it identically (operation 'delete')."""
+    _mk(spark, root)
+    keys = spark.createDataFrame([(5,), (17,), (399,), (9999,)], "id long")
+    m, st = snap.delete_by_key(spark, root, keys, "id")
+    assert st == {"rows_deleted": 3, "files_scanned": 4, "files_total": 4}
+    assert m["operation"] == "delete"
+    got = snap.read_snapshot(spark, root)
+    assert got.count() == 397
+    assert got.filter(F.col("id").isin([5, 17, 399])).count() == 0
+    # duplicates and NULLs in the key frame are harmless (semi-join)
+    dup = spark.createDataFrame([(8,), (8,), (None,)], "id long")
+    m2, st2 = snap.delete_by_key(spark, root, dup, "id")
+    assert st2["rows_deleted"] == 1
+    # nothing matched -> no commit
+    m3, st3 = snap.delete_by_key(
+        spark, root, spark.createDataFrame([(777777,)], "id long"), "id"
+    )
+    assert m3 is None and st3["rows_deleted"] == 0
+    assert snap.read_snapshot(spark, root).count() == 396
+
+
+def test_delete_by_key_pruned_scan_clustered_and_hash(spark, root):
+    """Victim-scan breadth: range stats prune on a key-clustered layout,
+    Bloom sidecars prune on a hash layout; result identical to the
+    unpruned delete either way."""
+    df = spark.range(0, 8000).withColumn("v", F.col("id") * 3)
+    snap.create_table(
+        spark, root,
+        df.repartitionByRange(8, F.col("id")).sortWithinPartitions("id"),
+    )
+    stats = snap.snapshot_file_stats(spark, root, ["id"]).persist()
+    stats.count()
+    keys = spark.createDataFrame([(2000,), (2049,)], "id long")
+    m, st = snap.delete_by_key(spark, root, keys, "id", key_stats=stats)
+    assert st["files_total"] == 8 and st["files_scanned"] <= 2
+    assert st["rows_deleted"] == 2
+    assert snap.read_snapshot(spark, root).count() == 7998
+    stats.unpersist()
+    # hash layout: ranges prune nothing, blooms narrow to the true files
+    hroot = root + "_h"
+    snap.create_table(spark, hroot, df.repartition(8, "id"))
+    blooms = snap.snapshot_file_blooms(spark, hroot, ["id"]).persist()
+    blooms.count()
+    from geocore_spark.sources import stats as stmod
+
+    truth = {
+        stmod.decode_file_url(r["f"])
+        for r in snap.read_snapshot(spark, hroot)
+        .filter(F.col("id").isin([17, 2900]))
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    }
+    hkeys = spark.createDataFrame([(17,), (2900,)], "id long")
+    m2, st2 = snap.delete_by_key(spark, hroot, hkeys, "id", key_blooms=blooms)
+    assert st2["files_total"] == 8
+    assert len(truth) <= st2["files_scanned"] <= len(truth) + 1, (st2, truth)
+    assert st2["rows_deleted"] == 2
+    assert snap.read_snapshot(spark, hroot).count() == 7998
+    blooms.unpersist()
+
+
+def test_delete_by_key_validation(spark, root):
+    _mk(spark, root)
+    with pytest.raises(ValueError, match="not in table schema"):
+        snap.delete_by_key(
+            spark, root, spark.createDataFrame([(1,)], "id long"), "nope"
+        )
+    # float keys refused under pruning only
+    froot = root + "_f"
+    snap.create_table(
+        spark, froot,
+        spark.range(10).select(F.col("id").cast("double").alias("k"),
+                               F.col("id").alias("v")),
+    )
+    fstats = snap.snapshot_file_stats(spark, froot, ["k"])
+    fkeys = spark.createDataFrame([(1.0,)], "k double")
+    with pytest.raises(ValueError, match="floating-point"):
+        snap.delete_by_key(spark, froot, fkeys, "k", key_stats=fstats)
+    # unpruned float delete is allowed (full scan, join semantics)
+    m, st = snap.delete_by_key(spark, froot, fkeys, "k")
+    assert st["rows_deleted"] == 1
