@@ -727,3 +727,33 @@ def test_fast_path_truncated_stream_raises(monkeypatch):
     data = v.encode_vp8l(img)
     with pytest.raises(ValueError):
         v.decode_webp(data[: len(data) - 40])
+
+
+def test_fast_path_randomized_roundtrip_and_truncation(monkeypatch):
+    """Property sweep: random images (varied shapes, value ranges, some
+    with constant channels -> 0-bit codes) encode, then decode through
+    BOTH paths with identical pixels; random truncations of each stream
+    raise ValueError on both paths (never an IndexError or silent
+    wrong image)."""
+    rng = np.random.default_rng(1234)
+    shapes = [(65, 64), (80, 52), (17, 250)]  # all >= _FAST_MIN_PIXELS
+    for hh, ww in shapes:
+        img = rng.integers(0, 256, (hh, ww, 4), dtype=np.uint8).astype(
+            np.uint8
+        )
+        if ww % 2:  # exercise single-symbol channels too
+            img[..., 3] = 255
+            img[..., 0] = 7
+        data = v.encode_vp8l(img)
+        monkeypatch.setattr(v, "_FAST_MIN_PIXELS", 1 << 60)
+        ref = v.decode_webp(data)
+        monkeypatch.setattr(v, "_FAST_MIN_PIXELS", 0)
+        fast = v.decode_webp(data)
+        assert np.array_equal(ref, fast)
+        assert np.array_equal(fast, img)
+        for cut in rng.integers(30, len(data) - 1, 5):
+            trunc = data[: int(cut)]
+            for thresh in (1 << 60, 0):
+                monkeypatch.setattr(v, "_FAST_MIN_PIXELS", thresh)
+                with pytest.raises(ValueError):
+                    v.decode_webp(trunc)
