@@ -19,7 +19,14 @@ materialized rollup incrementally:
     3. compact  : every --compact-every days, bin-pack the small per-day
                   files (delete vectors applied during the rewrite)
   at the end:
-    4. expire   : drop all but --keep-last versions + unreferenced files
+    4. erase    : (optional, --erase-host H) keyed right-to-erasure —
+                  every url of host H tombstoned in ONE delete_by_key
+                  commit through the Bloom-pruned victim scan (a fresh
+                  per-url sidecar, so only files actually holding the
+                  host's urls are scanned), then the rollup refreshed
+                  from the change feed (the erased host's count reaches
+                  0 and the row disappears)
+    5. expire   : drop all but --keep-last versions + unreferenced files
 
 Resume story: the whole loop is IDEMPOTENT, not checkpointed — each
 day's merge carries txn token ("ingest", day), so a crashed or repeated
@@ -110,6 +117,12 @@ def main(argv: list[str] | None = None) -> None:
     )
     ap.add_argument("--master", default=None)
     ap.add_argument(
+        "--erase-host", default=None,
+        help="after the loop, erase every url of this host via "
+        "delete_by_key (Bloom-pruned victim scan); idempotent — a "
+        "re-run finds no matching urls and commits nothing",
+    )
+    ap.add_argument(
         "--verify", action="store_true",
         help="recompute the expected final state from scratch and fail "
         "loudly on any row mismatch (integration-oracle mode)",
@@ -162,6 +175,30 @@ def main(argv: list[str] | None = None) -> None:
                     flush=True,
                 )
 
+    erasure = None
+    if args.erase_host is not None:
+        keys = (
+            snap.read_snapshot(spark, table)
+            .filter(F.col("host") == args.erase_host)
+            .select("url")
+        )
+        blooms = snap.snapshot_file_blooms(spark, table, ["url"])
+        m, st = snap.delete_by_key(
+            spark, table, keys, "url", key_blooms=blooms
+        )
+        erasure = dict(st, host=args.erase_host)
+        print(
+            f"[erase] host={args.erase_host} rows={st['rows_deleted']} "
+            f"scanned {st['files_scanned']}/{st['files_total']} files",
+            flush=True,
+        )
+        if m is not None:
+            r = ivm.refresh_rollup(
+                spark, table, rollup, ["host"], {"sum_tokens": "n_tokens"},
+                view_id="host-rollup",
+            )
+            print(f"[erase] rollup {r['mode']} -> v{r['applied_to']}", flush=True)
+
     expired = snap.expire_snapshots(spark, table, keep_last=args.keep_last)
     final = snap.read_snapshot(spark, table)
     n_rows = final.count()
@@ -170,6 +207,8 @@ def main(argv: list[str] | None = None) -> None:
     verified = None
     if args.verify:
         expect = expected_final(spark, args.days, args.urls_per_day)
+        if args.erase_host is not None:
+            expect = expect.filter(F.col("host") != args.erase_host)
         mism = (
             final.select("url", "n_tokens", "crawl_day")
             .exceptAll(expect.select("url", "n_tokens", "crawl_day"))
@@ -203,6 +242,7 @@ def main(argv: list[str] | None = None) -> None:
         "table_version": snap.latest_version(spark, table),
         "rows": n_rows,
         "hosts": n_hosts,
+        "erasure": erasure,
         "expired": expired,
         "verified": verified,
         "seconds": round(time.time() - t0, 2),
