@@ -119,6 +119,18 @@ def transition_counts(
         F.col("_prev").alias("src"), F.col("_s").alias("dst")
     ).agg(F.count(F.lit(1)).alias("n"))
     outn = trans.groupBy("src").agg(F.sum("n").alias("out_n"))
+    # micro-scale overflow guard (house discipline, cf. geometric_smooth
+    # / time_weighted_avg): with ANSI off, n * 1e6 wraps silently once a
+    # single (src, dst) count passes 2^63/1e6 ~ 9.2e12 — raise instead
+    n_bound = (2**63 - 1) // 1_000_000
+    n_guarded = F.when(F.col("n") < F.lit(n_bound), F.col("n")).otherwise(
+        F.raise_error(
+            F.lit(
+                "transition_counts: a (src, dst) count is too large — "
+                "p_micro would overflow BIGINT"
+            )
+        ).cast("long")
+    )
     return (
         trans.join(outn, "src")
         .select(
@@ -126,6 +138,15 @@ def transition_counts(
             "dst",
             F.col("n").cast("long").alias("n"),
             F.col("out_n").cast("long").alias("out_n"),
-            F.expr("(n * 1000000) div out_n").cast("long").alias("p_micro"),
+            (n_guarded * F.lit(1_000_000))
+            .cast("long")
+            .alias("_nm"),
+        )
+        .select(
+            "src",
+            "dst",
+            "n",
+            "out_n",
+            F.expr("_nm div out_n").cast("long").alias("p_micro"),
         )
     )

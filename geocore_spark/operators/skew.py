@@ -122,8 +122,16 @@ def split_mega_cells(
     ``res`` means NO row splits — pass it explicitly for non-default
     keyed frames, e.g. zonal tables at res 5).
     """
+    # distinct before the flag join: find_mega_cells is already
+    # duplicate-free, but a user-built mega frame with repeated cells
+    # would otherwise silently MULTIPLY the data rows of those cells
+    # through the left join (the frame is tiny — distinct is free)
     flagged = df.join(
-        F.broadcast(mega.withColumn("__mega", F.lit(True))), cell_col, "left"
+        F.broadcast(
+            mega.select(cell_col).distinct().withColumn("__mega", F.lit(True))
+        ),
+        cell_col,
+        "left",
     )
     res_of = tl.cell_resolution(F.col(cell_col))
     # arithmetic re-encode at finer res from raw coordinates
